@@ -1,13 +1,38 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The query catalog is assembled from per-domain objects under [[graft.ops]];
+  * every entry has a DuckDB oracle in [[oracleSql]] unless its output is not
+  * SQL-derivable (rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full relationalize round-trip (nested JSON docs constructed
+    * from lineitem -> flatten + explode + rid join-back) on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.RelationalizeQueries.relExplode(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.RelationalizeQueries.queries ++
+      ops.RelationalQueries.queries ++
+      ops.DedupQueries.queries ++
+      ops.TextQueries.queries ++
+      ops.SimilarityQueries.queries ++
+      ops.MultimodalQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    ops.RelationalizeQueries.oracleSql ++
+      ops.RelationalQueries.oracleSql ++
+      ops.DedupQueries.oracleSql ++
+      ops.TextQueries.oracleSql ++
+      ops.SimilarityQueries.oracleSql ++
+      ops.MultimodalQueries.oracleSql
 }

@@ -1,0 +1,244 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`, the LLM-pipeline workhorses:
+  *
+  *   - exact dedup: hash-groupBy on a normalized fingerprint;
+  *   - n-gram Jaccard near-dup: token-postings self-join with integer
+  *     cross-multiplied thresholds (exact, no float drift);
+  *   - MinHash: k=32 signatures over 3-shingles, banded LSH (8 bands x 4),
+  *     candidate pairs verified with exact shingle Jaccard;
+  *   - SimHash: 32-bit signatures with banded hamming-neighbor pairing.
+  *
+  * The hash is portable (first 60 bits of md5 as BIGINT) so DuckDB oracles can
+  * re-derive signatures exactly; modular arithmetic stays below 2^63 (DuckDB
+  * errors on BIGINT overflow, Spark wraps — avoid the divergence entirely).
+  *
+  * Scale notes (100 TB posture): exact dedup and MinHash are single-shuffle
+  * groupBys on bounded-size keys; the LSH band join shuffles only
+  * (band, signature) pairs — candidate pairs, not all pairs. The plain-Jaccard
+  * postings join is the quadratic baseline; its blocking key (lang) bounds the
+  * blow-up and it exists to *oracle-check* the approximate paths.
+  */
+object DedupQueries {
+
+  /** Portable 60-bit hash of a string expression (same value in DuckDB). */
+  private def h(sqlExpr: String): String =
+    s"CAST(conv(substring(md5(CAST($sqlExpr AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
+  private val P = 1000000007L // modulus: keeps a*h'+b under 2^63
+  /** Deterministic per-hash-function coefficients (i = 0..31). */
+  private def aCoef(i: Int): Long = 2 * i + 1
+  private def bCoef(i: Int): Long = 10007L * (i + 1)
+
+  private val toks = "split(trim(text), '\\\\s+')"
+  /** Word 3-shingles, distinct. (Guard: Spark's sequence(1, n) DESCENDS when
+    * n < 1, so short docs must short-circuit to an empty array.)
+    */
+  private val shingles =
+    s"CASE WHEN size($toks) < 3 THEN CAST(array() AS ARRAY<STRING>) ELSE " +
+      s"array_distinct(transform(sequence(1, size($toks) - 2), " +
+      s"i -> concat_ws(' ', element_at($toks, i), element_at($toks, i + 1), element_at($toks, i + 2)))) END"
+
+  // --- exact ------------------------------------------------------------
+
+  /** Exact dedup: group by normalized-text fingerprint, keep the smallest
+    * doc_id (deterministic survivor), count the group.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+
+  // --- exact n-gram Jaccard --------------------------------------------
+
+  /** Unigram-Jaccard near-dup pairs within a language block.
+    * jaccard >= 0.5 is tested as 2*|A∩B| >= |A∪B| — pure integers.
+    */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .selectExpr("doc_id", "lang", s"array_distinct($toks) AS tset")
+    val sizes = docs.selectExpr("doc_id", "lang", "size(tset) AS sz")
+    val postings = docs.selectExpr("doc_id", "lang", "explode(tset) AS tok")
+    val inter = postings.as("a")
+      .join(postings.as("b"),
+        col("a.lang") === col("b.lang") && col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sa.sz") + col("sb.sz") - col("inter")).as("union_sz"))
+      .filter(col("inter") * 2 >= col("union_sz"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
+  }
+
+  // --- MinHash + LSH ----------------------------------------------------
+
+  /** Per-doc MinHash signatures (first 8 of the 32 hash functions exposed;
+    * enough to oracle-check the signature math).
+    */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    // hash each shingle ONCE (md5 dominates the cost), then derive every
+    // signature from the precomputed hash array
+    val sigCols = (0 until 8).map { i =>
+      s"array_min(transform(hs, x -> pmod(${aCoef(i)}L * x + ${bCoef(i)}L, ${P}L))) AS mh_$i"
+    }
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", s"transform($shingles, sh -> pmod(${h("sh")}, ${P}L)) AS hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // barrier: md5 once, not 8x
+      .selectExpr("doc_id" +: sigCols: _*)
+  }
+
+  /** MinHash-LSH candidate pairs, verified with exact shingle Jaccard.
+    * Bands of 4 consecutive minhashes (8 bands over k=32); a pair is a
+    * candidate if any band matches; verification keeps jaccard >= 0.2
+    * (2 * 5 * inter >= 2 * union via integers).
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // hash each shingle once; all 32 signature rows derive from `hs`.
+    // The persist() is a hard barrier: without it CollapseProject inlines the
+    // `hs` alias into all 32 signature expressions and again into the 8 band
+    // expressions, recomputing md5 ~256x per shingle (~30x slower end-to-end).
+    val mhArray = "transform(sequence(0, 31), " +
+      s"i -> array_min(transform(hs, x -> pmod((2L * i + 1L) * x + 10007L * (i + 1L), ${P}L))))"
+    val hashed = Tables(s, dir, "documents")
+      .selectExpr("doc_id", s"$shingles AS shs")
+      .selectExpr("doc_id", "shs", s"transform(shs, sh -> pmod(${h("sh")}, ${P}L)) AS hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = hashed.selectExpr("doc_id", "shs", s"$mhArray AS mhs")
+    val bands = docs.selectExpr("doc_id",
+      "posexplode(transform(sequence(0, 7), b -> array_join(transform(slice(mhs, 4 * b + 1, 4), x -> CAST(x AS STRING)), ',')))")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("shs"))
+    candidates
+      .join(sets.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(sets.as("pb"), col("doc_b") === col("pb.doc_id"))
+      .selectExpr("doc_a", "doc_b",
+        "size(array_intersect(pa.shs, pb.shs)) AS inter",
+        "size(array_union(pa.shs, pb.shs)) AS union_sz")
+      .filter(col("inter") * 5 >= col("union_sz"))
+  }
+
+  // --- SimHash ----------------------------------------------------------
+
+  /** 32-bit SimHash signature per document: bit j is the sign of the sum of
+    * (2*bit_j(h(token)) - 1) over token *occurrences*.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+      s"CASE WHEN aggregate(ths, CAST(0 AS BIGINT), " +
+      s"(c, x) -> c + 2L * pmod(CAST(floor(x / power(2, j)) AS BIGINT), 2L) - 1L) > 0 " +
+      "THEN CAST(power(2, j) AS BIGINT) ELSE 0L END)"
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "lang", s"transform($toks, t -> pmod(${h("t")}, ${P}L)) AS ths")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // barrier: md5 once, not 32x
+      .selectExpr("doc_id", "lang", s"$sig AS simhash")
+  }
+
+  /** SimHash near-dup pairs: hamming distance <= 10 within a language block. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhash(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.as("a").join(sigs.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+        "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming")
+      .filter(col("hamming") <= 10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_minhash_sig" -> minhashSignatures,
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhash,
+    "dedup_simhash_pairs" -> simhashPairs,
+  )
+
+  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private def duckH(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+  private val duckShingles =
+    s"list_distinct(list_transform(range(1, greatest(len($duckToks) - 1, 1)), " +
+      s"i -> $duckToks[i] || ' ' || $duckToks[i + 1] || ' ' || $duckToks[i + 2]))"
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keeper, count(1) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct($duckToks) AS tset FROM documents),
+         |sizes AS (SELECT doc_id, lang, len(tset) AS sz FROM d),
+         |postings AS (SELECT doc_id, lang, unnest(tset) AS tok FROM d),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS inter
+         |  FROM postings a JOIN postings b
+         |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter,
+         |  CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
+         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE inter * 2 >= sa.sz + sb.sz - inter""".stripMargin,
+    "dedup_minhash_sig" -> {
+      val cols = (0 until 8).map { i =>
+        s"list_min(list_transform(shs, sh -> (${aCoef(i)} * (${duckH("sh")} % ${P}) + ${bCoef(i)}) % ${P})) AS mh_$i"
+      }.mkString(",\n  ")
+      s"""WITH d AS (SELECT doc_id, $duckShingles AS shs FROM documents)
+         |SELECT doc_id, $cols FROM d""".stripMargin
+    },
+    "dedup_minhash_lsh" ->
+      s"""WITH d AS (SELECT doc_id, $duckShingles AS shs FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, shs, list_transform(range(0, 32),
+         |    i -> list_min(list_transform(shs, sh -> ((2 * i + 1) * (${duckH("sh")} % ${P}) + 10007 * (i + 1)) % ${P}))) AS mhs
+         |  FROM d),
+         |bands AS (
+         |  SELECT doc_id, b AS band, array_to_string(mhs[4 * b + 1 : 4 * b + 4], ',') AS sig
+         |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(pa.shs, pb.shs)) AS INT) AS inter,
+         |  CAST(len(list_distinct(list_concat(pa.shs, pb.shs))) AS INT) AS union_sz
+         |FROM cands
+         |JOIN d pa ON doc_a = pa.doc_id
+         |JOIN d pb ON doc_b = pb.doc_id
+         |WHERE len(list_intersect(pa.shs, pb.shs)) * 5 >= len(list_distinct(list_concat(pa.shs, pb.shs)))""".stripMargin,
+    "dedup_simhash" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(list_sum(list_transform(range(0, 32), j ->
+         |    CASE WHEN list_sum(list_transform($duckToks,
+         |      t -> 2 * (CAST(floor((${duckH("t")} % ${P}) / power(2, j)) AS BIGINT) % 2) - 1)) > 0
+         |    THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |FROM documents""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, lang,
+         |    CAST(list_sum(list_transform(range(0, 32), j ->
+         |      CASE WHEN list_sum(list_transform($duckToks,
+         |        t -> 2 * (CAST(floor((${duckH("t")} % ${P}) / power(2, j)) AS BIGINT) % 2) - 1)) > 0
+         |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin,
+  )
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads are opaque `BinaryType` columns
+  * with typed metadata travelling alongside. The decode step itself is a
+  * clearly-marked deterministic STUB (no image/audio codecs in this
+  * environment) — what is real and tested is the Spark-side shape: binary
+  * columns, schema, batched per-partition processing (the Scala analog of a
+  * pandas-batch UDF), and partition-parallel feature extraction.
+  */
+object MultimodalQueries {
+
+  /** Metadata over a binary media column (here fabricated from text bytes —
+    * the shape a real corpus would have: (id, media BLOB, meta...)).
+    */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS media", "source")
+      .selectExpr(
+        "doc_id", "source",
+        "octet_length(media) AS n_bytes",
+        "md5(media) AS content_hash",
+        // STUB: deterministic fake decode — a real pipeline would decode the
+        // codec header here; width/height derived from the id keep the
+        // plumbing testable end-to-end.
+        "CAST(320 + doc_id % 640 AS INT) AS stub_width",
+        "CAST(240 + doc_id % 480 AS INT) AS stub_height")
+
+  /** Batched per-partition feature extraction over the binary column — the
+    * mapPartitions pattern a real decoder (JNI / native lib) would plug into.
+    * The extracted "features" are exact byte statistics so the oracle can
+    * verify the plumbing.
+    */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS media")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", IntegerType),
+      StructField("n_vowels", IntegerType),
+      StructField("n_spaces", IntegerType)))
+    implicit val enc = Encoders.row(outSchema)
+    src.mapPartitions { batch =>
+      // Real decoders amortize per-batch setup here (codec init, model load):
+      // one instantiation per partition, then a tight loop over records.
+      batch.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        var vowels = 0; var spaces = 0
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i)
+          if (b == 'a' || b == 'e' || b == 'i' || b == 'o' || b == 'u') vowels += 1
+          else if (b == ' ') spaces += 1
+          i += 1
+        }
+        Row(id, bytes.length, vowels, spaces)
+      }
+    }
+  }
+
+  /** Frame-sampling shape: one row per sampled "frame" (every 64th byte
+    * offset) — the explode pattern video frame extraction uses, with
+    * deterministic stub content.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS media")
+      .selectExpr("doc_id",
+        "posexplode(transform(sequence(0, CAST(floor((octet_length(media) - 1) / 64) AS INT)), " +
+          "i -> CAST(substring(media, i * 64 + 1, 1) AS STRING)))")
+      .selectExpr("doc_id", "pos AS frame_idx", "col AS frame_stub")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> mediaMeta,
+    "mm_features" -> mediaFeatures,
+    "mm_frames" -> frameSample,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id, source,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  CAST(320 + doc_id % 640 AS INT) AS stub_width,
+        |  CAST(240 + doc_id % 480 AS INT) AS stub_height
+        |FROM documents""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels,
+        |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS INT) AS n_spaces
+        |FROM documents""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id,
+        |  CAST(i AS INT) AS frame_idx,
+        |  substr(text, CAST(i * 64 + 1 AS INT), 1) AS frame_stub
+        |FROM documents, LATERAL (SELECT unnest(range(0, CAST(floor((length(text) - 1) / 64) AS BIGINT) + 1)) AS i)""".stripMargin,
+  )
+}

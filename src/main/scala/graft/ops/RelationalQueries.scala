@@ -1,0 +1,489 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The standard relational operator surface (SURVEY §2.8): everything the
+  * reference delegates to the downstream warehouse, expressed through stock
+  * Spark DataFrame operators so Catalyst/Tungsten provide pushdown, pruning,
+  * join selection, whole-stage codegen.
+  *
+  * Determinism-by-construction rules (the DuckDB oracle hash-compares values):
+  *   - monetary aggregates are summed as DECIMAL(18,2) (exact, order-independent)
+  *     and cast to DOUBLE at the end — both engines then produce bit-identical
+  *     doubles;
+  *   - DuckDB integer SUMs are cast to BIGINT in the oracle (DuckDB widens to
+  *     HUGEINT, Spark to LONG);
+  *   - window orderings always carry a unique tiebreaker column.
+  */
+object RelationalQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // --- scans / filters / projections ------------------------------------
+
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1994-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+
+  // --- aggregation ------------------------------------------------------
+
+  /** TPC-H Q1 shape: multi-aggregate groupBy with derived expressions. */
+  def aggPricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("cnt"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+
+  def distinctFlags(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  def groupHaving(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("cnt") >= 40)
+
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("gs_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS cnt
+        |FROM gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  // --- joins ------------------------------------------------------------
+
+  /** Broadcast-dim star join: revenue per region. nation/region are tiny —
+    * explicitly broadcast so the 100 TB plan is shuffle-free on the dims.
+    */
+  def joinStar(s: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(Tables(s, dir, "region"))
+    val nation = broadcast(Tables(s, dir, "nation"))
+    val cust = Tables(s, dir, "customer")
+    val orders = Tables(s, dir, "orders")
+    orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+  }
+
+  /** Large-side equi-join + agg: revenue by order year across orders x lineitem. */
+  def joinBig(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val orders = Tables(s, dir, "orders")
+    cust.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_cust"))
+  }
+
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val orders = Tables(s, dir, "orders")
+    cust.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+  }
+
+  def leftOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    orders.join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_lines"))
+  }
+
+  // --- subqueries -------------------------------------------------------
+
+  def inSubquery(s: SparkSession, dir: String): DataFrame = {
+    val building = Tables(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    Tables(s, dir, "orders")
+      .join(building, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Scalar subquery: customers above the global average balance. The average
+    * is computed with an exact decimal sum so both engines compare against
+    * the identical double.
+    */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val avgBal = cust.agg(
+      (sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_rich"))
+  }
+
+  def existsCorrelated(s: SparkSession, dir: String): DataFrame = {
+    val supp = Tables(s, dir, "supplier")
+    val bigLines = Tables(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+    supp.join(bigLines, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+  }
+
+  // --- windows ----------------------------------------------------------
+
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(s, dir, "orders")
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so
+    // the ordering needs full tiebreakers to be engine-independent
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_quantity"), col("l_partkey"), col("l_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_quantity"))).over(w).cast("double").as("run_qty"))
+  }
+
+  def windowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        row_number().over(w).as("rn"))
+  }
+
+  def windowFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("moving_sum"),
+        count(lit(1)).over(w).as("n_in_frame"))
+  }
+
+  // --- sort / limit / top-k --------------------------------------------
+
+  def topK(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  // --- set operations ---------------------------------------------------
+
+  def unionAll(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"), lit("customer").as("side"))
+    val sup = Tables(s, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey"), lit("supplier").as("side"))
+    c.unionAll(sup).groupBy(col("nationkey"), col("side")).agg(count(lit(1)).as("cnt"))
+  }
+
+  def intersectKeys(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  def exceptKeys(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  // --- scalar functions -------------------------------------------------
+
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part").select(
+      col("p_partkey"),
+      upper(substring(col("p_name"), 1, 10)).as("up10"),
+      length(col("p_name")).as("name_len"),
+      replace(col("p_brand"), lit("#"), lit("_")).as("brand_clean"),
+      concat(lower(col("p_type")), lit(":"), col("p_brand")).as("type_brand"),
+      instr(col("p_name"), "a").as("first_a"),
+      trim(col("p_name")).as("trimmed"))
+
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("o_year"),
+      month(col("o_orderdate")).as("o_month"),
+      dayofmonth(col("o_orderdate")).as("o_day"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(to_date(col("o_orderdate")), lit(java.sql.Date.valueOf("1995-01-01"))).as("days_since"))
+
+  def mathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select(
+      col("c_custkey"),
+      abs(col("c_acctbal")).as("abs_bal"),
+      floor(col("c_acctbal")).as("floor_bal"),
+      ceil(col("c_acctbal")).as("ceil_bal"),
+      round(dec(col("c_acctbal")), 1).cast("double").as("round_bal"),
+      sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+      (col("c_custkey") % 7).as("mod7"))
+
+  def caseExpr(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .select(
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  // --- pivot / conditional aggregation ---------------------------------
+
+  def pivotEvents(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0)
+
+  // --- sessionization (event analytics) --------------------------------
+
+  /** Gap-based sessionization: a new session starts after >30 min idle. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_project" -> filterProject,
+    "q_agg_pricing" -> aggPricingSummary,
+    "q_agg_stats" -> aggStats,
+    "q_distinct" -> distinctFlags,
+    "q_group_having" -> groupHaving,
+    "q_rollup" -> rollupAgg,
+    "q_cube" -> cubeAgg,
+    "q_grouping_sets" -> groupingSets,
+    "q_join_star" -> joinStar,
+    "q_join_big" -> joinBig,
+    "q_semi_join" -> semiJoin,
+    "q_anti_join" -> antiJoin,
+    "q_left_join" -> leftOuterJoin,
+    "q_in_subquery" -> inSubquery,
+    "q_scalar_subquery" -> scalarSubquery,
+    "q_exists" -> existsCorrelated,
+    "q_window_rank" -> windowRank,
+    "q_window_running" -> windowRunning,
+    "q_window_lag" -> windowLag,
+    "q_window_frame" -> windowFrame,
+    "q_topk" -> topK,
+    "q_union" -> unionAll,
+    "q_intersect" -> intersectKeys,
+    "q_except" -> exceptKeys,
+    "q_string_funcs" -> stringFuncs,
+    "q_date_funcs" -> dateFuncs,
+    "q_math_funcs" -> mathFuncs,
+    "q_case_expr" -> caseExpr,
+    "q_pivot" -> pivotEvents,
+    "q_sessionize" -> sessionize,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) AS avg_qty,
+        |  COUNT(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        |  COUNT(1) AS cnt, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_group_having" ->
+      """SELECT l_partkey, COUNT(1) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_partkey HAVING COUNT(1) >= 40""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(1) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS cnt
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q_join_star" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(1) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q_join_big" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(1) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_mktsegment, COUNT(1) AS n_cust FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_nationkey, COUNT(1) AS n_cust FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
+    "q_left_join" ->
+      """SELECT o_orderkey, COUNT(l_orderkey) AS n_lines
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey""".stripMargin,
+    "q_in_subquery" ->
+      """SELECT o_orderstatus, COUNT(1) AS cnt FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_nationkey, COUNT(1) AS n_rich FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(1) FROM customer)
+        |GROUP BY c_nationkey""".stripMargin,
+    "q_exists" ->
+      """SELECT s_nationkey, COUNT(1) AS n_supp FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+        |GROUP BY s_nationkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+        |  FROM orders) t WHERE rk <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+        |FROM lineitem""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS moving_sum,
+        |  COUNT(1) OVER w AS n_in_frame
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_union" ->
+      """SELECT nationkey, side, COUNT(1) AS cnt FROM (
+        |  SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier) t
+        |GROUP BY nationkey, side""".stripMargin,
+    "q_intersect" ->
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+    "q_except" ->
+      "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  UPPER(SUBSTRING(p_name, 1, 10)) AS up10,
+        |  CAST(LENGTH(p_name) AS INT) AS name_len,
+        |  REPLACE(p_brand, '#', '_') AS brand_clean,
+        |  LOWER(p_type) || ':' || p_brand AS type_brand,
+        |  CAST(STRPOS(p_name, 'a') AS INT) AS first_a,
+        |  TRIM(p_name) AS trimmed
+        |FROM part""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS o_day,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+        |FROM orders""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT c_custkey,
+        |  ABS(c_acctbal) AS abs_bal,
+        |  CAST(FLOOR(c_acctbal) AS BIGINT) AS floor_bal,
+        |  CAST(CEIL(c_acctbal) AS BIGINT) AS ceil_bal,
+        |  CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)), 1) AS DOUBLE) AS round_bal,
+        |  SQRT(ABS(c_acctbal)) AS sqrt_bal,
+        |  c_custkey % 7 AS mod7
+        |FROM customer""".stripMargin,
+    "q_case_expr" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 5000 THEN 'low'
+        |            ELSE 'high' END AS bucket, COUNT(1) AS cnt
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(1) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(1) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(1) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(1) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(1) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(1) AS n_events FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts, event_id,
+        |          LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events) t) t2
+        |GROUP BY user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.core.ColType
+import graft.relationalize.RelationalizeSpark
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Harness queries exercising the relationalize transform end-to-end against
+  * DuckDB oracles. JSON documents are *constructed from the parquet tables
+  * inside the query*, so the oracle can re-derive the expected output with
+  * plain SQL (rids never cross the engine boundary — child rows are joined
+  * back to their parents in Spark and exposed via natural keys).
+  */
+object RelationalizeQueries {
+
+  /** Flatten a JSON column: events.props ({"k": int}) into typed columns. */
+  def relFlat(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "events")
+      .select(concat(lit("{\"event_id\":"), col("event_id"), lit(",\"props\":"), col("props"), lit("}")).as("doc"))
+      .as(Encoders.STRING)
+    RelationalizeSpark(docs, "events")("events")
+  }
+
+  /** Nested array explode: per-order JSON docs with a lineitems array ->
+    * child table with __index_, joined back to the parent via rid.
+    */
+  def relExplode(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val docs = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("items"))
+      .select(to_json(struct(col("l_orderkey").as("orderkey"), col("items"))).as("doc"))
+      .as(Encoders.STRING)
+    val res = RelationalizeSpark(docs, "orders")
+    val root = res("orders").select(col("orderkey"), col("items"))
+    val child = res("orders_items")
+    root.join(child, root("items") === child("items__rid_"))
+      .select(col("orderkey"), col("items__index_"),
+        col("items_l_linenumber"), col("items_l_quantity"))
+  }
+
+  /** Choice-type split: a field that is int / str / null depending on the row
+    * becomes v_int / v_str output columns.
+    */
+  def relChoice(spark: SparkSession, dir: String): DataFrame = {
+    val docs = choiceDocs(spark, dir)
+    RelationalizeSpark(docs.as(Encoders.STRING), "events")("events")
+      .select(col("event_id"), col("v_int"), col("v_str"))
+  }
+
+  /** Schema inference surfaced as rows: (column, coltype) for the choice
+    * corpus — verifies the type lattice (observe + distributed merge) itself.
+    */
+  def relSchema(spark: SparkSession, dir: String): DataFrame = {
+    val docs = choiceDocs(spark, dir)
+    val schemas = RelationalizeSpark.inferSchemas(
+      RelationalizeSpark.emit(docs.as(Encoders.STRING), "events"))
+    import spark.implicits._
+    schemas("events").columns.toSeq
+      .map { case (c, t) => (c, t.repr) }
+      .toDF("column", "coltype").orderBy("column")
+  }
+
+  private def choiceDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").select(
+      concat(lit("{\"event_id\":"), col("event_id"), lit(",\"v\":"),
+        when(col("event_id") % 3 === 0, col("event_id").cast("string"))
+          .when(col("event_id") % 3 === 1, concat(lit("\""), col("event_type"), lit("\"")))
+          .otherwise(lit("null")),
+        lit("}")).as("doc"))
+
+  /** DDL generation surfaced as a single row (rows-only check: DDL strings
+    * are not SQL-derivable in DuckDB).
+    */
+  def relDdl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = choiceDocs(spark, dir)
+    val res = RelationalizeSpark(docs.as(Encoders.STRING), "events")
+    import spark.implicits._
+    res.ddl().toSeq.map { case (t, d) => (t, d) }.toDF("table_name", "ddl").orderBy("table_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_flat" -> relFlat,
+    "rel_explode" -> relExplode,
+    "rel_choice" -> relChoice,
+    "rel_schema" -> relSchema,
+    "rel_ddl" -> relDdl,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rel_flat" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+        |FROM events""".stripMargin,
+    "rel_explode" ->
+      """SELECT l_orderkey AS orderkey,
+        |       CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS BIGINT) AS items__index_,
+        |       CAST(l_linenumber AS BIGINT) AS items_l_linenumber,
+        |       l_quantity AS items_l_quantity
+        |FROM lineitem""".stripMargin,
+    "rel_choice" ->
+      """SELECT event_id,
+        |       CASE WHEN event_id % 3 = 0 THEN event_id END AS v_int,
+        |       CASE WHEN event_id % 3 = 1 THEN event_type END AS v_str
+        |FROM events""".stripMargin,
+    "rel_schema" ->
+      """WITH obs(col, t) AS (
+        |  SELECT 'event_id', 'int' FROM events
+        |  UNION ALL
+        |  SELECT 'v', CASE WHEN event_id % 3 = 0 THEN 'int'
+        |                   WHEN event_id % 3 = 1 THEN 'str'
+        |                   ELSE 'none' END FROM events
+        |), per AS (
+        |  SELECT col, list_sort(list_filter(list(DISTINCT t), x -> x <> 'none')) AS ms
+        |  FROM obs GROUP BY col
+        |)
+        |SELECT col AS "column",
+        |       CASE WHEN len(ms) = 0 THEN 'none'
+        |            WHEN len(ms) = 1 THEN ms[1]
+        |            ELSE 'c-' || array_to_string(ms, '-') END AS coltype
+        |FROM per ORDER BY col""".stripMargin,
+    // rel_ddl: rows-only (DDL strings not derivable in SQL) — no oracle entry.
+  )
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting.
+  * Everything is expression-level (whole-stage codegen, no UDFs) and
+  * partition-parallel — no driver state, scales linearly with the corpus.
+  */
+object TextQueries {
+
+  private val toks = "split(trim(text), '\\\\s+')"
+
+  /** Token statistics per document. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").selectExpr(
+      "doc_id",
+      s"size($toks) AS n_tokens",
+      s"size(array_distinct($toks)) AS n_distinct_tokens",
+      "length(text) AS n_chars_computed",
+      s"CAST(aggregate($toks, 0L, (acc, t) -> acc + length(t)) AS BIGINT) AS total_token_chars")
+
+  /** Quality signals: exact integer counts (length, digits, punctuation,
+    * stopwords) plus a coarse quality bucket.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").selectExpr(
+      "doc_id",
+      "length(text) AS n_chars",
+      s"size($toks) AS n_tokens",
+      s"size(filter($toks, t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS n_stop",
+      "length(text) - length(regexp_replace(text, '[0-9]', '')) AS n_digits",
+      "length(text) - length(regexp_replace(text, '[.,;:!?]', '')) AS n_punct")
+      .selectExpr("doc_id", "n_chars", "n_tokens", "n_stop", "n_digits", "n_punct",
+        """CASE WHEN n_tokens >= 40 AND n_stop * 100 >= n_tokens THEN 'high'
+          |     WHEN n_tokens >= 15 THEN 'medium'
+          |     ELSE 'low' END AS quality""".stripMargin)
+
+  /** N-gram language-ID heuristic: stopword-list hit counts per language,
+    * deterministic argmax with a fixed preference order on ties.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").selectExpr(
+      "doc_id", "lang",
+      s"size(filter($toks, t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS s_en",
+      s"size(filter($toks, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS s_de",
+      s"size(filter($toks, t -> t IN ('le', 'la', 'et', 'les', 'des'))) AS s_fr",
+      s"size(filter($toks, t -> t IN ('el', 'los', 'y', 'de', 'que'))) AS s_es")
+      .selectExpr("doc_id", "lang", "s_en", "s_de", "s_fr", "s_es",
+        """CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |     WHEN s_fr >= s_es THEN 'fr'
+          |     ELSE 'es' END AS predicted""".stripMargin)
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").selectExpr(
+      "doc_id",
+      "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> tokenStats,
+    "text_quality" -> qualityScore,
+    "text_langid" -> langId,
+    "text_fingerprint" -> fingerprint,
+  )
+
+  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($duckToks) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct($duckToks)) AS INT) AS n_distinct_tokens,
+         |  CAST(length(text) AS INT) AS n_chars_computed,
+         |  CAST(list_sum(list_transform($duckToks, t -> length(t))) AS BIGINT) AS total_token_chars
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, n_chars, n_tokens, n_stop, n_digits, n_punct,
+         |  CASE WHEN n_tokens >= 40 AND n_stop * 100 >= n_tokens THEN 'high'
+         |       WHEN n_tokens >= 15 THEN 'medium'
+         |       ELSE 'low' END AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS INT) AS n_chars,
+         |    CAST(len($duckToks) AS INT) AS n_tokens,
+         |    CAST(len(list_filter($duckToks, t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS INT) AS n_stop,
+         |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct
+         |  FROM documents) t""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS predicted
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter($duckToks, t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS INT) AS s_en,
+         |    CAST(len(list_filter($duckToks, t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS INT) AS s_de,
+         |    CAST(len(list_filter($duckToks, t -> t IN ('le', 'la', 'et', 'les', 'des'))) AS INT) AS s_fr,
+         |    CAST(len(list_filter($duckToks, t -> t IN ('el', 'los', 'y', 'de', 'que'))) AS INT) AS s_es
+         |  FROM documents) t""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+  )
+}

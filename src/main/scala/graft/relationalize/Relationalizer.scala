@@ -1,0 +1,116 @@
+package graft.relationalize
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.core._
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import scala.collection.immutable.VectorMap
+import scala.jdk.CollectionConverters._
+
+/** The core relationalize transform: depth-first walk of one JSON document,
+  * flattening nested structs and splitting arrays into child tables linked by
+  * synthetic rids.
+  *
+  * Semantics ported from `relationalize/relationalize.py:65-130` (fresh
+  * implementation, behavior-matched):
+  *   - nested struct key `a.b` flattens to `a_b`; on collision last write wins
+  *     (Python `dict.update` order);
+  *   - an array at path `p` in document named `n` is replaced in the parent by
+  *     a rid string; each element becomes a row of child table `n_p` carrying
+  *     `p__rid_` (the parent's rid) and `p__index_` (0-based position);
+  *   - scalar elements are emitted under `p__val_`; struct elements expand to
+  *     `p_<key>`; nested arrays recurse (grand-child table `n_p__val_`);
+  *   - an empty array still mints a rid in the parent but emits no child rows
+  *     (dangling FK — reference behavior, kept);
+  *   - rid format `R_` + 32 lowercase hex chars.
+  *
+  * Divergence from the reference, by design (SURVEY §1.4): rids are
+  * *deterministic* — derived from a caller-supplied stable document key and a
+  * per-document ordinal via MD5 — so Spark task retries and golden tests are
+  * reproducible. Uniqueness + parent/child agreement (the only semantic
+  * requirements) are preserved.
+  */
+object Relationalizer {
+  val Delimiter = "_"
+  val IdCol = "_rid_"
+  val ValCol = "_val_"
+  val IndexCol = "_index_"
+
+  type FlatRow = VectorMap[String, JValue]
+
+  /** Relationalize one parsed document.
+    *
+    * @param doc    the JSON document (normally an object)
+    * @param name   root table name; child tables are `name_<path>`
+    * @param docKey stable unique key of this document (drives rid determinism)
+    * @return (tableName, flatRow) pairs — root row last, children in
+    *         depth-first write order
+    */
+  def relationalize(doc: JsonNode, name: String, docKey: String): Vector[(String, FlatRow)] = {
+    val out = Vector.newBuilder[(String, FlatRow)]
+    var ridOrdinal = 0
+
+    def nextRid(): String = {
+      val md = MessageDigest.getInstance("MD5")
+      md.update(docKey.getBytes(StandardCharsets.UTF_8))
+      md.update(':'.toByte)
+      md.update(ridOrdinal.toString.getBytes(StandardCharsets.UTF_8))
+      ridOrdinal += 1
+      val hex = md.digest().map(b => f"$b%02x").mkString
+      s"R$Delimiter$hex"
+    }
+
+    def walk(node: JsonNode, path: String): FlatRow = {
+      if (node.isArray) {
+        val rid = nextRid()
+        val table = s"$name$Delimiter$path"
+        node.elements().asScala.zipWithIndex.foreach { case (elem, idx) =>
+          out += table -> elementRow(elem, rid, idx, path)
+        }
+        VectorMap(path -> JString(rid))
+      } else if (node.isObject) {
+        val prefix = if (path.isEmpty) "" else s"$path$Delimiter"
+        var acc = VectorMap.empty[String, JValue]
+        node.fields().asScala.foreach { e =>
+          walk(e.getValue, s"$prefix${e.getKey}").foreach { case (k, v) => acc = acc.updated(k, v) }
+        }
+        acc
+      } else VectorMap(path -> JValue.of(node))
+    }
+
+    def elementRow(elem: JsonNode, rid: String, idx: Int, path: String): FlatRow = {
+      val base: FlatRow =
+        if (elem.isObject) {
+          // struct element: its own keys first, then _rid_/_index_ appended.
+          // A user key literally named _rid_/_index_ is overwritten by the
+          // synthetic columns (reference sets them on the dict before the
+          // walk), so skip them here.
+          val prefix = if (path.isEmpty) "" else s"$path$Delimiter"
+          var acc = VectorMap.empty[String, JValue]
+          elem.fields().asScala.foreach { e =>
+            if (e.getKey != IdCol && e.getKey != IndexCol)
+              walk(e.getValue, s"$prefix${e.getKey}").foreach { case (k, v) => acc = acc.updated(k, v) }
+          }
+          acc
+            .updated(s"$path$Delimiter$IdCol", JString(rid))
+            .updated(s"$path$Delimiter$IndexCol", JLong(idx.toLong))
+        } else {
+          // scalar or nested-array element: synthetic {_val_, _rid_, _index_}
+          val valCols = walk(elem, s"$path$Delimiter$ValCol")
+          valCols
+            .updated(s"$path$Delimiter$IdCol", JString(rid))
+            .updated(s"$path$Delimiter$IndexCol", JLong(idx.toLong))
+        }
+      base
+    }
+
+    val rootRow = walk(doc, "")
+    out += name -> rootRow
+    out.result()
+  }
+
+  /** Convenience: parse + relationalize a raw JSON line. */
+  def relationalizeLine(line: String, name: String, docKey: String): Vector[(String, FlatRow)] =
+    relationalize(Json.parse(line), name, docKey)
+}

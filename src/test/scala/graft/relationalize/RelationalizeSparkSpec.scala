@@ -1,0 +1,161 @@
+package graft.relationalize
+
+import graft.core._
+import graft.sources.{Sinks, Sources}
+import graft.streaming.StreamingRelationalize
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end Spark tests: the distributed pipeline (emit -> infer -> convert),
+  * the mock-LMS and README choice fixtures (FIXTURES.md §3-4), sinks, DDL,
+  * and the streaming variant.
+  */
+class RelationalizeSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ds(docs: String*) = Sources.fromIterable(spark, docs)
+
+  // single-line strings: these also serve as JSONL file content in the
+  // streaming test, where an embedded newline would split a document
+  private val lmsDocs = Seq(
+    """{"user_id": "u1", "created_at": 1700000000, "name": "A", "email": "a@x.com", "enrollments": [{"course_id": "c1", "timestamp": 1}, {"course_id": "c2", "timestamp": 2}]}""",
+    """{"user_id": "u2", "created_at": 1700000001, "name": "B", "email": "b@x.com", "enrollments": []}""")
+
+  test("mock LMS end-to-end: users + users_enrollments with rid join (FIXTURES.md §3)") {
+    val res = RelationalizeSpark(ds(lmsDocs: _*), "users")
+    assert(res.tables.keySet == Set("users", "users_enrollments"))
+
+    val users = res("users")
+    assert(users.columns.sorted.toSeq == Seq("created_at", "email", "enrollments", "name", "user_id"))
+    assert(users.count() == 2)
+    // empty array still mints a dangling rid
+    assert(users.filter(col("user_id") === "u2").select("enrollments").head().getString(0).startsWith("R_"))
+
+    val enr = res("users_enrollments")
+    assert(enr.columns.sorted.toSeq == Seq(
+      "enrollments__index_", "enrollments__rid_", "enrollments_course_id", "enrollments_timestamp"))
+    // rid referential integrity: join children back to u1
+    val joined = users.join(enr, users("enrollments") === enr("enrollments__rid_"))
+    assert(joined.count() == 2)
+    assert(joined.filter(col("user_id") === "u1").count() == 2)
+
+    // enrollments-per-user (the SURVEY §7 step-3 query)
+    val counts = users.join(enr, users("enrollments") === enr("enrollments__rid_"), "left_outer")
+      .groupBy(col("user_id")).agg(count(col("enrollments__rid_")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("u1" -> 2L, "u2" -> 0L))
+  }
+
+  test("README choice fixture: created_at int/str split, contact flatten, connections child") {
+    val docs = ds(
+      """{"id": 1, "created_at": "2021-01-01T00:00:00", "contact": {"email": "x@y.z"}, "connections": ["a", "b"]}""",
+      """{"id": 2, "created_at": 1609459200000, "contact": {"email": "q@r.s", "phone": "123"}, "connections": []}""")
+    val res = RelationalizeSpark(docs, "users")
+    val users = res("users")
+    assert(res.schemas("users").columns("created_at").repr == "c-int-str")
+    assert(users.columns.sorted.toSeq == Seq(
+      "connections", "contact_email", "contact_phone", "created_at_int", "created_at_str", "id"))
+    val r1 = users.filter(col("id") === 1).head()
+    assert(r1.getAs[String]("created_at_str") == "2021-01-01T00:00:00")
+    assert(r1.getAs[Any]("created_at_int") == null)
+    val r2 = users.filter(col("id") === 2).head()
+    assert(r2.getAs[Long]("created_at_int") == 1609459200000L)
+    assert(r2.getAs[Any]("contact_phone") == "123")
+    assert(res("users_connections").count() == 2)
+  }
+
+  test("distributed schema inference equals single-pass observation") {
+    val docs = (0 until 100).map(i =>
+      if (i % 3 == 0) s"""{"k": $i, "m": null}"""
+      else if (i % 3 == 1) s"""{"k": "s$i", "m": true}"""
+      else s"""{"k": $i.5}""")
+    val emitted = RelationalizeSpark.emit(ds(docs: _*).repartition(7), "t")
+    val inferred = RelationalizeSpark.inferSchemas(emitted)("t")
+    val local = docs.foldLeft(ChoiceSchema.empty)((s, d) => s.observe(Json.parseRow(d)))
+    assert(inferred.columns == local.columns)
+    assert(inferred.columns("k").repr == "c-float-int-str")
+    assert(inferred.columns("m").repr == "bool")
+  }
+
+  test("rids survive recomputation: join consistency without caching") {
+    val docs = (0 until 50).map(i => s"""{"id": $i, "xs": [${i}, ${i + 1}]}""")
+    val res = RelationalizeSpark(ds(docs: _*), "t")
+    val joined = res("t").join(res("t_xs"), col("xs") === col("xs__rid_"))
+    assert(joined.count() == 100) // every child row finds its parent
+  }
+
+  test("drop options applied to inferred schemas") {
+    val docs = ds("""{"ok": 1, "bad@col": 2, "OK": 3, "gone": null}""")
+    val res = RelationalizeSpark(docs, "t",
+      RelationalizeOptions(dropNullColumns = true, dropSpecialCharColumns = true,
+        dropDuplicateColumns = true))
+    // distributed inference canonicalizes column order (sorted), so
+    // keep-first-duplicate resolves against that canon: "OK" < "ok".
+    // (The reference's observation-order semantics hold only for the
+    // single-pass local ChoiceSchema — documented divergence.)
+    assert(res("t").columns.toSeq == Seq("OK"))
+  }
+
+  test("DDL generation for discovered tables (K5)") {
+    val res = RelationalizeSpark(ds(lmsDocs: _*), "users")
+    val ddl = res.ddl()("users_enrollments")
+    assert(ddl.contains("CREATE TABLE IF NOT EXISTS \"public\".\"users_enrollments\""))
+    assert(ddl.contains("\"enrollments_timestamp\" BIGINT"))
+    assert(ddl.contains("\"enrollments_course_id\" VARCHAR(65535)"))
+  }
+
+  test("materialized path: partitionBy(table) write + pruned read-back") {
+    val tmp = Files.createTempDirectory("graft-mat").toString
+    val res = RelationalizeSpark(ds(lmsDocs: _*), "users",
+      RelationalizeOptions(materializePath = Some(s"$tmp/emitted")))
+    assert(res("users").count() == 2)
+    assert(res("users_enrollments").count() == 2)
+  }
+
+  test("sinks: jsonl round-trip, csv header, NaN scrub (K1/K4/K8)") {
+    val tmp = Files.createTempDirectory("graft-sink").toString
+    val res = RelationalizeSpark(ds(lmsDocs: _*), "users")
+    Sinks.jsonl(res("users"), s"$tmp/users_json")
+    assert(spark.read.json(s"$tmp/users_json").count() == 2)
+    Sinks.csv(res("users_enrollments"), s"$tmp/enr_csv")
+    val back = spark.read.option("header", "true").csv(s"$tmp/enr_csv")
+    assert(back.columns.sorted.toSeq == Seq(
+      "enrollments__index_", "enrollments__rid_", "enrollments_course_id", "enrollments_timestamp"))
+    import spark.implicits._
+    val scrubbed = Sinks.scrubNaN(Seq((1, Double.NaN), (2, 1.5)).toDF("id", "v"))
+    assert(scrubbed.filter(col("v").isNull).count() == 1)
+  }
+
+  test("streaming: availableNow file stream relationalizes to parquet tables") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/part0.jsonl"), lmsDocs.mkString("\n"))
+    val lines = spark.readStream.textFile(inDir)
+    val q = StreamingRelationalize.runToParquet(lines, "users", s"$tmp/out", s"$tmp/ckpt")
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$tmp/out/users").count() == 2)
+    assert(spark.read.parquet(s"$tmp/out/users_enrollments").count() == 2)
+  }
+
+  test("streaming: frozen-schema convert rejects out-of-choice values at execution") {
+    val schemas = Map("t" -> ChoiceSchema.empty.observe(Json.parseRow("""{"v": 1}""")))
+    // batch-mode toDataFrame with frozen schema: a str value for an int column throws
+    val emitted = RelationalizeSpark.emit(ds("""{"v": "oops"}"""), "t")
+    val df = RelationalizeSpark.toDataFrame(emitted, "t", schemas("t"))
+    assertThrows[org.apache.spark.SparkException](df.collect())
+  }
+}
