@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the catalog queries must produce the plans we
+  * designed for scale — parquet pushdown + pruning, broadcast joins on dims,
+  * map-side partial aggregation, whole-stage codegen. These are the
+  * properties that survive a 100x scale-up; the specs pin them against
+  * regressions.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // AQE finalizes the plan only after execution
+    df.queryExecution.executedPlan
+  }
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    executedPlan(df).toString
+
+  test("filter+project pushes predicates and prunes columns at the parquet scan") {
+    val p = planString(RelationalQueries.filterProject(spark, dir))
+    // (the PushedFilters list is truncated in toString — match the prefix)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), s"no pushdown in:\n$p")
+    // pruned read schema: only the 6 referenced columns, not all 11
+    assert(!p.contains("l_returnflag"), s"column pruning failed:\n$p")
+  }
+
+  test("star join broadcasts the dimension tables") {
+    val p = planString(RelationalQueries.joinStar(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("groupBy aggregation is partial (map-side) then final") {
+    val p = planString(RelationalQueries.aggPricingSummary(spark, dir))
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, plan:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial aggregation in:\n$p")
+    // codegen spans render as "*(n)" stage markers in the executed plan
+    assert(p.contains("*(1)"), s"no whole-stage codegen span in:\n$p")
+  }
+
+  test("semi/anti joins plan as join strategies, not subquery re-execution") {
+    val semi = planString(RelationalQueries.semiJoin(spark, dir))
+    assert(semi.contains("LeftSemi"), s"no semi join in:\n$semi")
+    val anti = planString(RelationalQueries.antiJoin(spark, dir))
+    assert(anti.contains("LeftAnti"), s"no anti join in:\n$anti")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = planString(RelationalQueries.topK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not optimized:\n$p")
+  }
+
+  test("relationalize schema inference shuffles only aggregated schema maps") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, dir, "events")
+      .selectExpr("concat('{\"event_id\":', event_id, ',\"props\":', props, '}') AS doc")
+      .select(col("doc")).as(org.apache.spark.sql.Encoders.STRING)
+    val emitted = graft.relationalize.RelationalizeSpark.emit(docs, "events")
+    val agg = emitted.groupBy(col("table"))
+      .agg(org.apache.spark.sql.functions.udaf(
+        new graft.relationalize.RelationalizeSpark.SchemaAggregator).apply(col("payload")))
+    val p = planString(agg)
+    // ObjectHashAggregate with partial_schemaaggregator proves map-side combine
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("partial_"), s"no partial aggregation before shuffle:\n$p")
+  }
+}
