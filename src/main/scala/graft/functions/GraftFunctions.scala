@@ -1,0 +1,125 @@
+package graft.functions
+
+import graft.core.Json
+import graft.relationalize.Relationalizer
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions exposing the engine in SQL.
+  *
+  * Preference order honored (SURVEY §4): these are (b)-tier custom
+  * `Expression`s — the whole-operator semantics stay in stock Spark plans.
+  */
+object GraftFunctions {
+
+  /** Register all engine functions on a session (idempotent). */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "relationalize",
+      exprs => RelationalizeGenerator(exprs.head,
+        exprs.lift(1).map(foldableString(_, "relationalize name")).getOrElse("t")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash60", exprs => Hash60(exprs.head), "built-in")
+  }
+
+  private def foldableString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  /** Column-API surface (requires [[registerAll]] on the session first —
+    * Spark 4 no longer exposes a public Expression -> Column constructor).
+    */
+  def relationalize(json: Column, name: String): Column =
+    org.apache.spark.sql.functions.call_function("relationalize", json,
+      org.apache.spark.sql.functions.lit(name))
+  def hash60(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("hash60", c)
+}
+
+/** Table-valued relationalize: one JSON document in, `(table, payload)` rows
+  * out — the full flatten/explode transform as a SQL generator, usable as
+  * `SELECT r.* FROM docs LATERAL VIEW relationalize(doc, 'events') r`.
+  *
+  * Rid determinism: stateful per-task (partitionId, ordinal) like
+  * `monotonically_increasing_id` — the expression is deserialized fresh per
+  * task, so the transient ordinal restarts with the task and document keys
+  * match the mapPartitions pipeline's. Marked non-deterministic so Catalyst
+  * never collapses, reorders, or re-executes it. (`Nondeterministic` itself
+  * clashes with `Generator.eval`'s signature, hence the manual state.)
+  */
+case class RelationalizeGenerator(child: Expression, name: String)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override lazy val deterministic: Boolean = false
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"relationalize expects a JSON string column, got ${child.dataType.catalogString}")
+
+  @transient private var ordinal: Long = 0L // restarts at 0 in each task
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val raw = child.eval(input)
+    if (raw == null) Nil
+    else {
+      val docKey = s"${TaskContext.getPartitionId()}:$ordinal"
+      ordinal += 1
+      Relationalizer.relationalizeLine(raw.asInstanceOf[UTF8String].toString, name, docKey)
+        .map { case (table, row) =>
+          InternalRow(UTF8String.fromString(table), UTF8String.fromString(Json.writeRow(row)))
+        }
+    }
+  }
+
+  override def prettyName: String = "relationalize"
+  override protected def withNewChildInternal(newChild: Expression): RelationalizeGenerator =
+    copy(child = newChild)
+}
+
+/** Portable 60-bit hash: the first 15 hex digits of md5(utf8) as a BIGINT —
+  * bit-identical to DuckDB's `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`.
+  * Implements `doGenCode` so it stays inside whole-stage codegen (the dedup
+  * signature path evaluates it per shingle).
+  */
+case class Hash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hash60 expects string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any = Hash60.eval(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash60.eval($c)")
+
+  override def prettyName: String = "hash60"
+  override protected def withNewChildInternal(newChild: Expression): Hash60 = copy(child = newChild)
+}
+
+object Hash60 {
+  /** static entry shared by interpreted + generated code */
+  def eval(s: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes)
+    // first 15 hex digits = first 7 bytes + high nibble of the 8th
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+}

@@ -24,9 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** Portable 60-bit hash of a string expression (same value in DuckDB). */
-  private def h(sqlExpr: String): String =
-    s"CAST(conv(substring(md5(CAST($sqlExpr AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+  /** Portable 60-bit hash of a string expression (same value in DuckDB's
+    * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`): the custom codegen'd
+    * [[graft.functions.Hash60]] expression — one digest, no hex-string
+    * round-trip, stays inside whole-stage codegen. Callers must
+    * [[graft.functions.GraftFunctions.registerAll]] first.
+    */
+  private def h(sqlExpr: String): String = s"hash60($sqlExpr)"
 
   private val P = 1000000007L // modulus: keeps a*h'+b under 2^63
   /** Deterministic per-hash-function coefficients (i = 0..31). */
@@ -84,6 +88,7 @@ object DedupQueries {
     * enough to oracle-check the signature math).
     */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     // hash each shingle ONCE (md5 dominates the cost), then derive every
     // signature from the precomputed hash array
     val sigCols = (0 until 8).map { i =>
@@ -101,6 +106,7 @@ object DedupQueries {
     * (2 * 5 * inter >= 2 * union via integers).
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     // hash each shingle once; all 32 signature rows derive from `hs`.
     // The persist() is a hard barrier: without it CollapseProject inlines the
     // `hs` alias into all 32 signature expressions and again into the 8 band
@@ -137,6 +143,7 @@ object DedupQueries {
     * (2*bit_j(h(token)) - 1) over token *occurrences*.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     val sig = "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + " +
       s"CASE WHEN aggregate(ths, CAST(0 AS BIGINT), " +
       s"(c, x) -> c + 2L * pmod(CAST(floor(x / power(2, j)) AS BIGINT), 2L) - 1L) > 0 " +

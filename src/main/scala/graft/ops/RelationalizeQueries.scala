@@ -79,7 +79,22 @@ object RelationalizeQueries {
     res.ddl().toSeq.map { case (t, d) => (t, d) }.toDF("table_name", "ddl").orderBy("table_name")
   }
 
+  /** The relationalize transform as a SQL generator (custom Catalyst
+    * expression): LATERAL VIEW over constructed docs; the oracle rebuilds the
+    * exact flat-row payload string.
+    */
+  def relSqlGenerator(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Tables(spark, dir, "events")
+      .selectExpr("concat('{\"event_id\":', event_id, ',\"props\":', props, '}') AS doc")
+      .createOrReplaceTempView("rel_gen_docs")
+    spark.sql(
+      """SELECT r.tbl AS table_name, r.payload
+        |FROM rel_gen_docs LATERAL VIEW relationalize(doc, 'events') r AS tbl, payload""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_sql_generator" -> relSqlGenerator,
     "rel_flat" -> relFlat,
     "rel_explode" -> relExplode,
     "rel_choice" -> relChoice,
@@ -88,6 +103,10 @@ object RelationalizeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_sql_generator" ->
+      """SELECT 'events' AS table_name,
+        |  '{"event_id":' || event_id || ',"props_k":' || CAST(json_extract_string(props, '$.k') AS BIGINT) || '}' AS payload
+        |FROM events""".stripMargin,
     "rel_flat" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
         |FROM events""".stripMargin,
