@@ -269,6 +269,43 @@ object RelationalQueries {
           .otherwise("high").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  /** Sample variance/stddev derived from exact decimal sums — identical
+    * doubles on both engines regardless of accumulation order.
+    */
+  def aggVariance(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        sum(dec(col("c_acctbal"))).cast("double").as("s1"),
+        sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).cast("double").as("s2"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("c_nationkey"), col("n"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("var_samp"))
+
+  def jsonFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_extracted"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k_struct"))
+
+  def regexpFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_type"), "[aeiou]", "").as("devoweled"),
+        col("p_name").rlike("^[a-m]").cast("int").as("starts_early"))
+
+  def nullFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("SUPPRESSED")).as("seg"),
+        greatest(col("c_acctbal"), lit(0.0)).as("pos_bal"),
+        least(col("c_acctbal"), lit(1000.0)).as("capped_bal"),
+        col("c_acctbal").isNull.cast("int").as("is_null"))
+
   // --- pivot / conditional aggregation ---------------------------------
 
   def pivotEvents(s: SparkSession, dir: String): DataFrame =
@@ -323,6 +360,10 @@ object RelationalQueries {
     "q_case_expr" -> caseExpr,
     "q_pivot" -> pivotEvents,
     "q_sessionize" -> sessionize,
+    "q_agg_variance" -> aggVariance,
+    "q_json_funcs" -> jsonFuncs,
+    "q_regexp_funcs" -> regexpFuncs,
+    "q_null_funcs" -> nullFuncs,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -477,6 +518,31 @@ object RelationalQueries {
         |  COUNT(1) FILTER (WHERE event_type = 'signup') AS signup,
         |  COUNT(1) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_agg_variance" ->
+      """SELECT c_nationkey, n, (s2 - s1 * s1 / n) / (n - 1) AS var_samp FROM (
+        |  SELECT c_nationkey,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+        |    COUNT(1) AS n
+        |  FROM customer GROUP BY c_nationkey) t WHERE n > 1""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_extracted,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_struct
+        |FROM events""".stripMargin,
+    "q_regexp_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  regexp_replace(p_type, '[aeiou]', '', 'g') AS devoweled,
+        |  CAST(regexp_matches(p_name, '^[a-m]') AS INT) AS starts_early
+        |FROM part""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT c_custkey,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS seg,
+        |  GREATEST(c_acctbal, 0.0) AS pos_bal,
+        |  LEAST(c_acctbal, 1000.0) AS capped_bal,
+        |  CAST(c_acctbal IS NULL AS INT) AS is_null
+        |FROM customer""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(1) AS n_events FROM (
         |  SELECT user_id,

@@ -41,6 +41,15 @@ object Sinks {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** K6: warehouse load via JDBC — DROP/CREATE (from the choice-schema DDL)
+    * then batched insert, the Spark shape of the reference's
+    * DROP -> CREATE -> COPY pipeline. Untested here (no JDBC driver in the
+    * environment); the DDL side is covered by ChoiceSchemaSpec.
+    */
+  def jdbc(df: DataFrame, url: String, table: String,
+           props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+
   /** K8: NaN/Infinity scrub — the reference serializes them as JSON null
     * (`simplejson ignore_nan`); apply before any JSON sink.
     */

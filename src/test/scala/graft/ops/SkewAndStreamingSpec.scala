@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Scale-path specs: salted skew join equivalence, and the Structured
+  * Streaming operator surface (tumbling windows + watermark) over the events
+  * shape.
+  */
+class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("salted join equals plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 90% of the large side hits one hot key
+    val large = (0 until 2000).map(i => (if (i % 10 == 0) i % 7 else 1, s"row$i")).toDF("k", "v")
+    val small = (0 until 7).map(i => (i, s"dim$i")).toDF("k", "d")
+    val plain = large.join(small, Seq("k")).select("k", "v", "d")
+    val salted = SkewJoin.saltedInnerJoin(large, small, "k").select("k", "v", "d")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("hot-key observation finds the dominant key") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (if (i % 5 == 0) i % 3 else 99, i)).toDF("k", "v")
+    val top = SkewJoin.hotKeys(df, "k", 1).collect()
+    assert(top.head.getInt(0) == 99)
+  }
+
+  test("streaming tumbling-window aggregation with watermark over events JSONL") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-swin").toString
+    val rows = (0 until 120).map { i =>
+      val minute = i / 10
+      f"""{"user_id": ${i % 3}, "ts": "2024-01-01T00:$minute%02d:${i % 10 * 5}%02d.000Z", "value": 1.0}"""
+    }
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/events.jsonl"), rows.mkString("\n"))
+
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema).json(s"$tmp/in")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .format("memory").queryName("win_counts").outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val got = spark.table("win_counts")
+      .select(col("window.start").cast("string").as("w"), col("user_id"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // batch equivalent
+    val expected = spark.read.schema(schema).json(s"$tmp/in")
+      .groupBy(window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string"), col("user_id"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+}
