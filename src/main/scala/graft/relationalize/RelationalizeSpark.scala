@@ -66,6 +66,11 @@ final case class RelationalizeResult(
   */
 object RelationalizeSpark {
 
+  /** Marker prefix distinguishing per-partition schema rows from data rows
+    * in the fused emit (a control character never appears in table names).
+    */
+  val SchemaMarker = "\u0001"
+
   /** Pass-1 transform: raw JSON lines -> emitted (table, flatRow) pairs. */
   def emit(ds: Dataset[String], name: String): Dataset[Emitted] = {
     implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
@@ -80,6 +85,48 @@ object RelationalizeSpark {
       }
     }
   }
+
+  /** Fused pass-1: like [[emit]], but each partition also observes every flat
+    * row into a local choice schema *before* serialization (the reference's
+    * `on_object_write` fusion, `relationalize.py:63`) and appends one
+    * marker row per discovered table at partition end. Schema inference then
+    * costs a collect of (partitions x tables) tiny rows — no second parse of
+    * any payload, no aggregation job over the data.
+    */
+  def emitWithSchemas(ds: Dataset[String], name: String): Dataset[Emitted] = {
+    implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
+    ds.mapPartitions { iter =>
+      val pid = TaskContext.getPartitionId()
+      var ordinal = -1L
+      val localSchemas = scala.collection.mutable.Map.empty[String, ChoiceSchema]
+      val dataRows = iter.flatMap { line =>
+        ordinal += 1
+        Relationalizer.relationalizeLine(line, name, s"$pid:$ordinal").iterator.map {
+          case (table, row) =>
+            localSchemas.update(table,
+              localSchemas.getOrElse(table, ChoiceSchema.empty).observe(row))
+            Emitted(table, Json.writeRow(row))
+        }
+      }
+      // the trailing flatMap is only evaluated after dataRows is exhausted,
+      // so localSchemas is complete by then
+      dataRows ++ Iterator.single(()).flatMap { _ =>
+        localSchemas.iterator.map { case (t, sch) =>
+          Emitted(s"$SchemaMarker$t", sch.serialize)
+        }
+      }
+    }
+  }
+
+  /** Collect + merge the per-partition schema marker rows of a fused emit. */
+  def collectSchemas(emitted: Dataset[Emitted]): Map[String, ChoiceSchema] =
+    emitted.filter(col("table").startsWith(SchemaMarker))
+      .collect()
+      .groupBy(_.table.stripPrefix(SchemaMarker))
+      .map { case (t, rows) =>
+        t -> rows.map(r => ChoiceSchema.deserialize(r.payload))
+          .reduce(_.merge(_))
+      }
 
   /** Choice-schema inference as a typed aggregate: buffer = column -> type
     * repr; merge = the lattice merge. Usable via `groupBy(...).agg(...)`,
@@ -175,13 +222,13 @@ object RelationalizeSpark {
     val spark = ds.sparkSession
     val emittedSource: Dataset[Emitted] = options.materializePath match {
       case Some(path) =>
-        emit(ds, name).write.mode(SaveMode.Overwrite).partitionBy("table").parquet(path)
+        emitWithSchemas(ds, name).write.mode(SaveMode.Overwrite).partitionBy("table").parquet(path)
         implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
         spark.read.parquet(path).select(col("table").cast(StringType), col("payload")).as[Emitted]
       case None =>
-        emit(ds, name).persist(StorageLevel.MEMORY_AND_DISK)
+        emitWithSchemas(ds, name).persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val raw = inferSchemas(emittedSource)
+    val raw = collectSchemas(emittedSource)
     val schemas = raw.map { case (t, s0) =>
       var s = s0
       if (options.dropNullColumns) s = s.dropNullColumns._1

@@ -102,11 +102,10 @@ class RelationalizeSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = RelationalizeSpark(docs, "t",
       RelationalizeOptions(dropNullColumns = true, dropSpecialCharColumns = true,
         dropDuplicateColumns = true))
-    // distributed inference canonicalizes column order (sorted), so
-    // keep-first-duplicate resolves against that canon: "OK" < "ok".
-    // (The reference's observation-order semantics hold only for the
-    // single-pass local ChoiceSchema — documented divergence.)
-    assert(res("t").columns.toSeq == Seq("OK"))
+    // the fused emit preserves observation order within a partition (merged
+    // in partition-index order), so keep-first-duplicate matches the
+    // reference's semantics: "ok" was observed before "OK"
+    assert(res("t").columns.toSeq == Seq("ok"))
   }
 
   test("DDL generation for discovered tables (K5)") {
