@@ -137,6 +137,27 @@ object DedupQueries {
       .filter(col("inter") * 5 >= col("union_sz"))
   }
 
+  // --- embedding-cosine near-dup ---------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs, blocked by label (the coarse
+    * cluster id): pairs with cosine >= 0.4 in the same block. Only the pair
+    * ids are output — raw similarity doubles differ in the last bit between
+    * engines (different accumulation grouping), the 0.4 decision does not.
+    */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+    val normA = "sqrt(aggregate(zip_with(a.v, a.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p))"
+    val normB = "sqrt(aggregate(zip_with(b.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p))"
+    val e = Tables(s, dir, "embeddings")
+      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b", "a.label AS label",
+        s"$dot / ($normA * $normB) AS sim")
+      .filter(col("sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("label"))
+  }
+
   // --- SimHash ----------------------------------------------------------
 
   /** 32-bit SimHash signature per document: bit j is the sign of the sum of
@@ -171,6 +192,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
+    "dedup_embedding" -> dedupEmbedding,
   )
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -235,6 +257,12 @@ object DedupQueries {
          |      t -> 2 * (CAST(floor((${duckH("t")} % ${P}) / power(2, j)) AS BIGINT) % 2) - 1)) > 0
          |    THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM documents""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH sigs AS (
          |  SELECT doc_id, lang,

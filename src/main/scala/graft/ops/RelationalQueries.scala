@@ -230,6 +230,17 @@ object RelationalQueries {
     Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
       .except(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
 
+  /** Multiset semantics: per-occurrence set ops. */
+  def exceptAllKeys(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .exceptAll(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("cnt"))
+
+  def intersectAllKeys(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersectAll(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("cnt"))
+
   // --- scalar functions -------------------------------------------------
 
   def stringFuncs(s: SparkSession, dir: String): DataFrame =
@@ -354,6 +365,8 @@ object RelationalQueries {
     "q_union" -> unionAll,
     "q_intersect" -> intersectKeys,
     "q_except" -> exceptKeys,
+    "q_except_all" -> exceptAllKeys,
+    "q_intersect_all" -> intersectAllKeys,
     "q_string_funcs" -> stringFuncs,
     "q_date_funcs" -> dateFuncs,
     "q_math_funcs" -> mathFuncs,
@@ -479,6 +492,16 @@ object RelationalQueries {
       "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
     "q_except" ->
       "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+    "q_except_all" ->
+      """SELECT nationkey, COUNT(1) AS cnt FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier) t
+        |GROUP BY nationkey""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT nationkey, COUNT(1) AS cnt FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier) t
+        |GROUP BY nationkey""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey,
         |  UPPER(SUBSTRING(p_name, 1, 10)) AS up10,

@@ -19,7 +19,9 @@ object TextQueries {
       s"size($toks) AS n_tokens",
       s"size(array_distinct($toks)) AS n_distinct_tokens",
       "length(text) AS n_chars_computed",
-      s"CAST(aggregate($toks, 0L, (acc, t) -> acc + length(t)) AS BIGINT) AS total_token_chars")
+      s"CAST(aggregate($toks, 0L, (acc, t) -> acc + length(t)) AS BIGINT) AS total_token_chars",
+      // BPE-ish token estimate: ~1 piece per 4 chars per word, exact-integer
+      s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS est_bpe_tokens")
 
   /** Quality signals: exact integer counts (length, digits, punctuation,
     * stopwords) plus a coarse quality bucket.
@@ -76,7 +78,8 @@ object TextQueries {
          |  CAST(len($duckToks) AS INT) AS n_tokens,
          |  CAST(len(list_distinct($duckToks)) AS INT) AS n_distinct_tokens,
          |  CAST(length(text) AS INT) AS n_chars_computed,
-         |  CAST(list_sum(list_transform($duckToks, t -> length(t))) AS BIGINT) AS total_token_chars
+         |  CAST(list_sum(list_transform($duckToks, t -> length(t))) AS BIGINT) AS total_token_chars,
+         |  CAST(list_sum(list_transform($duckToks, t -> (length(t) + 3) // 4)) AS BIGINT) AS est_bpe_tokens
          |FROM documents""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id, n_chars, n_tokens, n_stop, n_digits, n_punct,

@@ -77,4 +77,48 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected && got.nonEmpty)
   }
+
+  test("stateful streaming: flatMapGroupsWithState running count across micro-batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-state").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    // two files + maxFilesPerTrigger=1 => two micro-batches; state must carry over
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b0.jsonl"),
+      Seq("""{"user_id": 1}""", """{"user_id": 2}""", """{"user_id": 1}""").mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b1.jsonl"),
+      Seq("""{"user_id": 1}""", """{"user_id": 2}""").mkString("\n"))
+
+    val schema = StructType(Seq(StructField("user_id", LongType)))
+    val counts = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(s"$tmp/in")
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + events.size
+          state.update(total)
+          Iterator.single((user, total))
+      }
+    val q = counts.toDF("user_id", "running")
+      .writeStream.format("memory").queryName("state_counts").outputMode("update")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // last update per user reflects the cumulative count across both batches
+    val finalCounts = spark.table("state_counts")
+      .groupBy(col("user_id")).agg(max(col("running")).as("running"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == Map(1L -> 3L, 2L -> 2L))
+  }
+
+  test("gzip JSONL sink round-trip (K3)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-gz").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    graft.sources.Sinks.jsonl(df, s"$tmp/out", compression = Some("gzip"))
+    val files = new java.io.File(s"$tmp/out").listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+    assert(spark.read.json(s"$tmp/out").count() == 2)
+  }
 }
