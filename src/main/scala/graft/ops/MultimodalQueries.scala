@@ -74,10 +74,27 @@ object MultimodalQueries {
           "i -> CAST(substring(media, i * 64 + 1, 1) AS STRING)))")
       .selectExpr("doc_id", "pos AS frame_idx", "col AS frame_stub")
 
+  /** Resize shape: deterministic stub downsample of the binary payload (every
+    * 4th byte) — the transform a real image resize would slot into, with the
+    * output stored back as a binary column plus its new "dimensions".
+    */
+  def resizeStub(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS media")
+      .selectExpr("doc_id",
+        "octet_length(media) AS orig_bytes",
+        // STUB decode+resize: subsample every 4th byte via substr positions
+        "CAST(concat_ws('', transform(sequence(1, octet_length(media), 4), " +
+          "i -> CAST(substring(media, i, 1) AS STRING))) AS BINARY) AS resized")
+      .selectExpr("doc_id", "orig_bytes",
+        "octet_length(resized) AS resized_bytes",
+        "md5(resized) AS resized_hash")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mediaMeta,
     "mm_features" -> mediaFeatures,
     "mm_frames" -> frameSample,
+    "mm_resize" -> resizeStub,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -94,6 +111,16 @@ object MultimodalQueries {
         |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels,
         |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS INT) AS n_spaces
         |FROM documents""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS orig_bytes,
+        |  CAST(len(resized) AS INT) AS resized_bytes,
+        |  md5(resized) AS resized_hash
+        |FROM (
+        |  SELECT doc_id, text,
+        |    array_to_string(list_transform(range(1, length(text) + 1, 4),
+        |      i -> substr(text, CAST(i AS INT), 1)), '') AS resized
+        |  FROM documents) t""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id,
         |  CAST(i AS INT) AS frame_idx,

@@ -80,29 +80,28 @@ object Relationalizer {
     }
 
     def elementRow(elem: JsonNode, rid: String, idx: Int, path: String): FlatRow = {
-      val base: FlatRow =
-        if (elem.isObject) {
-          // struct element: its own keys first, then _rid_/_index_ appended.
-          // A user key literally named _rid_/_index_ is overwritten by the
-          // synthetic columns (reference sets them on the dict before the
-          // walk), so skip them here.
-          val prefix = if (path.isEmpty) "" else s"$path$Delimiter"
-          var acc = VectorMap.empty[String, JValue]
-          elem.fields().asScala.foreach { e =>
-            if (e.getKey != IdCol && e.getKey != IndexCol)
-              walk(e.getValue, s"$prefix${e.getKey}").foreach { case (k, v) => acc = acc.updated(k, v) }
-          }
-          acc
-            .updated(s"$path$Delimiter$IdCol", JString(rid))
-            .updated(s"$path$Delimiter$IndexCol", JLong(idx.toLong))
-        } else {
-          // scalar or nested-array element: synthetic {_val_, _rid_, _index_}
-          val valCols = walk(elem, s"$path$Delimiter$ValCol")
-          valCols
-            .updated(s"$path$Delimiter$IdCol", JString(rid))
-            .updated(s"$path$Delimiter$IndexCol", JLong(idx.toLong))
+      // same empty-path prefix rule as the dict branch: a root-level array
+      // (path "") yields bare _val_/_rid_/_index_ keys, per the reference
+      val prefix = if (path.isEmpty) "" else s"$path$Delimiter"
+      if (elem.isObject) {
+        // struct element: its own keys first, then _rid_/_index_ appended.
+        // A user key literally named _rid_/_index_ is overwritten by the
+        // synthetic columns (reference sets them on the dict before the
+        // walk), so skip them here.
+        var acc = VectorMap.empty[String, JValue]
+        elem.fields().asScala.foreach { e =>
+          if (e.getKey != IdCol && e.getKey != IndexCol)
+            walk(e.getValue, s"$prefix${e.getKey}").foreach { case (k, v) => acc = acc.updated(k, v) }
         }
-      base
+        acc
+          .updated(s"$prefix$IdCol", JString(rid))
+          .updated(s"$prefix$IndexCol", JLong(idx.toLong))
+      } else {
+        // scalar or nested-array element: synthetic {_val_, _rid_, _index_}
+        walk(elem, s"$prefix$ValCol")
+          .updated(s"$prefix$IdCol", JString(rid))
+          .updated(s"$prefix$IndexCol", JLong(idx.toLong))
+      }
     }
 
     val rootRow = walk(doc, "")

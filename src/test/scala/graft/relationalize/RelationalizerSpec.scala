@@ -114,6 +114,15 @@ class RelationalizerSpec extends AnyFunSuite {
     assert(t2("t") == Vector(Map("a_b" -> JLong(1))))
   }
 
+  test("root-level array: children land in table name + '_' (empty path), parent row has empty-string key") {
+    // reference behavior: path "" + is_sub naming => identifier f"{name}_{''}"
+    val t = run("""[1, 2]""")
+    assert(t.keySet == Set("t", "t_"))
+    assert(t("t_").map(_.apply("_val_")) == Vector(JLong(1), JLong(2)))
+    assert(t("t_").map(_.apply("_index_")) == Vector(JLong(0), JLong(1)))
+    ridOf(t("t").head(""))
+  }
+
   test("rids are deterministic in docKey and distinct across docs") {
     val a = Relationalizer.relationalizeLine("""{"x": [1]}""", "t", "k1")
     val b = Relationalizer.relationalizeLine("""{"x": [1]}""", "t", "k1")
