@@ -98,6 +98,13 @@ class ChoiceSchemaSpec extends AnyFunSuite {
         |);""".stripMargin)
   }
 
+  test("DDL with DuckDB dialect") {
+    val s = ChoiceSchema.empty.observe(row("x" -> JDouble(1.5), "y" -> JString("a")))
+    val ddl = s.generateDdl("t", "main", DuckDbDialect)
+    assert(ddl.contains("\"x\" DOUBLE") && ddl.contains("\"y\" VARCHAR"))
+    assert(ddl.startsWith("CREATE TABLE IF NOT EXISTS \"main\".\"t\""))
+  }
+
   test("drop null columns") {
     val s = ChoiceSchema.empty.observe(row("a" -> JNull, "b" -> JLong(1)))
     val (s2, n) = s.dropNullColumns

@@ -66,6 +66,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), s"top-k not optimized:\n$p")
   }
 
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    import org.apache.spark.sql.functions.col
+    // default warehouse dir (./spark-warehouse, gitignored) — warehouse.dir
+    // is a static conf and cannot be set per-test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      Tables(spark, dir, "orders")
+        .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_bkt")
+      Tables(spark, dir, "lineitem")
+        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("lineitem_bkt")
+      val joined = spark.table("lineitem_bkt")
+        .join(spark.table("orders_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      val p = planString(joined)
+      // both sides read pre-bucketed: the join itself needs no shuffle
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+        s"join still shuffles the bucketed fact side:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(joined.collect().nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("relationalize schema inference shuffles only aggregated schema maps") {
     import org.apache.spark.sql.functions.col
     val docs = Tables(spark, dir, "events")
