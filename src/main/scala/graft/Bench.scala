@@ -42,6 +42,7 @@ object Bench {
 
     val catalog = SparkEntry.queries
     val results = headline.filter(catalog.contains).map { name =>
+      spark.catalog.clearCache() // isolate queries: no cross-query cache leaks
       val t0 = System.nanoTime()
       try catalog(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
