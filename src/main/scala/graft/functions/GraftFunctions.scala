@@ -112,9 +112,15 @@ case class Hash60(child: Expression) extends UnaryExpression {
 }
 
 object Hash60 {
+  // MessageDigest.getInstance does a provider lookup per call — measurable at
+  // hundreds of thousands of shingles per partition; reuse per thread
+  private val localMd: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   /** static entry shared by interpreted + generated code */
   def eval(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
+    md.reset()
     val d = md.digest(s.getBytes)
     // first 15 hex digits = first 7 bytes + high nibble of the 8th
     var acc = 0L

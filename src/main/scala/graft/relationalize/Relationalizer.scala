@@ -39,6 +39,10 @@ object Relationalizer {
 
   type FlatRow = VectorMap[String, JValue]
 
+  // per-thread digest: getInstance per rid is a provider lookup per array
+  private val localMd: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** Relationalize one parsed document.
     *
     * @param doc    the JSON document (normally an object)
@@ -52,7 +56,8 @@ object Relationalizer {
     var ridOrdinal = 0
 
     def nextRid(): String = {
-      val md = MessageDigest.getInstance("MD5")
+      val md = Relationalizer.localMd.get()
+      md.reset()
       md.update(docKey.getBytes(StandardCharsets.UTF_8))
       md.update(':'.toByte)
       md.update(ridOrdinal.toString.getBytes(StandardCharsets.UTF_8))
