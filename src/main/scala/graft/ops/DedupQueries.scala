@@ -87,15 +87,30 @@ object DedupQueries {
   /** Per-doc MinHash signatures (first 8 of the 32 hash functions exposed;
     * enough to oracle-check the signature math).
     */
+  /** Tokenized docs behind a persist barrier. Inside a `transform` lambda an
+    * outer expression like `element_at(split(...), i)` re-evaluates the full
+    * regex split PER ELEMENT (the alias is inlined by CollapseProject), so
+    * shingle construction must read tokens from a materialized attribute.
+    */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val shsFromTks =
+      "CASE WHEN size(tks) < 3 THEN CAST(array() AS ARRAY<STRING>) ELSE " +
+        "array_distinct(transform(sequence(1, size(tks) - 2), " +
+        "i -> concat_ws(' ', element_at(tks, i), element_at(tks, i + 1), element_at(tks, i + 2)))) END"
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", s"$toks AS tks")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .selectExpr("doc_id", s"$shsFromTks AS shs")
+  }
+
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    // hash each shingle ONCE (md5 dominates the cost), then derive every
-    // signature from the precomputed hash array
+    // hash each shingle ONCE, then derive every signature from the hash array
     val sigCols = (0 until 8).map { i =>
       s"array_min(transform(hs, x -> pmod(${aCoef(i)}L * x + ${bCoef(i)}L, ${P}L))) AS mh_$i"
     }
-    Tables(s, dir, "documents")
-      .selectExpr("doc_id", s"transform($shingles, sh -> pmod(${h("sh")}, ${P}L)) AS hs")
+    shingled(s, dir)
+      .selectExpr("doc_id", s"transform(shs, sh -> pmod(${h("sh")}, ${P}L)) AS hs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // barrier: md5 once, not 8x
       .selectExpr("doc_id" +: sigCols: _*)
   }
@@ -107,27 +122,31 @@ object DedupQueries {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    // hash each shingle once; all 32 signature rows derive from `hs`.
-    // The persist() is a hard barrier: without it CollapseProject inlines the
-    // `hs` alias into all 32 signature expressions and again into the 8 band
-    // expressions, recomputing md5 ~256x per shingle (~30x slower end-to-end).
-    val mhArray = "transform(sequence(0, 31), " +
-      s"i -> array_min(transform(hs, x -> pmod((2L * i + 1L) * x + 10007L * (i + 1L), ${P}L))))"
-    val hashed = Tables(s, dir, "documents")
-      .selectExpr("doc_id", s"$shingles AS shs")
-      .selectExpr("doc_id", "shs", s"transform(shs, sh -> pmod(${h("sh")}, ${P}L)) AS hs")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docs = hashed.selectExpr("doc_id", "shs", s"$mhArray AS mhs")
-    val bands = docs.selectExpr("doc_id",
-      "posexplode(transform(sequence(0, 7), b -> array_join(transform(slice(mhs, 4 * b + 1, 4), x -> CAST(x AS STRING)), ',')))")
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    // Signatures in long format: explode shingles, hash once (codegen'd
+    // Hash60), then ONE partial-aggregated groupBy computing all 32 minima --
+    // no interpreted higher-order lambdas in the hot path, and the shuffle
+    // carries only (doc_id, 32 longs) after map-side combine. Docs with no
+    // shingles drop out, which is correct here: they cannot be candidates.
+    val docs = shingled(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = docs
+      .selectExpr("doc_id", "explode(shs) AS sh")
+      .selectExpr("doc_id", s"pmod(${h("sh")}, ${P}L) AS x")
+    val aggs = (0 until 32).map(i =>
+      min(expr(s"pmod((2 * $i + 1) * x + 10007 * ($i + 1), $P)")).as(s"mh_$i"))
+    val sigs = postings.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    // 8 band rows per doc via the stack generator (band id + 4-sig key)
+    val stackArgs = (0 until 8).map { b =>
+      val key = (0 until 4).map(j => s"CAST(mh_${4 * b + j} AS STRING)").mkString(", ")
+      s"$b, concat_ws(',', $key)"
+    }.mkString(", ")
+    val bands = sigs.selectExpr("doc_id", s"stack(8, $stackArgs) AS (band, sig)")
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sets = docs.select(col("doc_id"), col("shs"))
+    val sets = docs
     candidates
       .join(sets.as("pa"), col("doc_a") === col("pa.doc_id"))
       .join(sets.as("pb"), col("doc_b") === col("pb.doc_id"))
