@@ -294,6 +294,17 @@ object RelationalQueries {
       .select(col("c_nationkey"), col("n"),
         ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("var_samp"))
 
+  /** Exact interpolated percentiles (same definition as DuckDB's
+    * quantile_cont: index (n-1)*p on the sorted values).
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+
   def jsonFuncs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .select(col("event_id"),
@@ -374,6 +385,7 @@ object RelationalQueries {
     "q_pivot" -> pivotEvents,
     "q_sessionize" -> sessionize,
     "q_agg_variance" -> aggVariance,
+    "q_percentiles" -> percentiles,
     "q_json_funcs" -> jsonFuncs,
     "q_regexp_funcs" -> regexpFuncs,
     "q_null_funcs" -> nullFuncs,
@@ -548,6 +560,12 @@ object RelationalQueries {
         |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s2,
         |    COUNT(1) AS n
         |  FROM customer GROUP BY c_nationkey) t WHERE n > 1""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_extracted,
