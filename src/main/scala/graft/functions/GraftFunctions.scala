@@ -102,23 +102,30 @@ case class Hash60(child: Expression) extends UnaryExpression {
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"hash60 expects string, got ${child.dataType.catalogString}")
 
-  override def nullSafeEval(v: Any): Any = Hash60.eval(v.asInstanceOf[UTF8String])
+  override def nullSafeEval(v: Any): Any = Hash60Impl.hash(v.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Hash60.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hash60Impl.hash($c)")
 
   override def prettyName: String = "hash60"
   override protected def withNewChildInternal(newChild: Expression): Hash60 = copy(child = newChild)
 }
 
-object Hash60 {
+/** Static hash helper in a standalone object (NOT the [[Hash60]] companion):
+  * scalac suppresses the Java static forwarder on a companion class whose
+  * class already declares a member of the same name (`Expression.eval`), so
+  * generated Java calling `Hash60.eval(UTF8String)` failed to compile and
+  * every hash60 stage silently fell back to interpreted execution. A
+  * standalone object gets a mirror class with a true static `hash` method.
+  */
+object Hash60Impl {
   // MessageDigest.getInstance does a provider lookup per call — measurable at
   // hundreds of thousands of shingles per partition; reuse per thread
   private val localMd: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** static entry shared by interpreted + generated code */
-  def eval(s: UTF8String): Long = {
+  def hash(s: UTF8String): Long = {
     val md = localMd.get()
     md.reset()
     val d = md.digest(s.getBytes)
