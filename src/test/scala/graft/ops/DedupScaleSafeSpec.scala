@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale-safe dedup variants must produce exactly the rows of their
+  * quadratic all-pairs counterparts: prefix filtering (Jaccard >= 0.5) and
+  * 11-band pigeonhole (hamming <= 10 over 32 bits) are provably lossless;
+  * the hyperplane-LSH config is pinned to full recall on this corpus.
+  */
+class DedupScaleSafeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("simhash multi-index banding equals the all-pairs hamming join") {
+    val banded = rowSet(DedupQueries.simhashLsh(spark, dir))
+    val quadratic = rowSet(DedupQueries.simhashPairs(spark, dir))
+    assert(banded == quadratic,
+      s"missing=${quadratic -- banded}, extra=${banded -- quadratic}")
+  }
+
+  test("prefix-filtered Jaccard equals the full postings self-join") {
+    val prefixed = rowSet(DedupQueries.dedupJaccardPrefix(spark, dir))
+    val quadratic = rowSet(DedupQueries.dedupJaccard(spark, dir))
+    assert(prefixed == quadratic,
+      s"missing=${quadratic -- prefixed}, extra=${prefixed -- quadratic}")
+  }
+
+  test("hyperplane-LSH embedding near-dup equals the label-blocked all-pairs") {
+    val lsh = rowSet(DedupQueries.dedupEmbeddingLsh(spark, dir))
+    val quadratic = rowSet(DedupQueries.dedupEmbedding(spark, dir))
+    assert(lsh == quadratic,
+      s"missing=${quadratic -- lsh}, extra=${lsh -- quadratic}")
+  }
+}
