@@ -37,8 +37,15 @@ object JValue {
     case JsonNodeType.NUMBER =>
       // Python's json module parses integer literals to int and anything with
       // a '.'/'e' to float; mirror that (Jackson: Int/Long/BigInteger nodes
-      // are integral literals).
-      if (node.isIntegralNumber) JLong(node.longValue()) else JDouble(node.doubleValue())
+      // are integral literals). Integral literals beyond Long range cannot be
+      // an i64 column value (the reference's arbitrary-precision int would
+      // also fail a BIGINT warehouse load, examples/full_pokemon_psql_pipeline.py):
+      // preserve the digits as a string instead of truncating silently —
+      // documented divergence, the choice lattice then tags the column str/choice.
+      if (node.isIntegralNumber) {
+        if (node.canConvertToLong) JLong(node.longValue())
+        else JString(node.bigIntegerValue().toString)
+      } else JDouble(node.doubleValue())
     case JsonNodeType.STRING => JString(node.textValue())
     case other => throw new IllegalArgumentException(s"not a scalar node: $other")
   }

@@ -17,18 +17,26 @@ object SkewJoin {
 
   /** Equi-join `large ⋈ small` on `key`, salting the large side.
     *
-    * The large side gets a deterministic salt derived from row content
-    * (`xxhash64` over all columns, stable under retries); the small side is
-    * exploded `saltBuckets`-fold. Result equals a plain inner join.
+    * The large side's salt mixes row content (`xxhash64` over all columns)
+    * with a per-row ordinal (`monotonically_increasing_id`), so
+    * exact-duplicate rows of a hot key still spread across buckets instead
+    * of landing on one reducer. The ordinal is not stable under task
+    * retries, which is safe here: the small side is replicated into EVERY
+    * bucket, so any salt value joins identically — salting only routes
+    * rows, it never changes the result. Result equals a plain inner join.
     */
   def saltedInnerJoin(large: DataFrame, small: DataFrame, key: String,
                       saltBuckets: Int = 16): DataFrame = {
     require(saltBuckets > 0)
-    val saltedLarge = large.withColumn("_salt",
-      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)).cast("int"))
-    val saltedSmall = small.withColumn("_salt",
+    val saltCol = "__graft_salt_"
+    require(!large.columns.contains(saltCol) && !small.columns.contains(saltCol),
+      s"inputs must not already carry a $saltCol column")
+    val saltedLarge = large.withColumn(saltCol,
+      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*) + monotonically_increasing_id(),
+        lit(saltBuckets)).cast("int"))
+    val saltedSmall = small.withColumn(saltCol,
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    saltedLarge.join(saltedSmall, Seq(key, "_salt"), "inner").drop("_salt")
+    saltedLarge.join(saltedSmall, Seq(key, saltCol), "inner").drop(saltCol)
   }
 
   /** Top-N hot keys of a column by frequency — the observation step that

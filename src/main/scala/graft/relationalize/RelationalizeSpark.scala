@@ -28,7 +28,13 @@ final case class RelationalizeOptions(
       * the full input. When None, the emitted dataset is cached in
       * memory/disk.
       */
-    materializePath: Option[String] = None)
+    materializePath: Option[String] = None,
+    /** Max distinct tables held in a partition's local schema map before the
+      * accumulated schemas are flushed as marker rows and the map cleared
+      * (associative merge makes the flush lossless). Bounds executor memory
+      * under extreme table fan-out.
+      */
+    schemaMapCap: Int = 8192)
 
 /** Result of relationalizing a document collection: one typed DataFrame per
   * discovered table plus its choice schema (for DDL / introspection).
@@ -92,29 +98,44 @@ object RelationalizeSpark {
     * marker row per discovered table at partition end. Schema inference then
     * costs a collect of (partitions x tables) tiny rows — no second parse of
     * any payload, no aggregation job over the data.
+    *
+    * The per-partition schema map is bounded: when a partition has observed
+    * `schemaMapCap` distinct tables, the accumulated schemas are flushed as
+    * marker rows mid-stream and the map is cleared. [[collectSchemas]]'
+    * per-table `merge` is associative (the reference's own shard-merge
+    * semantics), so multiple marker rows per (partition, table) fold to the
+    * same schema — extreme table fan-out (millions of distinct child tables)
+    * costs bounded executor memory instead of an unbounded map.
     */
-  def emitWithSchemas(ds: Dataset[String], name: String): Dataset[Emitted] = {
+  def emitWithSchemas(ds: Dataset[String], name: String,
+                      schemaMapCap: Int = 8192): Dataset[Emitted] = {
+    require(schemaMapCap > 0)
     implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
     ds.mapPartitions { iter =>
       val pid = TaskContext.getPartitionId()
       var ordinal = -1L
       val localSchemas = scala.collection.mutable.Map.empty[String, ChoiceSchema]
+      def flush(): Iterator[Emitted] = {
+        val rows = localSchemas.toVector.map { case (t, sch) =>
+          Emitted(s"$SchemaMarker$t", sch.serialize)
+        }
+        localSchemas.clear()
+        rows.iterator
+      }
       val dataRows = iter.flatMap { line =>
         ordinal += 1
-        Relationalizer.relationalizeLine(line, name, s"$pid:$ordinal").iterator.map {
+        Relationalizer.relationalizeLine(line, name, s"$pid:$ordinal").iterator.flatMap {
           case (table, row) =>
             localSchemas.update(table,
               localSchemas.getOrElse(table, ChoiceSchema.empty).observe(row))
-            Emitted(table, Json.writeRow(row))
+            val data = Emitted(table, Json.writeRow(row))
+            if (localSchemas.size >= schemaMapCap) Iterator.single(data) ++ flush()
+            else Iterator.single(data)
         }
       }
       // the trailing flatMap is only evaluated after dataRows is exhausted,
-      // so localSchemas is complete by then
-      dataRows ++ Iterator.single(()).flatMap { _ =>
-        localSchemas.iterator.map { case (t, sch) =>
-          Emitted(s"$SchemaMarker$t", sch.serialize)
-        }
-      }
+      // so the final flush sees every remaining table
+      dataRows ++ Iterator.single(()).flatMap(_ => flush())
     }
   }
 
@@ -222,11 +243,18 @@ object RelationalizeSpark {
     val spark = ds.sparkSession
     val emittedSource: Dataset[Emitted] = options.materializePath match {
       case Some(path) =>
-        emitWithSchemas(ds, name).write.mode(SaveMode.Overwrite).partitionBy("table").parquet(path)
+        emitWithSchemas(ds, name, options.schemaMapCap)
+          .write.mode(SaveMode.Overwrite).partitionBy("table").parquet(path)
         implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
-        spark.read.parquet(path).select(col("table").cast(StringType), col("payload")).as[Emitted]
+        // explicit schema: an empty corpus writes no data files, and
+        // schema inference on a data-file-less partitioned dir throws
+        spark.read
+          .schema(StructType(Seq(
+            StructField("payload", StringType), StructField("table", StringType))))
+          .parquet(path)
+          .select(col("table").cast(StringType), col("payload")).as[Emitted]
       case None =>
-        emitWithSchemas(ds, name).persist(StorageLevel.MEMORY_AND_DISK)
+        emitWithSchemas(ds, name, options.schemaMapCap).persist(StorageLevel.MEMORY_AND_DISK)
     }
     val raw = collectSchemas(emittedSource)
     val schemas = raw.map { case (t, s0) =>

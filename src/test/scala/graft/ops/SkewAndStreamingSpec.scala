@@ -35,6 +35,21 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salted join spreads exact-duplicate hot-key rows and rejects salt-name collisions") {
+    import spark.implicits._
+    // all large-side rows are IDENTICAL — content-only salting would put
+    // every one of them in a single bucket
+    val large = (0 until 500).map(_ => (1, "samerow")).toDF("k", "v")
+    val small = Seq((1, "dim1"), (2, "dim2")).toDF("k", "d")
+    val salted = SkewJoin.saltedInnerJoin(large, small, "k", saltBuckets = 8)
+    assert(salted.count() == 500)
+    // a pre-existing column with the salt's name must be rejected, not overwritten
+    val clash = large.withColumn("__graft_salt_", lit(0))
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedInnerJoin(clash, small, "k")
+    }
+  }
+
   test("hot-key observation finds the dominant key") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (if (i % 5 == 0) i % 3 else 99, i)).toDF("k", "v")

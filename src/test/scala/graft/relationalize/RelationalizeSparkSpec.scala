@@ -124,6 +124,41 @@ class RelationalizeSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res("users_enrollments").count() == 2)
   }
 
+  test("materialized path: empty input yields empty result, no read failure") {
+    val tmp = Files.createTempDirectory("graft-mat-empty").toString
+    val res = RelationalizeSpark(ds(), "users",
+      RelationalizeOptions(materializePath = Some(s"$tmp/emitted")))
+    assert(res.tables.isEmpty && res.schemas.isEmpty)
+  }
+
+  test("integral JSON literals beyond Long range become strings, not truncated") {
+    val res = RelationalizeSpark(
+      ds("""{"id": 123456789012345678901234567890, "ok": 7}"""), "big")
+    val row = res("big").select(col("id"), col("ok")).head()
+    assert(row.getString(0) == "123456789012345678901234567890")
+    assert(row.getLong(1) == 7L)
+  }
+
+  test("schema-map cap: extreme table fan-out with a tiny cap equals uncapped result") {
+    // 120 docs, each fanning to distinct child tables -> ~360 distinct tables,
+    // forced through a cap of 16 (mid-stream flushes every few documents)
+    val docs = (0 until 120).map { i =>
+      val arrays = (0 until 3).map(j => s""""arr_${i}_$j": [{"v": $i}, {"v": $j}]""").mkString(", ")
+      s"""{"id": $i, $arrays}"""
+    }
+    val capped = RelationalizeSpark(ds(docs: _*), "fan",
+      RelationalizeOptions(schemaMapCap = 16))
+    val uncapped = RelationalizeSpark(ds(docs: _*), "fan")
+    assert(capped.schemas.keySet == uncapped.schemas.keySet)
+    assert(capped.schemas.keySet.size == 361) // root + 360 child tables
+    assert(capped.schemas.map { case (t, s) => t -> s.serialize } ==
+      uncapped.schemas.map { case (t, s) => t -> s.serialize })
+    // spot-check a child table decodes identically
+    val t = "fan_arr_7_2"
+    assert(capped(t).columns.sameElements(uncapped(t).columns))
+    assert(capped(t).count() == 2 && uncapped(t).count() == 2)
+  }
+
   test("sinks: jsonl round-trip, csv header, NaN scrub (K1/K4/K8)") {
     val tmp = Files.createTempDirectory("graft-sink").toString
     val res = RelationalizeSpark(ds(lmsDocs: _*), "users")
