@@ -25,6 +25,12 @@ object Bench {
     "ann_bruteforce", "ann_ivf",
     "text_quality", "text_langid", "mm_features")
 
+  /** Timed runs per query; the reported time is the median, so one GC pause /
+    * noisy-neighbor stall in the sandbox no longer poisons the recorded
+    * number (two recorded rounds in a row disagreed with reruns by 5-10x).
+    */
+  val RunsPerQuery = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,6 +39,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // sf0.1 parquet files are ~10-60 MB; at the default 128 MB split size a
+      // whole table lands in 1-2 input partitions and local[32] runs 30 cores
+      // idle through every scan stage. 8 MB splits engage the full core count
+      // while staying far above row-group overhead.
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,12 +53,17 @@ object Bench {
 
     val catalog = SparkEntry.queries
     val results = headline.filter(catalog.contains).map { name =>
-      spark.catalog.clearCache() // isolate queries: no cross-query cache leaks
-      val t0 = System.nanoTime()
-      try catalog(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-20s $dt%8.2f s")
+      val times = (1 to RunsPerQuery).map { run =>
+        spark.catalog.clearCache() // isolate queries: no cross-query cache leaks
+        val t0 = System.nanoTime()
+        try catalog(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-20s run$run $dt%8.2f s")
+        dt
+      }
+      val dt = times.sorted.apply(times.length / 2)
+      System.err.println(f"[bench] $name%-20s median $dt%8.2f s")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

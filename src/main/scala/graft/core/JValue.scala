@@ -100,6 +100,32 @@ object Json {
     sb.append('"')
   }
 
+  /** Separator between column name and scalar tag in *internal* `Emitted`
+    * payload keys (the pass-1 -> pass-2 interchange of
+    * [[graft.relationalize.RelationalizeSpark]]). Pass 1 computes every
+    * value's tag anyway (it observes it into the choice schema), so carrying
+    * the tag in the key lets pass 2 read types *structurally* — a single
+    * `from_json` with per-(column, tag) fields — instead of re-inspecting
+    * values row by row. Keys containing this control character are
+    * unsupported (it never survives JSON-sourced data in practice; compare
+    * the reference's own `_` choice-suffix collision caveat,
+    * `relationalize/schema.py:49-52`).
+    */
+  val TagSep = '\u0000'
+
+  def taggedKey(k: String, tag: String): String = s"$k$TagSep$tag"
+
+  /** Split `k<TagSep>tag` on the LAST separator occurrence. */
+  def splitTaggedKey(key: String): (String, String) = {
+    val i = key.lastIndexOf(TagSep.toInt)
+    require(i >= 0, s"untagged payload key: $key")
+    (key.substring(0, i), key.substring(i + 1))
+  }
+
+  /** Serialize a flat row with tag-carrying keys (`k<TagSep>tag`). */
+  def writeTaggedRow(row: Iterable[(String, JValue)]): String =
+    writeRow(row.map { case (k, v) => taggedKey(k, ColType.of(v).repr) -> v })
+
   /** Parse a flat-row JSON object back to an ordered column->scalar map. */
   def parseRow(s: String): VectorMap[String, JValue] = {
     val node = parse(s)

@@ -5,11 +5,9 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql._
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.{col, udaf}
+import org.apache.spark.sql.functions.{coalesce, col, from_json, lit, raise_error, timestamp_millis, udaf, when}
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
-
-import java.sql.Timestamp
 
 /** One emitted flat row: destination table + the row as a compact JSON object
   * (scalar JSON text preserves the bool/int/float/str/null tags the choice
@@ -86,7 +84,7 @@ object RelationalizeSpark {
       iter.flatMap { line =>
         ordinal += 1
         Relationalizer.relationalizeLine(line, name, s"$pid:$ordinal").iterator.map {
-          case (table, row) => Emitted(table, Json.writeRow(row))
+          case (table, row) => Emitted(table, Json.writeTaggedRow(row))
         }
       }
     }
@@ -128,7 +126,7 @@ object RelationalizeSpark {
           case (table, row) =>
             localSchemas.update(table,
               localSchemas.getOrElse(table, ChoiceSchema.empty).observe(row))
-            val data = Emitted(table, Json.writeRow(row))
+            val data = Emitted(table, Json.writeTaggedRow(row))
             if (localSchemas.size >= schemaMapCap) Iterator.single(data) ++ flush()
             else Iterator.single(data)
         }
@@ -158,8 +156,9 @@ object RelationalizeSpark {
 
     override def reduce(b: Map[String, String], payload: String): Map[String, String] = {
       var acc = b
-      Json.parseRow(payload).foreach { case (k, v) =>
-        val t = ColType.of(v)
+      Json.parseRow(payload).foreach { case (taggedKey, _) =>
+        val (k, tagRepr) = Json.splitTaggedKey(taggedKey)
+        val t = ColType.parse(tagRepr)
         acc = acc.updated(k,
           acc.get(k).fold(t.repr)(old => ColType.merge(ColType.parse(old), t).repr))
       }
@@ -194,48 +193,85 @@ object RelationalizeSpark {
       .toMap
   }
 
-  /** Pass-2: convert one table's emitted rows to a typed DataFrame. */
+  /** The scalar tags a payload value can carry (nulls are keyed `none` but
+    * need no parse field — a missing field already reads null).
+    */
+  private val BaseTags = Vector("bool", "int", "float", "str")
+
+  private def rawSparkType(tag: String): DataType = tag match {
+    case "bool" => BooleanType
+    case "int" => LongType
+    case "float" => DoubleType
+    case "str" => StringType
+    case other => throw new IllegalStateException(s"no raw Spark type for tag $other")
+  }
+
+  /** Pass-2: convert one table's emitted rows to a typed DataFrame.
+    *
+    * Expression-only — no lambda decode. Payload keys carry each value's
+    * scalar tag (written in pass 1, where the tag was observed into the
+    * schema anyway), so conversion is one `from_json` with a field per
+    * (column, tag) followed by a codegen'd routing projection: field
+    * `k<sep>int` feeds output `k_int` of a choice column, `k<sep>int` IS
+    * output `k` of an int column, etc. Fields for tags a schema column does
+    * not admit exist only to be detected: a non-null there raises, matching
+    * the reference's convert-time error on out-of-choice values
+    * (`relationalize/schema.py:49-52`) — that is what makes frozen-schema
+    * streaming fail loudly instead of silently nulling new choice members.
+    *
+    * Scale: the whole pass is Catalyst-visible. A downstream narrow `select`
+    * prunes the parse schema (OptimizeCsvJsonExprs pushes required fields
+    * into `from_json`), and the projection runs inside whole-stage codegen —
+    * the previous `mapPartitions` decode (JValue graph + VectorMap + Row
+    * encoder per row) was opaque to both and is gone.
+    */
   def toDataFrame(emitted: Dataset[Emitted], table: String, schema: ChoiceSchema): DataFrame = {
-    val struct = schema.toStructType
-    val outCols = schema.outputColumns
-    val fieldTypes: Array[DataType] = struct.fields.map(_.dataType)
-    val index: Map[String, Int] = outCols.zipWithIndex.toMap
-    // VectorMap (inside ChoiceSchema) is not java-serializable; ship the
-    // schema as its JSON form and rebuild once per partition.
-    val schemaJson = schema.serialize
-    implicit val enc: Encoder[Row] = Encoders.row(struct)
-    emitted.filter(col("table") === table).select(col("payload")).as(Encoders.STRING)
-      .mapPartitions { iter =>
-        val partSchema = ChoiceSchema.deserialize(schemaJson)
-        iter.map { payload =>
-          val converted = partSchema.convert(Json.parseRow(payload))
-          val values = new Array[Any](outCols.length)
-          converted.foreach { case (k, v) =>
-            index.get(k) match {
-              case Some(i) => values(i) = decode(v, fieldTypes(i))
-              case None => // null under a choice column's original key, or dropped
-            }
-          }
-          Row.fromSeq(values.toIndexedSeq)
-        }
+    import ColType._
+    val parseStruct = StructType(schema.columns.keys.toArray.flatMap(k =>
+      BaseTags.map(t => StructField(Json.taggedKey(k, t), rawSparkType(t)))))
+    // FAILFAST: a malformed payload is an engine bug — raise, don't null
+    val parsed = from_json(col("payload"), parseStruct, Map("mode" -> "FAILFAST")).as("r")
+
+    def fld(k: String, tag: String): Column = col("r").getField(Json.taggedKey(k, tag))
+    // guard `value` with raises on tags the schema does not admit for k
+    def guarded(k: String, ct: ColType, badTags: Seq[String], value: Column): Column =
+      badTags.foldRight(value) { (t, v) =>
+        when(fld(k, t).isNotNull, raise_error(
+          lit(s"value type $t for column $k not admitted by schema type ${ct.repr}"))).otherwise(v)
       }
-  }
 
-  private def decode(v: JValue, target: DataType): Any = (v, target) match {
-    case (JNull, _) => null
-    case (JBool(b), BooleanType) => b
-    case (JLong(l), LongType) => l
-    case (JDouble(d), DoubleType) => d
-    case (JString(s), StringType) => s
-    case (JString(s), TimestampType) => parseTimestamp(s)
-    case (JLong(l), TimestampType) => new Timestamp(l)
-    case (JLong(l), DoubleType) => l.toDouble
-    case (other, t) => throw new IllegalStateException(s"cannot decode $other as $t")
+    val outputs: Seq[(String, Column)] = schema.columns.toSeq.flatMap { case (k, ct) =>
+      ct match {
+        case CChoice(ms) =>
+          val members = ms.filter(_ != "none")
+          val badTags = BaseTags.filterNot(members.contains)
+          members.zipWithIndex.map { case (m, i) =>
+            val v = fld(k, m)
+            s"${k}_$m" -> (if (i == 0) guarded(k, ct, badTags, v) else v)
+          }
+        case CFloat => // an int observed under a float-typed frozen schema widens
+          Seq(k -> guarded(k, ct, Seq("bool", "str"),
+            coalesce(fld(k, "float"), fld(k, "int").cast(DoubleType))))
+        case CNone => // all-null column reads as its boolean placeholder type
+          Seq(k -> guarded(k, ct, Seq("int", "float", "str"), fld(k, "bool")))
+        case CDatetime => // only reachable via deserialized schemas (types.py:21)
+          val s = fld(k, "str")
+          val cast = s.cast(TimestampType)
+          Seq(k -> guarded(k, ct, Seq("bool", "float"), coalesce(
+            when(s.isNotNull && cast.isNull,
+              raise_error(lit(s"unparseable timestamp in column $k"))).otherwise(cast),
+            timestamp_millis(fld(k, "int")))))
+        case t @ (CBool | CInt | CStr) =>
+          Seq(k -> guarded(k, ct, BaseTags.filterNot(_ == t.repr), fld(k, t.repr)))
+        case CUnsupported(tag) =>
+          throw new IllegalStateException(s"no Spark type for unsupported:$tag (column $k)")
+      }
+    }
+    val byName = outputs.toMap
+    emitted.filter(col("table") === table)
+      .select(parsed)
+      .select(schema.outputColumns.map(n => byName(n).as(n)): _*)
   }
-
-  private def parseTimestamp(s: String): Timestamp =
-    try Timestamp.valueOf(s.replace('T', ' ').stripSuffix("Z"))
-    catch { case _: IllegalArgumentException => Timestamp.from(java.time.Instant.parse(s)) }
 
   /** Full pipeline over a collection of raw JSON documents. */
   def apply(ds: Dataset[String], name: String,

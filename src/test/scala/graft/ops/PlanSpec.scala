@@ -108,4 +108,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
     assert(p.contains("partial_"), s"no partial aggregation before shuffle:\n$p")
   }
+
+  test("relationalize pass-2 parses each payload exactly once, with no lambda decode") {
+    import org.apache.spark.sql.Encoders
+    val docs = spark.createDataset(Seq(
+      """{"a": 1, "b": "x", "c": 1.5, "d": true, "e": null}""",
+      """{"a": "s", "b": "y", "c": 2.5, "d": false, "e": null}"""))(Encoders.STRING)
+    val df = graft.relationalize.RelationalizeSpark(docs, "t")("t")
+    val optimized = df.queryExecution.optimizedPlan
+    var parses = 0
+    var lambdas = 0
+    optimized.foreach { node =>
+      if (node.nodeName.contains("MapPartitions") || node.nodeName.contains("DeserializeToObject"))
+        lambdas += 1
+      node.expressions.foreach(_.foreach {
+        case _: org.apache.spark.sql.catalyst.expressions.JsonToStructs => parses += 1
+        case _ =>
+      })
+    }
+    // one from_json per row — CollapseProject must NOT inline it into every
+    // output column (6 outputs here would mean 6 parses per payload)
+    assert(parses == 1, s"expected exactly 1 JsonToStructs, got $parses:\n$optimized")
+    // pass 2 is expression-only: the only object lambdas live in pass 1,
+    // behind the persisted emit (InMemoryRelation leaf), not in this plan
+    assert(lambdas == 0, s"pass-2 plan contains object-lambda nodes:\n$optimized")
+  }
 }
