@@ -186,11 +186,15 @@ object DedupQueries {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
       .filter(col("rk") <= col("sz") / 2 + 1) // floor(n/2) + 1 prefix tokens
-      .select(col("doc_id"), col("lang"), col("tok"))
+      .select(col("doc_id"), col("lang"), col("tok"), col("sz"))
+    // PPJoin length filter, lossless for J >= 0.5: J = inter/union <=
+    // min(|A|,|B|)/max(|A|,|B|), so a qualifying pair needs 2*min >= max —
+    // prune size-incompatible candidates before the verification join
     val candidates = ranked.as("a")
       .join(ranked.as("b"),
         col("a.lang") === col("b.lang") && col("a.tok") === col("b.tok") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     candidates
@@ -230,15 +234,20 @@ object DedupQueries {
   private val RH_BITS = 48
   private val RH_BANDS = 16 // 3 bits per band
 
-  /** Deterministic quantized hyperplane j: 64 integer weights in [-500, 500],
-    * derived from the portable 60-bit hash so a DuckDB oracle re-derives them
-    * bit-exactly (`hash60('rh:j:k') % 1001 - 500`).
+  /** Deterministic quantized hyperplanes: 48 x 64 integer weights in
+    * [-500, 500], derived from the portable 60-bit hash so a DuckDB oracle
+    * re-derives them bit-exactly (`hash60('rh:j:k') % 1001 - 500`,
+    * nonnegative hash so `%` == `pmod`). Expressed as a GENERATOR over a
+    * single broadcast row, not 3072 inline literals: the weights are computed
+    * once at broadcast build, and the plan carries one compact expression
+    * (bounded plan size — no `maxToStringFields` truncation).
     */
-  private def rhWeights(j: Int): IndexedSeq[Long] =
-    (1 to 64).map { k =>
-      (graft.functions.Hash60Impl.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s"rh:$j:$k")) % 1001L) - 500L
-    }
+  private def rhWeightsDf(s: SparkSession): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    s.range(1).selectExpr(
+      s"transform(sequence(0, ${RH_BITS - 1}), j -> transform(sequence(1, 64), " +
+        "k -> pmod(hash60(concat('rh:', j, ':', k)), 1001) - 500)) AS ws")
+  }
 
   /** Embedding near-dup pairs via random-hyperplane LSH + exact verification —
     * the scale-safe replacement for [[dedupEmbedding]]'s label-blocked
@@ -264,16 +273,17 @@ object DedupQueries {
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bitExprs = (0 until RH_BITS).map { j =>
-      val w = rhWeights(j).mkString("L, ") + "L"
-      s"CASE WHEN aggregate(zip_with(q, array($w), (x, y) -> x * y), 0L, (acc, p) -> acc + p) > 0 THEN 1 ELSE 0 END"
-    }
+    val bits =
+      s"transform(sequence(0, ${RH_BITS - 1}), j -> CASE WHEN " +
+        "aggregate(zip_with(q, element_at(ws, j + 1), (x, y) -> x * y), 0L, (acc, p) -> acc + p) > 0 " +
+        "THEN 1 ELSE 0 END)"
     val stackArgs = (0 until RH_BANDS).map { bd =>
       val key = (0 until 3).map(i => s"element_at(b, ${3 * bd + i + 1}) * ${1 << (2 - i)}").mkString(" + ")
       s"$bd, $key"
     }.mkString(", ")
     val bands = e
-      .selectExpr("vec_id", "label", s"array(${bitExprs.mkString(", ")}) AS b")
+      .crossJoin(broadcast(rhWeightsDf(s))) // 1-row weights: computed once, no shuffle
+      .selectExpr("vec_id", "label", s"$bits AS b")
       .selectExpr("vec_id", "label", s"stack($RH_BANDS, $stackArgs) AS (band, key)")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // barrier: 48 dot products once, not per join side
     val candidates = bands.as("x")
