@@ -360,7 +360,66 @@ object DedupQueries {
       .filter(col("hamming") <= 10)
   }
 
+  // --- near-dup cluster resolution (pairs -> components -> survivor) ----
+
+  /** Connected components by iterative min-label propagation on DataFrames.
+    *
+    * Every vertex starts labeled with its own id; each round every vertex
+    * takes the min of its own and its neighbors' labels (one equi-join +
+    * one groupBy); a round that lowers no label is the fixpoint. Labels
+    * decrease monotonically, so the loop converges in O(graph diameter)
+    * rounds — near-dup clusters are dense (tiny diameter), so 2-4 rounds in
+    * practice. No driver-side data: loop control reads only a per-round
+    * 0/1 changed flag; labels stay distributed. Each round is a self-cleaning
+    * shuffle pipeline (persist the new generation, drop the old).
+    *
+    * @param edges    undirected edge list, columns (src, dst) — one row per
+    *                 direction is NOT required; symmetry is added here
+    * @param vertices one column `id`; isolated vertices keep their own label
+    * @return (id, label) with label = min id of the component
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels
+  }
+
+  /** Near-dup cluster resolution — the step a production dedup runs after
+    * any pair-emitting path: pairs -> connected components -> one
+    * deterministic survivor per cluster. Edges come from the scale-safe
+    * prefix-Jaccard join ([[dedupJaccardPrefix]]); every document gets a
+    * cluster id (the component's min doc_id; singletons are their own
+    * cluster) and the survivor is the min itself (keep-first-id rule, like
+    * [[dedupExact]]).
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupJaccardPrefix(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val vertices = Tables(s, dir, "documents").select(col("doc_id").as("id"))
+    connectedComponents(pairs, vertices)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_survivor"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> dedupClusters,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash_sig" -> minhashSignatures,
@@ -381,6 +440,33 @@ object DedupQueries {
       s"i -> $duckToks[i] || ' ' || $duckToks[i + 1] || ' ' || $duckToks[i + 2]))"
 
   val oracleSql: Map[String, String] = Map(
+    // components via a recursive CTE: reach(node, r) holds every label r
+    // reachable from node over the symmetric near-dup edge set; min(r) per
+    // node is the component min — exactly the propagation fixpoint
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, lang, list_distinct($duckToks) AS tset FROM documents),
+         |sizes AS (SELECT doc_id, len(tset) AS sz FROM d),
+         |postings AS (SELECT doc_id, lang, unnest(tset) AS tok FROM d),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS inter
+         |  FROM postings a JOIN postings b
+         |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE inter * 2 >= sa.sz + sb.sz - inter),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT e.dst AS node, reach.r AS r
+         |  FROM reach JOIN edges e ON reach.node = e.src)
+         |SELECT node AS doc_id, min(r) AS cluster_id, min(r) = node AS is_survivor
+         |FROM reach GROUP BY node""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keeper, count(1) AS n_copies

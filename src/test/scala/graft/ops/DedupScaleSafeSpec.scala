@@ -45,4 +45,19 @@ class DedupScaleSafeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == quadratic,
       s"missing=${quadratic -- lsh}, extra=${lsh -- quadratic}")
   }
+
+  test("connected components: chain graph (high diameter), two components, singleton") {
+    import spark.implicits._
+    // chain 1-2-3-...-8 forces multiple propagation rounds (diameter 7);
+    // component {20, 21, 22} is a triangle; 99 is isolated
+    val edges = (1L to 7L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L))
+    val vertices = ((1L to 8L) ++ Seq(20L, 21L, 22L, 99L)).toDF("id")
+    val got = DedupQueries
+      .connectedComponents(edges.toDF("src", "dst"), vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (1L to 8L).map(_ -> 1L).toMap ++
+      Seq(20L, 21L, 22L).map(_ -> 20L).toMap + (99L -> 99L)
+    assert(got == want)
+  }
 }
