@@ -45,6 +45,23 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         if name not in oracle:
+            # golden-file compare for outputs not derivable in SQL (e.g. DDL
+            # strings): tools/goldens/<name>.json = {"columns": [...], "rows": [[...]]}
+            gpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "goldens", f"{name}.json")
+            if os.path.exists(gpath):
+                want = json.load(open(gpath))
+                sc, sr = canon(scols, srows)
+                wc, wr = canon(want["columns"], [tuple(r) for r in want["rows"]])
+                if sc == wc and sr == wr:
+                    print(f"PASS  {name}: {len(sr)} rows (golden)")
+                    n_pass += 1
+                else:
+                    print(f"FAIL  {name}: golden mismatch "
+                          f"(cols {sc} vs {wc}; first row diff "
+                          f"{next(((a, b) for a, b in zip(sr, wr) if a != b), None)})")
+                    n_fail += 1
+                continue
             print(f"WEAK  {name}: no oracle, rows={len(srows)}")
             n_weak += 1
             continue
