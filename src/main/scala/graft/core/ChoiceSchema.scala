@@ -72,6 +72,16 @@ final case class ChoiceSchema(columns: VectorMap[String, ColType]) {
       case (k, _) => Vector(k)
     }.toVector.sorted
 
+  /** (output column, source column, member tag) triples, output-sorted —
+    * the structural map a sink migration needs to re-route data written
+    * under an older, narrower schema into this schema's layout.
+    */
+  def outputBindings: Vector[(String, String, String)] =
+    columns.iterator.flatMap {
+      case (k, ColType.CChoice(ms)) => ms.filter(_ != "none").map(m => (s"${k}_$m", k, m))
+      case (k, t) => Vector((k, k, t.repr))
+    }.toVector.sortBy(_._1)
+
   /** (output column -> base tag), unsorted helper for typing. */
   private def outputTags: Map[String, String] =
     columns.iterator.flatMap {

@@ -1,9 +1,12 @@
 package graft.streaming
 
-import graft.core.ChoiceSchema
+import graft.core.{ChoiceSchema, ColType}
 import graft.relationalize.{Emitted, RelationalizeSpark}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql._
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
 
 /** Structured-Streaming variant of relationalize.
   *
@@ -50,6 +53,104 @@ object StreamingRelationalize {
         sink(result.tables, batchId)
       }
     }
+
+  // --- cross-batch schema evolution with sink migration -----------------
+
+  /** Durable per-table schema registry under `outDir/_graft_schema/` — the
+    * reference's serialized-schema re-merge across runs
+    * (`relationalize/schema.py:259-302`, `examples/concurrency_example.py:80-96`)
+    * applied to a streaming sink: each batch's observed schema is merged
+    * into the stored one, and the store survives query restarts (Hadoop
+    * FileSystem API, so it works on HDFS/S3A like the data itself).
+    */
+  private[graft] object SchemaStore {
+    private def schemaPath(outDir: String, table: String) =
+      new Path(s"$outDir/_graft_schema/$table.json")
+
+    def load(spark: SparkSession, outDir: String, table: String): Option[ChoiceSchema] = {
+      val p = schemaPath(outDir, table)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(ChoiceSchema.deserialize(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)))
+        finally in.close()
+      }
+    }
+
+    def save(spark: SparkSession, outDir: String, table: String, schema: ChoiceSchema): Unit = {
+      val p = schemaPath(outDir, table)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(schema.serialize.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Rewrite a parquet table written under `from`'s layout into `to`'s.
+    *
+    * `merge` only widens, so every old output column has a well-defined home
+    * in the new layout: a scalar that became a choice moves under its member
+    * name (`v` -> `v_int`), existing choice members keep their column, and
+    * columns the new schema added read as null. Rewrites go to a sibling
+    * directory first and swap in via rename — the read and the write never
+    * touch the same files.
+    */
+  private[graft] def migrateParquet(spark: SparkSession, path: String,
+                                    from: ChoiceSchema, to: ChoiceSchema): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val newStruct = to.toStructType
+    val types = newStruct.fields.map(f => f.name -> f.dataType).toMap
+    val exprs = to.outputBindings.map { case (out, k, tag) =>
+      val source: Option[String] = from.columns.get(k).flatMap {
+        case ColType.CChoice(ms) => if (ms.contains(tag)) Some(s"${k}_$tag") else None
+        case ColType.CNone => None // all-null placeholder: nothing to carry
+        case t => if (t.repr == tag) Some(k) else None
+      }
+      source.fold(lit(null).cast(types(out)))(c => col(c)).as(out)
+    }
+    val tmp = new Path(path + "__migrating")
+    spark.read.schema(from.toStructType).parquet(path)
+      .select(exprs: _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** Evolving-schema streaming into per-table parquet under `outDir/<t>/`:
+    * each micro-batch's inferred schemas are merged into the durable
+    * [[SchemaStore]]; when the merge widens a table's layout (a scalar
+    * becomes a choice, a new column or member appears) the already-written
+    * parquet is migrated BEFORE the batch appends, so the sink always holds
+    * one consistent layout and the final tables equal a batch run over the
+    * full corpus. Survives restarts: schema state is re-read per batch.
+    */
+  def runToParquetEvolving(lines: Dataset[String], name: String, outDir: String,
+                           checkpoint: String): StreamingQuery =
+    lines.writeStream.foreachBatch { (batch: Dataset[String], _: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val emitted = RelationalizeSpark.emitWithSchemas(batch, name)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          RelationalizeSpark.collectSchemas(emitted).foreach { case (t, observed) =>
+            val tablePath = s"$outDir/$t"
+            val prior = SchemaStore.load(spark, outDir, t)
+            val merged = prior.fold(observed)(_.merge(observed))
+            prior.filter(_.outputColumns != merged.outputColumns)
+              .foreach(p => migrateParquet(spark, tablePath, p, merged))
+            RelationalizeSpark.toDataFrame(emitted, t, merged)
+              .write.mode(SaveMode.Append).parquet(tablePath)
+            SchemaStore.save(spark, outDir, t, merged)
+          }
+        } finally emitted.unpersist()
+      }
+    }.option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Convenience: run a micro-batch relationalize stream into per-table
     * parquet directories under `outDir/<table>/`, with availableNow

@@ -57,6 +57,41 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.head.getInt(0) == 99)
   }
 
+  test("streaming schema evolution: batch 2 widens a scalar to a choice, sink migrates") {
+    import graft.streaming.StreamingRelationalize
+    val tmp = Files.createTempDirectory("graft-evolve").toString
+    val inDir = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val batch1 = Seq("""{"id": 1, "v": 10}""", """{"id": 2, "v": 20}""")
+    val batch2 = Seq("""{"id": 3, "v": "s3", "w": true}""")
+
+    // run 1: v is a plain int column
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/part0.jsonl"), batch1.mkString("\n"))
+    StreamingRelationalize.runToParquetEvolving(
+      spark.readStream.textFile(inDir), "t", s"$tmp/out", s"$tmp/ckpt")
+      .awaitTermination(60000)
+    assert(spark.read.parquet(s"$tmp/out/t").columns.sorted.toSeq == Seq("id", "v"))
+
+    // run 2 (restart, same checkpoint): v widens to c-int-str, w appears ->
+    // the already-written parquet must be migrated before the append
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/part1.jsonl"), batch2.mkString("\n"))
+    StreamingRelationalize.runToParquetEvolving(
+      spark.readStream.textFile(inDir), "t", s"$tmp/out", s"$tmp/ckpt")
+      .awaitTermination(60000)
+
+    val streamed = spark.read.parquet(s"$tmp/out/t")
+    assert(streamed.columns.sorted.toSeq == Seq("id", "v_int", "v_str", "w"))
+
+    // the evolved sink must equal a batch run over the full corpus
+    val batchRun = graft.relationalize.RelationalizeSpark(
+      graft.sources.Sources.fromIterable(spark, batch1 ++ batch2), "t")("t")
+    val key: org.apache.spark.sql.Row => String = _.toSeq.map(String.valueOf).mkString("|")
+    assert(batchRun.columns.sorted.toSeq == streamed.columns.sorted.toSeq)
+    val cols = streamed.columns.sorted.map(col)
+    assert(streamed.select(cols: _*).collect().map(key).sorted.toSeq ==
+      batchRun.select(cols: _*).collect().map(key).sorted.toSeq)
+  }
+
   test("streaming tumbling-window aggregation with watermark over events JSONL") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-swin").toString
