@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with cached relationalize intermediates balloons past 8g and
+  // turns bench runs GC-bound; the image has 128 GiB. Pin Xms = Xmx with
+  // pre-touch: G1's commit/uncommit churn under allocation bursts caused
+  // kernel page-fault storms in this microVM (97% sys time, 2 s queries
+  // randomly taking 100 s) — a fixed pre-touched heap eliminates them.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -92,7 +92,14 @@ object Json {
         case '\n' => sb.append("\\n")
         case '\r' => sb.append("\\r")
         case '\t' => sb.append("\\t")
-        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c if c < ' ' =>
+          // manual hex escape: the f"%04x" interpolator builds a
+          // java.util.Formatter (regex parse + allocations) PER CALL, and
+          // since tagged payload keys embed TagSep every key hits this arm —
+          // it was 40% of pass-1 samples under profiling
+          sb.append("\\u00")
+          sb.append(Character.forDigit((c >> 4) & 0xf, 16))
+          sb.append(Character.forDigit(c & 0xf, 16))
         case c => sb.append(c)
       }
       i += 1

@@ -27,6 +27,8 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash60", exprs => Hash60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_barrier", exprs => OptimizationBarrier(exprs.head), "built-in")
   }
 
   private def foldableString(e: Expression, what: String): String = e match {
@@ -42,6 +44,38 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(name))
   def hash60(c: Column): Column =
     org.apache.spark.sql.functions.call_function("hash60", c)
+  def barrier(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_barrier", c)
+}
+
+/** Identity wrapper that reports itself non-deterministic so the optimizer
+  * never substitutes the wrapped expression across operator boundaries.
+  *
+  * Why it exists: an inner join on a column produced by an expensive
+  * expression (e.g. `from_json` in relationalize pass 2) makes Catalyst push
+  * `IsNotNull(col)` predicates down THROUGH the projection, substituting the
+  * full expression into the filter — the payload was then parsed up to 10
+  * times per row (once per guard branch in the filter plus once per output
+  * column), with the filter copies evaluated interpreted (a fresh Jackson
+  * parser + stream decoder per call). Wrapping the parse in a barrier keeps
+  * exactly one evaluation per row; the join's null filter happens above the
+  * projection on the cheap attribute instead. Trade-off (deliberate):
+  * `OptimizeCsvJsonExprs` schema pruning no longer reaches the parse — a
+  * narrow select over a wide relationalized table parses the full payload.
+  * Evaluation and codegen simply forward to the child.
+  */
+case class OptimizationBarrier(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override lazy val deterministic: Boolean = false
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override def prettyName: String = "graft_barrier"
+  override protected def withNewChildInternal(newChild: Expression): OptimizationBarrier =
+    copy(child = newChild)
 }
 
 /** Table-valued relationalize: one JSON document in, `(table, payload)` rows

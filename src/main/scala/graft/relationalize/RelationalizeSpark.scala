@@ -219,18 +219,23 @@ object RelationalizeSpark {
     * (`relationalize/schema.py:49-52`) — that is what makes frozen-schema
     * streaming fail loudly instead of silently nulling new choice members.
     *
-    * Scale: the whole pass is Catalyst-visible. A downstream narrow `select`
-    * prunes the parse schema (OptimizeCsvJsonExprs pushes required fields
-    * into `from_json`), and the projection runs inside whole-stage codegen —
-    * the previous `mapPartitions` decode (JValue graph + VectorMap + Row
-    * encoder per row) was opaque to both and is gone.
+    * Scale: the whole pass is expression-level and the projection runs
+    * inside whole-stage codegen — the previous `mapPartitions` decode
+    * (JValue graph + VectorMap + Row encoder per row) was opaque to Catalyst
+    * and is gone. The parse itself sits behind an
+    * [[graft.functions.OptimizationBarrier]]: joins on converted columns
+    * would otherwise push `IsNotNull` predicates through this projection and
+    * re-evaluate `from_json` per guard branch per row (measured 10 parses
+    * per payload, 25x wall time on the explode round-trip).
     */
   def toDataFrame(emitted: Dataset[Emitted], table: String, schema: ChoiceSchema): DataFrame = {
     import ColType._
+    graft.functions.GraftFunctions.registerAll(emitted.sparkSession)
     val parseStruct = StructType(schema.columns.keys.toArray.flatMap(k =>
       BaseTags.map(t => StructField(Json.taggedKey(k, t), rawSparkType(t)))))
     // FAILFAST: a malformed payload is an engine bug — raise, don't null
-    val parsed = from_json(col("payload"), parseStruct, Map("mode" -> "FAILFAST")).as("r")
+    val parsed = graft.functions.GraftFunctions.barrier(
+      from_json(col("payload"), parseStruct, Map("mode" -> "FAILFAST"))).as("r")
 
     def fld(k: String, tag: String): Column = col("r").getField(Json.taggedKey(k, tag))
     // guard `value` with raises on tags the schema does not admit for k

@@ -133,4 +133,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // behind the persisted emit (InMemoryRelation leaf), not in this plan
     assert(lambdas == 0, s"pass-2 plan contains object-lambda nodes:\n$optimized")
   }
+
+  test("joining converted tables does not multiply the payload parse") {
+    // the rid join-back: an inner join's IsNotNull pushdown must NOT
+    // substitute from_json into a filter (10 parses/row before the barrier)
+    val df = RelationalizeQueries.relExplode(spark, dir)
+    var parses = 0
+    df.queryExecution.optimizedPlan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case _: org.apache.spark.sql.catalyst.expressions.JsonToStructs => parses += 1
+        case _ =>
+      })
+    }
+    // one parse for the root table's projection + one for the child's
+    assert(parses == 2, s"expected 2 JsonToStructs (root + child), got $parses")
+  }
 }
