@@ -63,11 +63,52 @@ object TextQueries {
       "doc_id",
       "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp")
 
+  /** PII scrubbing patterns — kept inside the RE2 ∩ java.util.regex dialect
+    * intersection so Spark and DuckDB redact identically.
+    */
+  private val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val urlPat = """https?://[A-Za-z0-9./?=&_-]+"""
+
+  /** PII/URL redaction: count then replace emails and URLs. The corpus has
+    * no PII, so the scrubable text is constructed from `customer` inside the
+    * query (the rel_* pattern) and the oracle re-derives it.
+    */
+  def scrub(s: SparkSession, dir: String): DataFrame = {
+    val sparkEmail = emailPat.replace("\\", "\\\\")
+    val sparkUrl = urlPat.replace("\\", "\\\\")
+    Tables(s, dir, "customer")
+      .selectExpr("c_custkey",
+        """concat('contact user', c_custkey, '@corp.example or admin', c_custkey,
+          |  '@corp.example', CASE WHEN c_custkey % 3 = 0
+          |  THEN concat(' via https://portal.example/path?id=', c_custkey) ELSE ' offline' END)
+          |  AS doc""".stripMargin)
+      .selectExpr("c_custkey", "doc",
+        s"CAST(size(regexp_extract_all(doc, '$sparkEmail', 0)) AS INT) AS n_emails",
+        s"CAST(size(regexp_extract_all(doc, '$sparkUrl', 0)) AS INT) AS n_urls",
+        s"regexp_replace(regexp_replace(doc, '$sparkEmail', '<EMAIL>'), '$sparkUrl', '<URL>') AS scrubbed")
+  }
+
+  /** Repetition signals (Gopher/C4-style quality filters): duplicate-token
+    * ratio and top-token fraction. `max_tok_n` is O(distinct x tokens) per
+    * document — embarrassingly parallel, no cross-document state.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").selectExpr(
+      "doc_id",
+      s"size($toks) AS n_tokens",
+      s"size(array_distinct($toks)) AS n_distinct",
+      s"CAST(aggregate(array_distinct($toks), 0, (acc, t) -> greatest(acc, size(filter($toks, x -> x = t)))) AS INT) AS max_tok_n")
+      .selectExpr("doc_id", "n_tokens", "n_distinct", "max_tok_n",
+        "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(max_tok_n AS DOUBLE) / n_tokens END AS top_tok_frac",
+        "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens END AS dup_ratio")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> tokenStats,
     "text_quality" -> qualityScore,
     "text_langid" -> langId,
     "text_fingerprint" -> fingerprint,
+    "text_scrub" -> scrub,
+    "text_repetition" -> repetition,
   )
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -110,5 +151,28 @@ object TextQueries {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "text_scrub" ->
+      s"""WITH d AS (
+         |  SELECT c_custkey,
+         |    'contact user' || c_custkey || '@corp.example or admin' || c_custkey ||
+         |    '@corp.example' || CASE WHEN c_custkey % 3 = 0
+         |      THEN ' via https://portal.example/path?id=' || c_custkey ELSE ' offline' END AS doc
+         |  FROM customer)
+         |SELECT c_custkey, doc,
+         |  CAST(len(regexp_extract_all(doc, '$emailPat')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(doc, '$urlPat')) AS INT) AS n_urls,
+         |  regexp_replace(regexp_replace(doc, '$emailPat', '<EMAIL>', 'g'), '$urlPat', '<URL>', 'g') AS scrubbed
+         |FROM d""".stripMargin,
+    "text_repetition" ->
+      s"""SELECT doc_id, n_tokens, n_distinct, max_tok_n,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(max_tok_n AS DOUBLE) / n_tokens END AS top_tok_frac,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens END AS dup_ratio
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len($duckToks) AS INT) AS n_tokens,
+         |    CAST(len(list_distinct($duckToks)) AS INT) AS n_distinct,
+         |    CAST(list_max(list_transform(list_distinct($duckToks),
+         |      t -> len(list_filter($duckToks, x -> x = t)))) AS INT) AS max_tok_n
+         |  FROM documents) t""".stripMargin,
   )
 }
