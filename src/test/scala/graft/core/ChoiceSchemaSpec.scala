@@ -163,6 +163,33 @@ class ChoiceSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("tagged payload round-trip: writeTaggedRow keys split back to (key, value tag)") {
+    // keys exercise JSON escaping (quotes, backslashes, control chars,
+    // unicode) — everything except the TagSep itself, which is reserved
+    val genKey = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.const("""with"quote"""), Gen.const("""back\slash"""),
+      Gen.const("tab\there"), Gen.const("unié中"), Gen.const("sp ace"))
+    val genVal: Gen[JValue] = Gen.oneOf(
+      Gen.const(JNull), Gen.oneOf(true, false).map(JBool.apply),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue).map(JLong.apply),
+      Gen.chooseNum(-1e9, 1e9).map(JDouble.apply),
+      Gen.alphaStr.map(JString.apply), Gen.const(JString("nes\nted")))
+    forAll(Gen.nonEmptyListOf(Gen.zip(genKey, genVal)), 300) { kvs =>
+      val distinct = kvs.toMap.toSeq // writeRow last-wins on dup keys, like dict.update
+      val parsed = Json.parseRow(Json.writeTaggedRow(distinct))
+      assert(parsed.size == distinct.size)
+      distinct.foreach { case (k, v) =>
+        val tagged = Json.taggedKey(k, ColType.of(v).repr)
+        assert(parsed.contains(tagged), s"missing $k")
+        val (k2, tag) = Json.splitTaggedKey(tagged)
+        assert(k2 == k && tag == ColType.of(v).repr)
+        // the value itself survives the round trip (NaN scrub aside)
+        assert(parsed(tagged) == v)
+      }
+    }
+  }
+
   test("convert places every non-null value in exactly one output column") {
     forAll(Gen.listOf(genRow)) { rows =>
       val schema = rows.foldLeft(ChoiceSchema.empty)(_.observe(_))
