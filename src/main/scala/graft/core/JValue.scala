@@ -138,7 +138,7 @@ object Json {
     val node = parse(s)
     require(node.isObject, s"flat row must be a JSON object: $s")
     var m = VectorMap.empty[String, JValue]
-    node.fields().asScala.foreach { e => m = m.updated(e.getKey, JValue.of(e.getValue)) }
+    node.properties().asScala.foreach { e => m = m.updated(e.getKey, JValue.of(e.getValue)) }
     m
   }
 }

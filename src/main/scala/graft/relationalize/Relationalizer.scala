@@ -77,7 +77,7 @@ object Relationalizer {
       } else if (node.isObject) {
         val prefix = if (path.isEmpty) "" else s"$path$Delimiter"
         var acc = VectorMap.empty[String, JValue]
-        node.fields().asScala.foreach { e =>
+        node.properties().asScala.foreach { e =>
           walk(e.getValue, s"$prefix${e.getKey}").foreach { case (k, v) => acc = acc.updated(k, v) }
         }
         acc
@@ -94,7 +94,7 @@ object Relationalizer {
         // synthetic columns (reference sets them on the dict before the
         // walk), so skip them here.
         var acc = VectorMap.empty[String, JValue]
-        elem.fields().asScala.foreach { e =>
+        elem.properties().asScala.foreach { e =>
           if (e.getKey != IdCol && e.getKey != IndexCol)
             walk(e.getValue, s"$prefix${e.getKey}").foreach { case (k, v) => acc = acc.updated(k, v) }
         }

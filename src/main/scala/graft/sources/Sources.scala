@@ -62,7 +62,7 @@ object MongoExtendedJson extends Serializable {
     case o: ObjectNode if o.size == 1 && unwrap(o).isDefined => unwrap(o).get
     case o: ObjectNode =>
       val out = graft.core.Json.mapper.createObjectNode()
-      o.fields().forEachRemaining(e => out.set[JsonNode](e.getKey, rewrite(e.getValue)))
+      o.properties().forEach(e => out.set[JsonNode](e.getKey, rewrite(e.getValue)))
       out
     case a: ArrayNode =>
       val out = graft.core.Json.mapper.createArrayNode()
