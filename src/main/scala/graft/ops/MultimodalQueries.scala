@@ -90,11 +90,33 @@ object MultimodalQueries {
         "octet_length(resized) AS resized_bytes",
         "md5(resized) AS resized_hash")
 
+  /** Byte-distribution statistics over the binary payload — a fully REAL
+    * multimodal operator (no decode stub): corruption / content-type
+    * heuristics run on exactly these signals. Bytes are read as hex pairs of
+    * `hex(media)`, so it works on arbitrary binary, not just text; all
+    * outputs are exact integers plus one single-division fraction
+    * (deterministic in both engines). Max-frequency is O(distinct x bytes)
+    * per document with distinct <= 256 — embarrassingly parallel.
+    */
+  def byteStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS media")
+      .selectExpr("doc_id", "octet_length(media) AS n_bytes", "hex(media) AS hx")
+      .selectExpr("doc_id", "n_bytes",
+        "transform(sequence(0, n_bytes - 1), i -> substring(hx, 2 * i + 1, 2)) AS bytes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // barrier: hex+transform once
+      .selectExpr("doc_id", "n_bytes",
+        "CAST(size(array_distinct(bytes)) AS INT) AS n_distinct_bytes",
+        "CAST(aggregate(array_distinct(bytes), 0, (acc, b) -> greatest(acc, size(filter(bytes, x -> x = b)))) AS INT) AS max_byte_n")
+      .selectExpr("doc_id", "n_bytes", "n_distinct_bytes", "max_byte_n",
+        "CASE WHEN n_bytes = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(max_byte_n AS DOUBLE) / n_bytes END AS top_byte_frac")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mediaMeta,
     "mm_features" -> mediaFeatures,
     "mm_frames" -> frameSample,
     "mm_resize" -> resizeStub,
+    "mm_bytestats" -> byteStats,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -126,5 +148,19 @@ object MultimodalQueries {
         |  CAST(i AS INT) AS frame_idx,
         |  substr(text, CAST(i * 64 + 1 AS INT), 1) AS frame_stub
         |FROM documents, LATERAL (SELECT unnest(range(0, CAST(floor((length(text) - 1) / 64) AS BIGINT) + 1)) AS i)""".stripMargin,
+    "mm_bytestats" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |    list_transform(range(0, octet_length(encode(text))),
+        |      i -> substr(hex(encode(text)), CAST(2 * i + 1 AS INT), 2)) AS bytes
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |  CAST(len(list_distinct(bytes)) AS INT) AS n_distinct_bytes,
+        |  CAST(list_max(list_transform(list_distinct(bytes),
+        |    b2 -> len(list_filter(bytes, x -> x = b2)))) AS INT) AS max_byte_n,
+        |  CASE WHEN n_bytes = 0 THEN 0.0
+        |       ELSE CAST(list_max(list_transform(list_distinct(bytes),
+        |         b2 -> len(list_filter(bytes, x -> x = b2)))) AS DOUBLE) / n_bytes END AS top_byte_frac
+        |FROM b""".stripMargin,
   )
 }
