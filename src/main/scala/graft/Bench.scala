@@ -32,6 +32,9 @@ object Bench {
   val RunsPerQuery = 3
 
   def main(args: Array[String]): Unit = {
+    // optional arg: comma-separated subset of the headline set (fast local
+    // iteration on one query); the driver invokes with no args = full set
+    val wanted = args.headOption.map(_.split(",").map(_.trim).toSet)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -52,7 +55,8 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     val catalog = SparkEntry.queries
-    val results = headline.filter(catalog.contains).map { name =>
+    val results = headline.filter(catalog.contains)
+      .filter(n => wanted.forall(_.contains(n))).map { name =>
       // 1 untimed warm-up + 3 timed runs: the first execution of a query pays
       // JIT/codegen warm-up that can dominate (measured 40x on rel_explode) —
       // a cost that amortizes to zero on any real corpus, so steady-state is

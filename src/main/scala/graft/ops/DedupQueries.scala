@@ -215,16 +215,24 @@ object DedupQueries {
     * engines (different accumulation grouping), the 0.4 decision does not.
     */
   private val dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
-  private val normA = "sqrt(aggregate(zip_with(a.v, a.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p))"
-  private val normB = "sqrt(aggregate(zip_with(b.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p))"
+
+  /** Per-vector norm, computed ONCE per vector in the projection BELOW the
+    * pair join (the join boundary stops CollapseProject from inlining it per
+    * pair). Single-pass fold `acc + x*x` accumulates in the same order as the
+    * zip_with product sum — bit-identical to `sqrt(dot(v, v))` — and
+    * references `v` once so the defining `transform` isn't inlined twice.
+    */
+  private val normOnce =
+    "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
 
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
       .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "label", "v", s"$normOnce AS nv")
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b", "a.label AS label",
-        s"$dot / ($normA * $normB) AS sim")
+        s"$dot / (a.nv * b.nv) AS sim")
       .filter(col("sim") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("label"))
   }
@@ -272,6 +280,7 @@ object DedupQueries {
       .selectExpr("vec_id", "label",
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q")
+      .selectExpr("vec_id", "label", "v", "q", s"$normOnce AS nv") // once per vector, behind the persist
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bits =
       s"transform(sequence(0, ${RH_BITS - 1}), j -> CASE WHEN " +
@@ -295,7 +304,7 @@ object DedupQueries {
     candidates
       .join(e.as("a"), col("vec_a") === col("a.vec_id"))
       .join(e.as("b"), col("vec_b") === col("b.vec_id"))
-      .selectExpr("vec_a", "vec_b", "a.label AS label", s"$dot / ($normA * $normB) AS sim")
+      .selectExpr("vec_a", "vec_b", "a.label AS label", s"$dot / (a.nv * b.nv) AS sim")
       .filter(col("sim") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("label"))
   }

@@ -23,16 +23,32 @@ object SimilarityQueries {
   private val toDouble = "transform(embedding, x -> CAST(x AS DOUBLE))"
   private def dot(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-  private def norm(a: String): String = s"sqrt(${dot(a, a)})"
 
-  /** Brute-force cosine top-k (k=5) for 10 query vectors. */
+  /** Per-vector norm as a single-pass fold (`acc + x*x` accumulates in the
+    * same order as the zip_with product sum, so the value is bit-identical to
+    * `sqrt(dot(a, a))`) — referencing the array once keeps CollapseProject
+    * from inlining the `transform` twice when this sits next to the
+    * projection that defines it.
+    */
+  private def norm(a: String): String =
+    s"sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+
+  /** Brute-force cosine top-k (k=5) for 10 query vectors.
+    *
+    * Norms are a per-vector quantity: they are computed ONCE per vector in
+    * the projections BELOW the pair join (the join boundary stops
+    * CollapseProject from inlining them into the per-pair similarity), so
+    * each candidate pair evaluates exactly one higher-order fold (the dot)
+    * instead of three.
+    */
   def annBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$toDouble AS v")
+      .selectExpr("vec_id", "v", s"${norm("v")} AS nv")
     val queries = emb.filter(col("vec_id") < 10)
-      .selectExpr("vec_id AS query_id", "v AS qv")
+      .selectExpr("vec_id AS query_id", "v AS qv", "nv AS qnv")
     val sims = broadcast(queries).join(emb, col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "vec_id AS neighbor_id",
-        s"${dot("qv", "v")} / (${norm("qv")} * ${norm("v")}) AS sim")
+        s"${dot("qv", "v")} / (qnv * nv) AS sim")
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     sims.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -66,12 +82,12 @@ object SimilarityQueries {
     */
   private def assignBuckets(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroids))
-      .selectExpr("vec_id", "v", "q", "cid",
+      .selectExpr("vec_id", "v", "q", "nv", "cid",
         s"CAST(${idot("q", "s")} AS DOUBLE) / cnt AS score")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid").asc)))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("q"), col("cid").as("bucket"))
+      .select(col("vec_id"), col("v"), col("q"), col("nv"), col("cid").as("bucket"))
 
   /** Centroid update: per-component exact int64 sums + member count. The
     * shuffle after partial aggregation is bounded by k x dim rows — the
@@ -97,6 +113,7 @@ object SimilarityQueries {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
       .selectExpr("vec_id", s"$toDouble AS v", s"$qExpr AS q")
+      .selectExpr("vec_id", "v", "q", s"${norm("v")} AS nv") // once per vector, behind the persist
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids = emb.filter(col("vec_id") < IVF_K)
       .selectExpr("vec_id AS cid", "q AS s", "CAST(1 AS BIGINT) AS cnt")
@@ -105,16 +122,16 @@ object SimilarityQueries {
     centroids = centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = assignBuckets(emb, centroids)
     val probes = emb.filter(col("vec_id") < 10).crossJoin(broadcast(centroids))
-      .selectExpr("vec_id AS query_id", "v AS qv", "cid",
+      .selectExpr("vec_id AS query_id", "v AS qv", "nv AS qnv", "cid",
         s"CAST(${idot("q", "s")} AS DOUBLE) / cnt AS score")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cid").asc)))
       .filter(col("rk") <= IVF_PROBES)
-      .select(col("query_id"), col("qv"), col("cid").as("bucket"))
+      .select(col("query_id"), col("qv"), col("qnv"), col("cid").as("bucket"))
     val sims = broadcast(probes).join(assigned, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "bucket", "vec_id AS neighbor_id",
-        s"${dot("qv", "v")} / (${norm("qv")} * ${norm("v")}) AS sim")
+        s"${dot("qv", "v")} / (qnv * nv) AS sim")
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     sims.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
