@@ -29,6 +29,12 @@ object GraftFunctions {
       "hash60", exprs => Hash60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_barrier", exprs => OptimizationBarrier(exprs.head), "built-in")
+    // parse-schema pruning through the barrier (idempotent registration):
+    // runs after the main operator-optimization batch, where ColumnPruning
+    // has already narrowed consumer projections
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PruneBarrieredJsonParse))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PruneBarrieredJsonParse
   }
 
   private def foldableString(e: Expression, what: String): String = e match {

@@ -134,6 +134,65 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lambdas == 0, s"pass-2 plan contains object-lambda nodes:\n$optimized")
   }
 
+  test("embedding pair stages compute norms per vector, not per pair") {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Sqrt}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // pre-order prefix up to and including the first Join = the per-pair
+    // region of the plan (projection / filter / window chain + the pair join
+    // itself, where a pushed predicate may land)
+    def pairStageCounts(df: org.apache.spark.sql.DataFrame): (Int, Int, String) = {
+      val plan = df.queryExecution.optimizedPlan
+      val pre = plan.collect { case n => n }
+      val firstJoin = pre.indexWhere(_.isInstanceOf[Join])
+      assert(firstJoin >= 0, s"no join in plan:\n$plan")
+      var aggs = 0
+      var sqrts = 0
+      pre.take(firstJoin + 1).foreach(n => n.expressions.foreach(_.foreach {
+        case _: ArrayAggregate => aggs += 1
+        case _: Sqrt => sqrts += 1
+        case _ =>
+      }))
+      (aggs, sqrts, plan.toString)
+    }
+    for (df <- Seq(SimilarityQueries.annBruteForce(spark, dir),
+                   DedupQueries.dedupEmbeddingLsh(spark, dir))) {
+      val (aggs, sqrts, p) = pairStageCounts(df)
+      // exactly ONE higher-order fold per candidate pair: the dot product —
+      // the norms must live below the join, evaluated once per vector
+      assert(aggs == 1, s"expected 1 per-pair fold (the dot), got $aggs:\n$p")
+      assert(sqrts == 0, s"norm recomputed per pair ($sqrts sqrt above the join):\n$p")
+    }
+  }
+
+  test("narrow select over a wide relationalized table prunes the payload parse") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+    import org.apache.spark.sql.types.StructType
+    // 50-column documents; consumers select 2
+    val doc = (0 until 50).map(i => s""""c$i": $i""").mkString("{", ", ", "}")
+    val docs = spark.createDataset(Seq(doc, doc))(Encoders.STRING)
+    val wide = graft.relationalize.RelationalizeSpark(docs, "w")("w")
+    val narrow = wide.select("c3", "c7")
+    val parses = narrow.queryExecution.optimizedPlan.collect { case n =>
+      n.expressions.flatMap(_.collect { case j: JsonToStructs => j })
+    }.flatten
+    assert(parses.size == 1, s"expected 1 parse, got ${parses.size}")
+    val fields = parses.head.schema.asInstanceOf[StructType].fieldNames
+    // 2 columns x 4 tag fields (value + 3 raise-on-bad-tag guards), not 200
+    assert(fields.length == 8, s"parse schema not pruned: ${fields.length} fields")
+    assert(fields.forall(f => f.startsWith(s"c3${graft.core.Json.TagSep}") ||
+        f.startsWith(s"c7${graft.core.Json.TagSep}")),
+      s"unexpected fields: ${fields.mkString(",")}")
+    // values survive pruning
+    val rows = narrow.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((3L, 7L), (3L, 7L)))
+    // an unpruned consumer still parses the full struct (rule is use-driven)
+    val full = wide.queryExecution.optimizedPlan.collect { case n =>
+      n.expressions.flatMap(_.collect { case j: JsonToStructs => j })
+    }.flatten
+    assert(full.head.schema.asInstanceOf[StructType].length == 200)
+  }
+
   test("joining converted tables does not multiply the payload parse") {
     // the rid join-back: an inner join's IsNotNull pushdown must NOT
     // substitute from_json into a filter (10 parses/row before the barrier)
