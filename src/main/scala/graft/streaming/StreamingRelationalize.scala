@@ -88,36 +88,78 @@ object StreamingRelationalize {
     }
   }
 
+  private[graft] val MigratingSuffix = "__migrating"
+  private[graft] val RetiredSuffix = "__retired"
+
   /** Rewrite a parquet table written under `from`'s layout into `to`'s.
     *
     * `merge` only widens, so every old output column has a well-defined home
     * in the new layout: a scalar that became a choice moves under its member
     * name (`v` -> `v_int`), existing choice members keep their column, and
     * columns the new schema added read as null. Rewrites go to a sibling
-    * directory first and swap in via rename — the read and the write never
-    * touch the same files.
+    * directory first, then swap in with a TWO-rename sequence (live aside to
+    * `__retired`, rewrite in, drop retired): a crash at any point leaves
+    * either the old or the new copy intact for
+    * [[recoverInterruptedMigration]] to roll forward or back — the live
+    * directory is never the only copy being destroyed.
+    *
+    * Re-entrant: columns are bound against what the files actually contain,
+    * not blindly against `from` — if a previous migration swapped in the new
+    * layout but crashed before the schema store was updated, the re-run is
+    * an identity rewrite instead of a read under the stale old layout (which
+    * would silently null every moved column).
     */
   private[graft] def migrateParquet(spark: SparkSession, path: String,
                                     from: ChoiceSchema, to: ChoiceSchema): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverInterruptedMigration(fs, path)
     if (!fs.exists(p)) return
     val newStruct = to.toStructType
     val types = newStruct.fields.map(f => f.name -> f.dataType).toMap
+    val existing = spark.read.parquet(path)
+    val present = existing.columns.toSet
     val exprs = to.outputBindings.map { case (out, k, tag) =>
-      val source: Option[String] = from.columns.get(k).flatMap {
-        case ColType.CChoice(ms) => if (ms.contains(tag)) Some(s"${k}_$tag") else None
-        case ColType.CNone => None // all-null placeholder: nothing to carry
-        case t => if (t.repr == tag) Some(k) else None
-      }
+      val source: Option[String] =
+        if (present.contains(out)) Some(out) // already in target layout
+        else from.columns.get(k).flatMap {
+          case ColType.CChoice(ms) => if (ms.contains(tag)) Some(s"${k}_$tag") else None
+          case ColType.CNone => None // all-null placeholder: nothing to carry
+          case t => if (t.repr == tag) Some(k) else None
+        }.filter(present.contains)
       source.fold(lit(null).cast(types(out)))(c => col(c)).as(out)
     }
-    val tmp = new Path(path + "__migrating")
-    spark.read.schema(from.toStructType).parquet(path)
-      .select(exprs: _*)
+    val tmp = new Path(path + MigratingSuffix)
+    val retired = new Path(path + RetiredSuffix)
+    existing.select(exprs: _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
+    fs.rename(p, retired)
     fs.rename(tmp, p)
+    fs.delete(retired, true)
+  }
+
+  /** Self-heal the leftovers of an interrupted [[migrateParquet]] swap.
+    * Idempotent; called per table at every batch start and at migration
+    * entry. The swap's crash states map to exactly one action each:
+    *
+    *   - live missing + `__migrating` present: the rewrite completed and the
+    *     old copy was moved aside — roll FORWARD (rename the rewrite in);
+    *   - live missing + only `__retired` present: roll BACK (restore old);
+    *   - live present + stale `__migrating`: a half-written rewrite — drop it
+    *     (the next widening re-runs the rewrite from the live copy);
+    *   - live present + stale `__retired`: the swap completed — drop the old.
+    */
+  private[graft] def recoverInterruptedMigration(fs: org.apache.hadoop.fs.FileSystem,
+                                                path: String): Unit = {
+    val p = new Path(path)
+    val tmp = new Path(path + MigratingSuffix)
+    val retired = new Path(path + RetiredSuffix)
+    if (!fs.exists(p)) {
+      if (fs.exists(tmp)) fs.rename(tmp, p)
+      else if (fs.exists(retired)) fs.rename(retired, p)
+    }
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** Evolving-schema streaming into per-table parquet under `outDir/<t>/`:
@@ -126,7 +168,18 @@ object StreamingRelationalize {
     * becomes a choice, a new column or member appears) the already-written
     * parquet is migrated BEFORE the batch appends, so the sink always holds
     * one consistent layout and the final tables equal a batch run over the
-    * full corpus. Survives restarts: schema state is re-read per batch.
+    * full corpus. Survives restarts: schema state is re-read per batch, and
+    * every batch first self-heals any interrupted migration swap.
+    *
+    * Crash-safety ordering per table: recover -> migrate -> save schema ->
+    * append. Saving BEFORE the append means a crash anywhere in the batch
+    * leaves store >= file layout or an uncommitted checkpoint: the batch
+    * replays with the same observed schemas, the migration re-runs (an
+    * identity rewrite if it already swapped in), and the append lands in the
+    * consistent layout. The standard foreachBatch caveat applies: a crash
+    * AFTER the append but before the checkpoint commit replays the batch and
+    * duplicates its rows — at-least-once, like every non-idempotent
+    * foreachBatch sink.
     */
   def runToParquetEvolving(lines: Dataset[String], name: String, outDir: String,
                            checkpoint: String): StreamingQuery =
@@ -138,13 +191,15 @@ object StreamingRelationalize {
         try {
           RelationalizeSpark.collectSchemas(emitted).foreach { case (t, observed) =>
             val tablePath = s"$outDir/$t"
+            val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+            recoverInterruptedMigration(fs, tablePath)
             val prior = SchemaStore.load(spark, outDir, t)
             val merged = prior.fold(observed)(_.merge(observed))
             prior.filter(_.outputColumns != merged.outputColumns)
               .foreach(p => migrateParquet(spark, tablePath, p, merged))
+            SchemaStore.save(spark, outDir, t, merged)
             RelationalizeSpark.toDataFrame(emitted, t, merged)
               .write.mode(SaveMode.Append).parquet(tablePath)
-            SchemaStore.save(spark, outDir, t, merged)
           }
         } finally emitted.unpersist()
       }

@@ -92,6 +92,124 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       batchRun.select(cols: _*).collect().map(key).sorted.toSeq)
   }
 
+  test("interrupted migration swap: every crash state self-heals") {
+    import graft.streaming.StreamingRelationalize.{recoverInterruptedMigration => recover, MigratingSuffix, RetiredSuffix}
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mk(dir: String, marker: String): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(dir))
+      Files.writeString(java.nio.file.Paths.get(s"$dir/$marker"), marker)
+    }
+    def only(dir: String): String =
+      new java.io.File(dir).listFiles().map(_.getName).mkString(",")
+
+    // crash between the two renames: live missing, rewrite + retired present
+    val t1 = Files.createTempDirectory("graft-mig1").toString + "/t"
+    mk(t1 + MigratingSuffix, "new"); mk(t1 + RetiredSuffix, "old")
+    recover(fs, t1)
+    assert(only(t1) == "new", "must roll FORWARD to the completed rewrite")
+    assert(!fs.exists(new Path(t1 + MigratingSuffix)) && !fs.exists(new Path(t1 + RetiredSuffix)))
+
+    // defensive state: only the retired copy survives — roll back
+    val t2 = Files.createTempDirectory("graft-mig2").toString + "/t"
+    mk(t2 + RetiredSuffix, "old")
+    recover(fs, t2)
+    assert(only(t2) == "old", "must restore the retired copy")
+
+    // crash mid-rewrite: live intact, half-written tmp discarded
+    val t3 = Files.createTempDirectory("graft-mig3").toString + "/t"
+    mk(t3, "live"); mk(t3 + MigratingSuffix, "partial")
+    recover(fs, t3)
+    assert(only(t3) == "live" && !fs.exists(new Path(t3 + MigratingSuffix)))
+
+    // crash after the swap: stale retired dropped
+    val t4 = Files.createTempDirectory("graft-mig4").toString + "/t"
+    mk(t4, "live"); mk(t4 + RetiredSuffix, "old")
+    recover(fs, t4)
+    assert(only(t4) == "live" && !fs.exists(new Path(t4 + RetiredSuffix)))
+  }
+
+  test("migration crash injected between the renames: next batch self-heals") {
+    import graft.streaming.StreamingRelationalize
+    import org.apache.hadoop.fs.Path
+    val tmp = Files.createTempDirectory("graft-crash1").toString
+    val inDir = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val batch1 = Seq("""{"id": 1, "v": 10}""", """{"id": 2, "v": 20}""")
+    val batch2 = Seq("""{"id": 3, "v": "s3"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/part0.jsonl"), batch1.mkString("\n"))
+    StreamingRelationalize.runToParquetEvolving(
+      spark.readStream.textFile(inDir), "t", s"$tmp/out", s"$tmp/ckpt")
+      .awaitTermination(60000)
+
+    // fabricate the between-renames crash: live moved aside, rewrite present
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$tmp/out/t")
+    fs.rename(live, new Path(s"$tmp/out/t${StreamingRelationalize.RetiredSuffix}"))
+    // the completed rewrite (same narrow layout is fine: recovery only swaps)
+    fs.mkdirs(live.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$tmp/out/t${StreamingRelationalize.RetiredSuffix}"),
+      fs, new Path(s"$tmp/out/t${StreamingRelationalize.MigratingSuffix}"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(live))
+
+    // next batch: recovery rolls the rewrite forward, then the widening
+    // migrates it and appends
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/part1.jsonl"), batch2.mkString("\n"))
+    StreamingRelationalize.runToParquetEvolving(
+      spark.readStream.textFile(inDir), "t", s"$tmp/out", s"$tmp/ckpt")
+      .awaitTermination(60000)
+
+    val streamed = spark.read.parquet(s"$tmp/out/t")
+    val batchRun = graft.relationalize.RelationalizeSpark(
+      graft.sources.Sources.fromIterable(spark, batch1 ++ batch2), "t")("t")
+    val cols = batchRun.columns.sorted.map(col)
+    val key: org.apache.spark.sql.Row => String = _.toSeq.map(String.valueOf).mkString("|")
+    assert(streamed.columns.sorted.toSeq == batchRun.columns.sorted.toSeq)
+    assert(streamed.select(cols: _*).collect().map(key).sorted.toSeq ==
+      batchRun.select(cols: _*).collect().map(key).sorted.toSeq)
+    assert(!fs.exists(new Path(s"$tmp/out/t${StreamingRelationalize.RetiredSuffix}")))
+    assert(!fs.exists(new Path(s"$tmp/out/t${StreamingRelationalize.MigratingSuffix}")))
+  }
+
+  test("re-migration under a stale schema store is an identity rewrite, not data loss") {
+    import graft.streaming.StreamingRelationalize
+    val tmp = Files.createTempDirectory("graft-crash2").toString
+    val inDir = s"$tmp/in"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val batch1 = Seq("""{"id": 1, "v": 10}""", """{"id": 2, "v": 20}""")
+    val batch2 = Seq("""{"id": 3, "v": "s3"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/part0.jsonl"), batch1.mkString("\n"))
+    StreamingRelationalize.runToParquetEvolving(
+      spark.readStream.textFile(inDir), "t", s"$tmp/out", s"$tmp/ckpt")
+      .awaitTermination(60000)
+    val oldSchema = StreamingRelationalize.SchemaStore.load(spark, s"$tmp/out", "t").get
+
+    // simulate: a widening batch migrated the files but crashed before the
+    // schema store was updated and before its append — files are already in
+    // the NEW layout, the store still says the old one
+    val docs23 = graft.relationalize.RelationalizeSpark(
+      graft.sources.Sources.fromIterable(spark, batch1 ++ batch2), "t")
+    val wide = docs23.schemas("t")
+    StreamingRelationalize.migrateParquet(spark, s"$tmp/out/t", oldSchema, wide)
+    assert(spark.read.parquet(s"$tmp/out/t").columns.contains("v_int"))
+
+    // replayed batch: the stale store re-triggers the migration over the
+    // already-migrated files — must keep the moved values, not null them
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/part1.jsonl"), batch2.mkString("\n"))
+    StreamingRelationalize.runToParquetEvolving(
+      spark.readStream.textFile(inDir), "t", s"$tmp/out", s"$tmp/ckpt")
+      .awaitTermination(60000)
+
+    val streamed = spark.read.parquet(s"$tmp/out/t")
+    val batchRun = docs23("t")
+    val cols = batchRun.columns.sorted.map(col)
+    val key: org.apache.spark.sql.Row => String = _.toSeq.map(String.valueOf).mkString("|")
+    assert(streamed.columns.sorted.toSeq == batchRun.columns.sorted.toSeq)
+    assert(streamed.select(cols: _*).collect().map(key).sorted.toSeq ==
+      batchRun.select(cols: _*).collect().map(key).sorted.toSeq)
+  }
+
   test("streaming tumbling-window aggregation with watermark over events JSONL") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-swin").toString
