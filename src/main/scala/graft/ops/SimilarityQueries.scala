@@ -57,14 +57,17 @@ object SimilarityQueries {
 
   // --- IVF with a real coarse quantizer -------------------------------
 
-  /** Lloyd iterations and probe count for the IVF index. On the synthetic
-    * corpus (essentially unclustered random vectors) 3-of-8 probes hold
-    * recall@5 >= 0.9 vs brute force; clustered production data gets the same
-    * recall from fewer probes — probe count is the recall/cost dial.
+  /** IVF index configuration: centroid count, Lloyd refinement iterations,
+    * and probe count. The defaults hold recall@5 >= 0.9 vs brute force on
+    * the synthetic corpus (essentially unclustered random vectors — the
+    * hardest case for IVF); clustered production data gets the same recall
+    * from fewer probes. Probe count is the recall/cost dial, k the
+    * bucket-size/build-cost dial; [[annRecall]] reports the recall of any
+    * configuration continuously, per query.
     */
-  private val IVF_K = 8
-  private val IVF_ITERS = 2
-  private val IVF_PROBES = 3
+  final case class IvfConfig(k: Int = 8, iters: Int = 2, probes: Int = 3) {
+    require(k > 0 && iters >= 0 && probes > 0)
+  }
 
   /** Quantized vector: floor(x * 10000) per component. All quantizer math is
     * then *exact* int64 — component sums are order-independent (safe to
@@ -103,21 +106,21 @@ object SimilarityQueries {
         min(col("cnt")).as("cnt"))
       .selectExpr("bucket AS cid", "transform(ps, p -> p.sm) AS s", "cnt")
 
-  /** IVF ANN with a real coarse quantizer: k=8 centroids seeded from the
-    * first 8 vectors, refined by 2 deterministic Lloyd iterations over the
-    * quantized vectors, then multi-probe search (nearest 3 buckets per
-    * query) with exact cosine ranking inside the probed buckets — always
-    * bucket-blocked, never all-pairs. See [[annRecall]] for the measured
-    * recall against [[annBruteForce]].
+  /** IVF ANN with a real coarse quantizer: `cfg.k` centroids seeded from the
+    * first k vectors, refined by `cfg.iters` deterministic Lloyd iterations
+    * over the quantized vectors, then multi-probe search (nearest
+    * `cfg.probes` buckets per query) with exact cosine ranking inside the
+    * probed buckets — always bucket-blocked, never all-pairs. See
+    * [[annRecall]] for the measured recall against [[annBruteForce]].
     */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String, cfg: IvfConfig = IvfConfig()): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
       .selectExpr("vec_id", s"$toDouble AS v", s"$qExpr AS q")
       .selectExpr("vec_id", "v", "q", s"${norm("v")} AS nv") // once per vector, behind the persist
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids = emb.filter(col("vec_id") < IVF_K)
+    var centroids = emb.filter(col("vec_id") < cfg.k)
       .selectExpr("vec_id AS cid", "q AS s", "CAST(1 AS BIGINT) AS cnt")
-    for (_ <- 1 to IVF_ITERS)
+    for (_ <- 1 to cfg.iters)
       centroids = recomputeCentroids(assignBuckets(emb, centroids))
     centroids = centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = assignBuckets(emb, centroids)
@@ -126,7 +129,7 @@ object SimilarityQueries {
         s"CAST(${idot("q", "s")} AS DOUBLE) / cnt AS score")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cid").asc)))
-      .filter(col("rk") <= IVF_PROBES)
+      .filter(col("rk") <= cfg.probes)
       .select(col("query_id"), col("qv"), col("qnv"), col("cid").as("bucket"))
     val sims = broadcast(probes).join(assigned, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -140,11 +143,13 @@ object SimilarityQueries {
   }
 
   /** Recall accounting for the IVF index: per query, how many of the exact
-    * brute-force top-5 the multi-probe IVF search recovered.
+    * brute-force top-5 the multi-probe IVF search recovered — the continuous
+    * quality report a production deployment watches when it retunes
+    * (k, iters, probes).
     */
-  def annRecall(s: SparkSession, dir: String): DataFrame = {
+  def annRecall(s: SparkSession, dir: String, cfg: IvfConfig = IvfConfig()): DataFrame = {
     val bf = annBruteForce(s, dir).select(col("query_id"), col("neighbor_id"))
-    val ivf = annIvf(s, dir).select(col("query_id"), col("neighbor_id"))
+    val ivf = annIvf(s, dir, cfg).select(col("query_id"), col("neighbor_id"))
     val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
     bf.select(col("query_id")).distinct()
@@ -160,10 +165,16 @@ object SimilarityQueries {
       "element_at(embedding, 1) AS e1", "element_at(embedding, 64) AS e64",
       "label")
 
+  /** Non-default exercise config for the parameterized surface: fewer,
+    * larger buckets, one Lloyd round, 2 probes.
+    */
+  val AltConfig: IvfConfig = IvfConfig(k = 4, iters = 1, probes = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> annBruteForce,
-    "ann_ivf" -> annIvf,
-    "ann_recall" -> annRecall,
+    "ann_ivf" -> ((s, dir) => annIvf(s, dir)),
+    "ann_recall" -> ((s, dir) => annRecall(s, dir)),
+    "ann_recall_alt" -> ((s, dir) => annRecall(s, dir, AltConfig)),
     "emb_stats" -> embStats,
   )
 
@@ -188,28 +199,29 @@ object SimilarityQueries {
        |  GROUP BY 1)""".stripMargin
 
   /** Shared CTE chain for the IVF oracle: quantized vectors, seeded
-    * centroids, 2 unrolled Lloyd iterations, final assignment, multi-probe
-    * candidates ranked by exact cosine.
+    * centroids, `cfg.iters` unrolled Lloyd iterations, final assignment,
+    * multi-probe candidates ranked by exact cosine.
     */
-  private val duckIvfCtes: String =
+  private def duckIvfCtes(cfg: IvfConfig): String = {
+    val lloyds = (1 to cfg.iters)
+      .map(i => duckLloyd(s"c${i - 1}", s"a$i", s"c$i") + ",\n").mkString
+    val cFinal = s"c${cfg.iters}"
     s"""e AS (SELECT vec_id, $duckV AS v,
        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, q AS s, CAST(1 AS BIGINT) AS cnt FROM e WHERE vec_id < $IVF_K),
-       |${duckLloyd("c0", "a1", "c1")},
-       |${duckLloyd("c1", "a2", "c2")},
-       |assigned AS (
+       |c0 AS (SELECT vec_id AS cid, q AS s, CAST(1 AS BIGINT) AS cnt FROM e WHERE vec_id < ${cfg.k}),
+       |${lloyds}assigned AS (
        |  SELECT vec_id, v, bucket FROM (
        |    SELECT e.vec_id, e.v, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY CAST(${duckDot("e.q", "c.s")} AS DOUBLE) / c.cnt DESC, c.cid ASC) AS rk
-       |    FROM e CROSS JOIN c2 c) t WHERE rk = 1),
+       |    FROM e CROSS JOIN $cFinal c) t WHERE rk = 1),
        |probes AS (
        |  SELECT query_id, qv, bucket FROM (
        |    SELECT e.vec_id AS query_id, e.v AS qv, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY CAST(${duckDot("e.q", "c.s")} AS DOUBLE) / c.cnt DESC, c.cid ASC) AS rk
-       |    FROM e CROSS JOIN c2 c WHERE e.vec_id < 10) t WHERE rk <= $IVF_PROBES),
+       |    FROM e CROSS JOIN $cFinal c WHERE e.vec_id < 10) t WHERE rk <= ${cfg.probes}),
        |ivf_sims AS (
        |  SELECT p.query_id, p.bucket, a.vec_id AS neighbor_id,
        |    ${duckDot("p.qv", "a.v")} / (sqrt(${duckDot("p.qv", "p.qv")}) * sqrt(${duckDot("a.v", "a.v")})) AS sim
@@ -219,6 +231,31 @@ object SimilarityQueries {
        |    SELECT query_id, bucket, neighbor_id,
        |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rk
        |    FROM ivf_sims) t WHERE rk <= 5)""".stripMargin
+  }
+
+  /** The recall oracle for a given IVF config (shared by the default and
+    * alternative catalog entries).
+    */
+  private def duckRecallSql(cfg: IvfConfig): String =
+    s"""WITH ${duckIvfCtes(cfg)},
+       |bf_sims AS (
+       |  SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+       |    ${duckDot("q.v", "e2.v")} / (sqrt(${duckDot("q.v", "q.v")}) * sqrt(${duckDot("e2.v", "e2.v")})) AS sim
+       |  FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id WHERE q.vec_id < 10),
+       |bf_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+       |    FROM bf_sims) t WHERE rk <= 5),
+       |hit_counts AS (
+       |  SELECT b.query_id, count(1) AS hits
+       |  FROM bf_top b JOIN ivf_top i
+       |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       |  GROUP BY 1)
+       |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM (SELECT DISTINCT query_id FROM bf_top) q
+       |LEFT JOIN hit_counts h ON h.query_id = q.query_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "ann_bruteforce" ->
@@ -233,29 +270,11 @@ object SimilarityQueries {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rk
          |  FROM sims) t WHERE rk <= 5""".stripMargin,
     "ann_ivf" ->
-      s"""WITH $duckIvfCtes
+      s"""WITH ${duckIvfCtes(IvfConfig())}
          |SELECT query_id, CAST(bucket AS BIGINT) AS bucket, neighbor_id, rk
          |FROM ivf_top""".stripMargin,
-    "ann_recall" ->
-      s"""WITH $duckIvfCtes,
-         |bf_sims AS (
-         |  SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
-         |    ${duckDot("q.v", "e2.v")} / (sqrt(${duckDot("q.v", "q.v")}) * sqrt(${duckDot("e2.v", "e2.v")})) AS sim
-         |  FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id WHERE q.vec_id < 10),
-         |bf_top AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
-         |    FROM bf_sims) t WHERE rk <= 5),
-         |hit_counts AS (
-         |  SELECT b.query_id, count(1) AS hits
-         |  FROM bf_top b JOIN ivf_top i
-         |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
-         |  GROUP BY 1)
-         |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
-         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
-         |FROM (SELECT DISTINCT query_id FROM bf_top) q
-         |LEFT JOIN hit_counts h ON h.query_id = q.query_id""".stripMargin,
+    "ann_recall" -> duckRecallSql(IvfConfig()),
+    "ann_recall_alt" -> duckRecallSql(AltConfig),
     "emb_stats" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         |  embedding[1] AS e1, embedding[64] AS e64, label

@@ -26,4 +26,20 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     val overall = rec.agg(avg(col("recall"))).head().getDouble(0)
     assert(overall >= 0.9, s"IVF recall@5 degraded to $overall")
   }
+
+  test("parameterized IVF: a non-default (k, iters, probes) config runs and reports recall") {
+    import SimilarityQueries.IvfConfig
+    val cfg = IvfConfig(k = 4, iters = 1, probes = 2)
+    val rec = SimilarityQueries.annRecall(spark, "/root/testdata/sf0.001", cfg).collect()
+    assert(rec.length == 10, "one recall row per query vector")
+    assert(rec.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // probing 2 of 4 buckets must find a nontrivial share of true neighbors
+    assert(rec.map(_.getDouble(2)).sum / rec.length >= 0.4,
+      s"alt-config recall collapsed: ${rec.map(_.getDouble(2)).mkString(",")}")
+    // the probe dial is monotone in expectation: probing ALL buckets is exact
+    val exhaustive = SimilarityQueries
+      .annRecall(spark, "/root/testdata/sf0.001", IvfConfig(k = 4, iters = 1, probes = 4))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(exhaustive == 1.0, s"probing every bucket must be exact, got $exhaustive")
+  }
 }
