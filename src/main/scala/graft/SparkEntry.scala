@@ -16,7 +16,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.RelationalizeQueries.relExplode(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 — the public
+    * catalog. Every path here is scale-safe (no all-pairs joins): the
+    * quadratic equivalence anchors live in [[oracleBaselines]].
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.RelationalizeQueries.queries ++
       ops.RelationalQueries.queries ++
@@ -24,6 +27,14 @@ object SparkEntry {
       ops.TextQueries.queries ++
       ops.SimilarityQueries.queries ++
       ops.MultimodalQueries.queries
+
+  /** Test-only quadratic baselines (`oracle_` prefix), fenced out of
+    * [[queries]] so a user cannot accidentally run an all-pairs join at
+    * scale. Still verified by the gate: matching the scale-safe twin's
+    * oracle IS the equivalence proof.
+    */
+  def oracleBaselines: Map[String, (SparkSession, String) => DataFrame] =
+    ops.DedupQueries.oracleBaselines
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -35,4 +46,8 @@ object SparkEntry {
       ops.TextQueries.oracleSql ++
       ops.SimilarityQueries.oracleSql ++
       ops.MultimodalQueries.oracleSql
+
+  /** Oracles for [[oracleBaselines]], key-for-key. */
+  def baselineOracleSql: Map[String, String] =
+    ops.DedupQueries.baselineOracleSql
 }

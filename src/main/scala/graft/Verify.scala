@@ -17,7 +17,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // drop result dirs for queries no longer in the catalog (renames would
+    // otherwise leave stale outputs the compare reports as oracle-less)
+    val live = SparkEntry.queries.keySet ++ SparkEntry.oracleBaselines.keySet
+    if (only.isEmpty)
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !live.contains(f.getName))
+        .foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(d))
+    // the gate covers the public catalog AND the fenced quadratic baselines
+    // (the latter are the equivalence anchors for the scale-safe paths)
+    (SparkEntry.queries ++ SparkEntry.oracleBaselines)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -41,7 +50,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = (SparkEntry.oracleSql ++ SparkEntry.baselineOracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -382,6 +382,15 @@ object DedupQueries {
     * 0/1 changed flag; labels stay distributed. Each round is a self-cleaning
     * shuffle pipeline (persist the new generation, drop the old).
     *
+    * Cache lifecycle: every intermediate generation and the symmetric edge
+    * list are unpersisted before returning; the result is a checkpointed
+    * final generation (reliable checkpoint when a checkpoint dir is set —
+    * the right call on a real cluster where localCheckpoint blocks die with
+    * executors — else a local checkpoint). Its truncated lineage references
+    * no loop state, and its blocks are released by the ContextCleaner once
+    * the caller drops the DataFrame — no manual cache management leaks
+    * across a long session.
+    *
     * @param edges    undirected edge list, columns (src, dst) — one row per
     *                 direction is NOT required; symmetry is added here
     * @param vertices one column `id`; isolated vertices keep their own label
@@ -407,7 +416,12 @@ object DedupQueries {
       labels.unpersist()
       labels = next
     }
-    labels
+    val result =
+      if (labels.sparkSession.sparkContext.getCheckpointDir.isDefined) labels.checkpoint(true)
+      else labels.localCheckpoint(true)
+    labels.unpersist()
+    sym.unpersist()
+    result
   }
 
   /** Near-dup cluster resolution — the step a production dedup runs after
@@ -427,18 +441,32 @@ object DedupQueries {
         (col("id") === col("label")).as("is_survivor"))
   }
 
+  /** Public catalog: scale-safe paths only. The quadratic all-pairs
+    * baselines live in [[oracleBaselines]] so a user browsing this map
+    * cannot accidentally launch an all-pairs join over a 100 TB corpus.
+    */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
     "dedup_exact" -> dedupExact,
-    "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash_sig" -> minhashSignatures,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
-    "dedup_simhash_pairs" -> simhashPairs,
-    "dedup_embedding" -> dedupEmbedding,
     "dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "dedup_simhash_lsh" -> simhashLsh,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
+  )
+
+  /** Test-only quadratic baselines (`oracle_` prefix): each is the provably
+    * equivalent all-pairs anchor for a scale-safe path in [[queries]]
+    * (prefix-filtered Jaccard, banded SimHash, hyperplane-LSH embeddings).
+    * They stay in the correctness gate — matching the scale-safe twin's
+    * oracle IS the equivalence test — but are fenced out of the public
+    * catalog: at 100 TB an all-pairs join is never the right plan.
+    */
+  val oracleBaselines: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "oracle_dedup_jaccard" -> dedupJaccard,
+    "oracle_dedup_simhash_pairs" -> simhashPairs,
+    "oracle_dedup_embedding" -> dedupEmbedding,
   )
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -448,7 +476,7 @@ object DedupQueries {
     s"list_distinct(list_transform(range(1, greatest(len($duckToks) - 1, 1)), " +
       s"i -> $duckToks[i] || ' ' || $duckToks[i + 1] || ' ' || $duckToks[i + 2]))"
 
-  val oracleSql: Map[String, String] = Map(
+  private val allOracleSql: Map[String, String] = Map(
     // components via a recursive CTE: reach(node, r) holds every label r
     // reachable from node over the symmetric near-dup edge set; min(r) per
     // node is the component min — exactly the propagation fixpoint
@@ -480,7 +508,7 @@ object DedupQueries {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keeper, count(1) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "dedup_jaccard" ->
+    "oracle_dedup_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, list_distinct($duckToks) AS tset FROM documents),
          |sizes AS (SELECT doc_id, lang, len(tset) AS sz FROM d),
          |postings AS (SELECT doc_id, lang, unnest(tset) AS tok FROM d),
@@ -530,7 +558,7 @@ object DedupQueries {
          |      t -> 2 * (CAST(floor((${duckH("t")} % ${P}) / power(2, j)) AS BIGINT) % 2) - 1)) > 0
          |    THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
          |FROM documents""".stripMargin,
-    "dedup_embedding" ->
+    "oracle_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
@@ -575,7 +603,7 @@ object DedupQueries {
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin,
-    "dedup_simhash_pairs" ->
+    "oracle_dedup_simhash_pairs" ->
       s"""WITH sigs AS (
          |  SELECT doc_id, lang,
          |    CAST(list_sum(list_transform(range(0, 32), j ->
@@ -588,4 +616,12 @@ object DedupQueries {
          |FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin,
   )
+
+  /** Oracles for the public scale-safe catalog, key-for-key with [[queries]]. */
+  val oracleSql: Map[String, String] =
+    allOracleSql.view.filterKeys(queries.contains).toMap
+
+  /** Oracles for the fenced [[oracleBaselines]]. */
+  val baselineOracleSql: Map[String, String] =
+    allOracleSql.view.filterKeys(oracleBaselines.contains).toMap
 }

@@ -42,9 +42,11 @@ class CodegenStrictSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hash60 projection not codegen'd:\n$plan")
   }
 
-  // Every catalog query under strict codegen — a compile failure in any
-  // generated stage throws instead of silently interpreting.
-  for ((name, q) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+  // Every catalog query (public + fenced baselines) under strict codegen —
+  // a compile failure in any generated stage throws instead of silently
+  // interpreting.
+  for ((name, q) <- (graft.SparkEntry.queries ++ graft.SparkEntry.oracleBaselines)
+      .toSeq.sortBy(_._1)) {
     test(s"catalog query $name executes with codegen fallback disabled") {
       val rows = q(spark, dir).count()
       assert(rows >= 0)

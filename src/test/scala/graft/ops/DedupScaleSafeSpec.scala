@@ -60,4 +60,20 @@ class DedupScaleSafeSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(20L, 21L, 22L).map(_ -> 20L).toMap + (99L -> 99L)
     assert(got == want)
   }
+
+  test("connected components releases its loop caches (no leak across a session)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val vertices = (1L to 8L).toDF("id")
+    val labels = DedupQueries.connectedComponents(edges, vertices)
+    assert(labels.count() == 8)
+    // the symmetric edge list and every label generation must be gone; the
+    // only surviving entry is the checkpointed result itself (released by
+    // the ContextCleaner when the caller drops the DataFrame)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"CC leaked ${after - before} cached RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
 }
