@@ -32,7 +32,19 @@ final case class RelationalizeOptions(
       * (associative merge makes the flush lossless). Bounds executor memory
       * under extreme table fan-out.
       */
-    schemaMapCap: Int = 8192)
+    schemaMapCap: Int = 8192,
+    /** Rid key derivation. Default (`false`): `(partitionId, ordinal)` —
+      * stable under task retries (Spark replays the same input split) but
+      * NOT under a repartition or a recomputation that reorders rows within
+      * a partition (e.g. a cache-evicted emit recomputed through an upstream
+      * shuffle): rids would re-key, and two tables computed from different
+      * recomputations could disagree on parent/child rids. `true`: keys are
+      * md5(document text) — stable under any partitioning/recompute; the
+      * trade-off is that byte-identical duplicate documents share one rid
+      * tree, so a parent/child join multiplies across the duplicate set
+      * (dedup duplicates first, or keep positional keys).
+      */
+    contentDocKeys: Boolean = false)
 
 /** Result of relationalizing a document collection: one typed DataFrame per
   * discovered table plus its choice schema (for DDL / introspection).
@@ -66,7 +78,10 @@ final case class RelationalizeResult(
   *     the input.
   *
   * Document keys for rid determinism are `(partitionId, ordinalInPartition)` —
-  * stable under task retries because Spark replays the same input split.
+  * stable under task retries because Spark replays the same input split, but
+  * NOT under a caller repartition or an order-changing recompute; see
+  * [[RelationalizeOptions.contentDocKeys]] for the content-derived
+  * alternative and its duplicate-document trade-off.
   */
 object RelationalizeSpark {
 
@@ -75,15 +90,22 @@ object RelationalizeSpark {
     */
   val SchemaMarker = "\u0001"
 
+  /** docKey factory honoring [[RelationalizeOptions.contentDocKeys]]. */
+  private def docKeyFn(contentDocKeys: Boolean): (Int, Long, String) => String =
+    if (contentDocKeys) (_, _, line) => Relationalizer.contentDocKey(line)
+    else (pid, ordinal, _) => s"$pid:$ordinal"
+
   /** Pass-1 transform: raw JSON lines -> emitted (table, flatRow) pairs. */
-  def emit(ds: Dataset[String], name: String): Dataset[Emitted] = {
+  def emit(ds: Dataset[String], name: String,
+           contentDocKeys: Boolean = false): Dataset[Emitted] = {
     implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
+    val key = docKeyFn(contentDocKeys)
     ds.mapPartitions { iter =>
       val pid = TaskContext.getPartitionId()
       var ordinal = -1L
       iter.flatMap { line =>
         ordinal += 1
-        Relationalizer.relationalizeLine(line, name, s"$pid:$ordinal").iterator.map {
+        Relationalizer.relationalizeLine(line, name, key(pid, ordinal, line)).iterator.map {
           case (table, row) => Emitted(table, Json.writeTaggedRow(row))
         }
       }
@@ -106,9 +128,11 @@ object RelationalizeSpark {
     * costs bounded executor memory instead of an unbounded map.
     */
   def emitWithSchemas(ds: Dataset[String], name: String,
-                      schemaMapCap: Int = 8192): Dataset[Emitted] = {
+                      schemaMapCap: Int = 8192,
+                      contentDocKeys: Boolean = false): Dataset[Emitted] = {
     require(schemaMapCap > 0)
     implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
+    val key = docKeyFn(contentDocKeys)
     ds.mapPartitions { iter =>
       val pid = TaskContext.getPartitionId()
       var ordinal = -1L
@@ -122,7 +146,7 @@ object RelationalizeSpark {
       }
       val dataRows = iter.flatMap { line =>
         ordinal += 1
-        Relationalizer.relationalizeLine(line, name, s"$pid:$ordinal").iterator.flatMap {
+        Relationalizer.relationalizeLine(line, name, key(pid, ordinal, line)).iterator.flatMap {
           case (table, row) =>
             localSchemas.update(table,
               localSchemas.getOrElse(table, ChoiceSchema.empty).observe(row))
@@ -284,7 +308,7 @@ object RelationalizeSpark {
     val spark = ds.sparkSession
     val emittedSource: Dataset[Emitted] = options.materializePath match {
       case Some(path) =>
-        emitWithSchemas(ds, name, options.schemaMapCap)
+        emitWithSchemas(ds, name, options.schemaMapCap, options.contentDocKeys)
           .write.mode(SaveMode.Overwrite).partitionBy("table").parquet(path)
         implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
         // explicit schema: an empty corpus writes no data files, and
@@ -295,7 +319,8 @@ object RelationalizeSpark {
           .parquet(path)
           .select(col("table").cast(StringType), col("payload")).as[Emitted]
       case None =>
-        emitWithSchemas(ds, name, options.schemaMapCap).persist(StorageLevel.MEMORY_AND_DISK)
+        emitWithSchemas(ds, name, options.schemaMapCap, options.contentDocKeys)
+          .persist(StorageLevel.MEMORY_AND_DISK)
     }
     val raw = collectSchemas(emittedSource)
     val schemas = raw.map { case (t, s0) =>

@@ -117,4 +117,15 @@ object Relationalizer {
   /** Convenience: parse + relationalize a raw JSON line. */
   def relationalizeLine(line: String, name: String, docKey: String): Vector[(String, FlatRow)] =
     relationalize(Json.parse(line), name, docKey)
+
+  /** Content-derived document key: md5 hex of the raw line. Stable under any
+    * repartition/recompute of the input (the positional `(partitionId,
+    * ordinal)` default is not — see [[RelationalizeOptions.contentDocKeys]]).
+    * Identical duplicate lines share a key, hence identical rid trees.
+    */
+  def contentDocKey(line: String): String = {
+    val md = localMd.get()
+    md.reset()
+    md.digest(line.getBytes(StandardCharsets.UTF_8)).map(b => f"$b%02x").mkString
+  }
 }

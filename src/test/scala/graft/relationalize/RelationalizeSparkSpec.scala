@@ -159,6 +159,47 @@ class RelationalizeSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped(t).count() == 2 && uncapped(t).count() == 2)
   }
 
+  test("rid keys: positional docKeys re-key under a repartition (the pinned hazard)") {
+    // same corpus, different partitioning -> different (pid, ordinal) keys ->
+    // a different rid set (both docs mint an enrollments rid; u2's moves from
+    // key "1:0" to "0:1"). This is the documented hazard contentDocKeys avoids.
+    def parentRids(input: org.apache.spark.sql.Dataset[String]) =
+      RelationalizeSpark(input, "users")("users")
+        .select("enrollments").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet
+    val rids1 = parentRids(ds(lmsDocs: _*))          // local[2]: one doc per partition
+    val rids2 = parentRids(ds(lmsDocs: _*).repartition(1))
+    assert(rids1 != rids2, "positional rids unexpectedly survived a repartition")
+  }
+
+  test("rid keys: contentDocKeys are stable under repartition and keep the rid join") {
+    val opts = RelationalizeOptions(contentDocKeys = true)
+    def run(shuffled: Boolean) = {
+      val input = if (shuffled) ds(lmsDocs: _*).repartition(7) else ds(lmsDocs: _*)
+      val res = RelationalizeSpark(input, "users", opts)
+      val joined = res("users").join(res("users_enrollments"),
+        col("enrollments") === col("enrollments__rid_"))
+      (res("users_enrollments")
+         .select("enrollments__rid_").as[String](org.apache.spark.sql.Encoders.STRING)
+         .collect().toSet,
+       joined.count())
+    }
+    val (ridsPlain, joinPlain) = run(shuffled = false)
+    val (ridsShuffled, joinShuffled) = run(shuffled = true)
+    assert(ridsPlain == ridsShuffled, "content rids must not depend on partitioning")
+    assert(joinPlain == 2 && joinShuffled == 2) // u1's two enrollments; u2's array is empty
+  }
+
+  test("rid keys: byte-identical duplicate documents share one rid tree under contentDocKeys") {
+    val dup = lmsDocs.head
+    val res = RelationalizeSpark(ds(dup, dup), "users",
+      RelationalizeOptions(contentDocKeys = true))
+    val rids = res("users").select(col("enrollments"))
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    assert(rids.length == 2 && rids.distinct.length == 1,
+      "duplicate documents must mint identical rids under content keys")
+  }
+
   test("sinks: jsonl round-trip, csv header, NaN scrub (K1/K4/K8)") {
     val tmp = Files.createTempDirectory("graft-sink").toString
     val res = RelationalizeSpark(ds(lmsDocs: _*), "users")
