@@ -29,6 +29,8 @@ object GraftFunctions {
       "hash60", exprs => Hash60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_barrier", exprs => OptimizationBarrier(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     // parse-schema pruning through the barrier (idempotent registration):
     // runs after the main operator-optimization batch, where ColumnPruning
     // has already narrowed consumer projections
@@ -52,6 +54,8 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("hash60", c)
   def barrier(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_barrier", c)
+  def vecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("vec_dot", a, b)
 }
 
 /** Identity wrapper that reports itself non-deterministic so the optimizer
@@ -149,6 +153,100 @@ case class Hash60(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "hash60"
   override protected def withNewChildInternal(newChild: Expression): Hash60 = copy(child = newChild)
+}
+
+/** Codegen'd vector dot product over two equally-typed arrays
+  * (`ARRAY<DOUBLE> -> DOUBLE` or `ARRAY<BIGINT> -> BIGINT`): a tight
+  * multiply-accumulate loop in index order, replacing the interpreted
+  * higher-order chain `aggregate(zip_with(a, b, (x, y) -> x * y), 0,
+  * (acc, v) -> acc + v)` that dominated the embedding dedup/ANN queries
+  * (every HOF element evaluation binds lambda variables and allocates
+  * through the interpreted evaluator; `zip_with` also materializes the
+  * 64-element product array per pair).
+  *
+  * Semantics mirror that chain exactly, including the error surface:
+  *   - accumulation is left-to-right in index order, so DOUBLE results are
+  *     bit-identical to the HOF chain (and to the DuckDB oracles derived
+  *     from it);
+  *   - a null array, a length mismatch (zip_with pads with null), or a null
+  *     element (null product poisons the fold) each yield NULL;
+  *   - BIGINT overflow raises (exact arithmetic), matching the ANSI-mode
+  *     multiply/add of the HOF chain under Spark 4 defaults. The quantized
+  *     IVF/LSH dots are sized to stay below 2^53 precisely so this never
+  *     fires in the catalog queries.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  private lazy val elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = elemType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if lt == rt && (lt == DoubleType || lt == LongType) => TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(
+        s"vec_dot expects two ARRAY<DOUBLE> or two ARRAY<BIGINT>, got ${l.catalogString} / ${r.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    if (elemType == DoubleType) {
+      var acc = 0.0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        acc += a.getDouble(i) * b.getDouble(i)
+        i += 1
+      }
+      acc
+    } else {
+      var acc = 0L
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (jt, getter) =
+      if (elemType == DoubleType) ("double", "getDouble") else ("long", "getLong")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val mac =
+        if (elemType == DoubleType) s"$acc += $a.$getter($i) * $b.$getter($i);"
+        else s"$acc = java.lang.Math.addExact($acc, " +
+          s"java.lang.Math.multiplyExact($a.$getter($i), $b.$getter($i)));"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $jt $acc = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $mac
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Static hash helper in a standalone object (NOT the [[Hash60]] companion):

@@ -214,20 +214,20 @@ object DedupQueries {
     * ids are output — raw similarity doubles differ in the last bit between
     * engines (different accumulation grouping), the 0.4 decision does not.
     */
-  private val dot = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+  private val dot = "vec_dot(a.v, b.v)"
 
   /** Per-vector norm, computed ONCE per vector in the projection BELOW the
     * pair join (the join boundary stops CollapseProject from inlining it per
-    * pair). Single-pass fold `acc + x*x` accumulates in the same order as the
-    * zip_with product sum — bit-identical to `sqrt(dot(v, v))` — and
-    * references `v` once so the defining `transform` isn't inlined twice.
+    * pair). `vec_dot(v, v)` accumulates x*x in index order — bit-identical
+    * to the interpreted fold it replaced — and runs codegen'd
+    * ([[graft.functions.VecDot]]).
     */
-  private val normOnce =
-    "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+  private val normOnce = "sqrt(vec_dot(v, v))"
 
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     val e = Tables(s, dir, "embeddings")
-      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
       .selectExpr("vec_id", "label", "v", s"$normOnce AS nv")
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
@@ -276,15 +276,19 @@ object DedupQueries {
     * shuffle-parallel, never a per-block cartesian.
     */
   def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     val e = Tables(s, dir, "embeddings")
       .selectExpr("vec_id", "label",
-        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v",
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q")
       .selectExpr("vec_id", "label", "v", "q", s"$normOnce AS nv") // once per vector, behind the persist
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 48 sign bits: the outer transform stays a (once-per-vector) lambda, but
+    // each inner dot is the codegen-capable vec_dot — evaluated via its tight
+    // eval loop instead of a zip_with allocation + interpreted fold per plane
     val bits =
       s"transform(sequence(0, ${RH_BITS - 1}), j -> CASE WHEN " +
-        "aggregate(zip_with(q, element_at(ws, j + 1), (x, y) -> x * y), 0L, (acc, p) -> acc + p) > 0 " +
+        "vec_dot(q, element_at(ws, j + 1)) > 0 " +
         "THEN 1 ELSE 0 END)"
     val stackArgs = (0 until RH_BANDS).map { bd =>
       val key = (0 until 3).map(i => s"element_at(b, ${3 * bd + i + 1}) * ${1 << (2 - i)}").mkString(" + ")

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
   *   - brute-force cosine top-k: the exactness baseline. All vector math is
-  *     done in DOUBLE via codegen'd higher-order functions (zip_with +
-  *     aggregate) — no UDFs. Output is (query, neighbor, rank): ranks are
+  *     done in DOUBLE via the codegen'd [[graft.functions.VecDot vec_dot]]
+  *     expression — no UDFs, no interpreted higher-order lambdas in the pair
+  *     loop. Output is (query, neighbor, rank): ranks are
   *     stable because random embeddings never produce sub-1e-12 similarity
   *     ties, while raw doubles would differ between engines in the last bit.
   *   - IVF-style bucketed ANN: coarse quantization by nearest of 8 data-derived
@@ -20,18 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  private val toDouble = "transform(embedding, x -> CAST(x AS DOUBLE))"
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-
-  /** Per-vector norm as a single-pass fold (`acc + x*x` accumulates in the
-    * same order as the zip_with product sum, so the value is bit-identical to
-    * `sqrt(dot(a, a))`) — referencing the array once keeps CollapseProject
-    * from inlining the `transform` twice when this sits next to the
-    * projection that defines it.
+  /** Float -> double widening via Cast (codegen'd; `transform` with a lambda
+    * would run interpreted). Exact: every float is representable as double.
     */
-  private def norm(a: String): String =
-    s"sqrt(aggregate($a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+  private val toDouble = "CAST(embedding AS ARRAY<DOUBLE>)"
+
+  /** All dot products go through the codegen'd
+    * [[graft.functions.VecDot vec_dot]] expression — index-order
+    * multiply-accumulate, bit-identical to the interpreted
+    * `aggregate(zip_with(...))` chain it replaced (and to the DuckDB
+    * oracles), at a fraction of the per-pair cost.
+    */
+  private def dot(a: String, b: String): String = s"vec_dot($a, $b)"
+
+  /** Per-vector norm: `sqrt(vec_dot(a, a))` accumulates x*x in index order —
+    * bit-identical to the single-pass fold it replaced.
+    */
+  private def norm(a: String): String = s"sqrt(vec_dot($a, $a))"
 
   /** Brute-force cosine top-k (k=5) for 10 query vectors.
     *
@@ -42,6 +48,7 @@ object SimilarityQueries {
     * instead of three.
     */
   def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     val emb = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$toDouble AS v")
       .selectExpr("vec_id", "v", s"${norm("v")} AS nv")
     val queries = emb.filter(col("vec_id") < 10)
@@ -77,8 +84,7 @@ object SimilarityQueries {
     * iteration oracle-checkable at all.
     */
   private val qExpr = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
-  private def idot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+  private def idot(a: String, b: String): String = s"vec_dot($a, $b)"
 
   /** Nearest-centroid assignment by mean-dot score (exact int dot / count),
     * lowest cid wins ties. Centroids are broadcast: assignment is map-side.
@@ -114,6 +120,7 @@ object SimilarityQueries {
     * [[annRecall]] for the measured recall against [[annBruteForce]].
     */
   def annIvf(s: SparkSession, dir: String, cfg: IvfConfig = IvfConfig()): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     val emb = Tables(s, dir, "embeddings")
       .selectExpr("vec_id", s"$toDouble AS v", s"$qExpr AS q")
       .selectExpr("vec_id", "v", "q", s"${norm("v")} AS nv") // once per vector, behind the persist

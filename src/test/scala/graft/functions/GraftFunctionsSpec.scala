@@ -50,6 +50,68 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(root1.contains("\"nested_a\":\"b\""))
   }
 
+  test("vec_dot equals the interpreted aggregate(zip_with(...)) chain bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextDouble() * 2 - 1),
+        Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val cmp = df.selectExpr(
+      "vec_dot(a, b) AS fast",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS hof")
+      .collect()
+    // bit-identical, not approximately equal: same multiply-accumulate order
+    cmp.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString))
+  }
+
+  test("vec_dot on BIGINT arrays matches the integer fold; overflow raises like ANSI") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (Array.empty[Long], Array.empty[Long])).toDF("a", "b")
+    val cmp = df.selectExpr(
+      "vec_dot(a, b) AS fast",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS hof")
+      .collect()
+    cmp.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // Spark 4 default is ANSI: the HOF multiply raises on long overflow, and
+    // so must vec_dot (the quantized catalog dots are sized to never overflow)
+    val big = Seq((Array(Long.MaxValue, 2L), Array(2L, 3L))).toDF("a", "b")
+    intercept[Exception] {
+      big.selectExpr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS h").collect()
+    }
+    intercept[Exception] { big.selectExpr("vec_dot(a, b) AS d").collect() }
+  }
+
+  test("vec_dot null surface: null array, length mismatch, null element -> NULL") {
+    val df = spark.sql(
+      """SELECT
+        |  vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS null_arr,
+        |  vec_dot(array(1.0d, 2.0d), array(1.0d)) AS len_mismatch,
+        |  vec_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS null_elem,
+        |  vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS ok""".stripMargin)
+    val r = df.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) == 11.0)
+    // the HOF chain agrees on the null surface (mismatch pads with null)
+    val hof = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0d, 2.0d), array(1.0d), (x, y) -> x * y),
+        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS h""".stripMargin).collect().head
+    assert(hof.isNullAt(0))
+  }
+
+  test("vec_dot rejects mixed or unsupported element types at analysis") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0d), array(1L))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("vec_dot"))
+  }
+
   test("relationalize generator: null input yields no rows") {
     import spark.implicits._
     Seq[Option[String]](None, Some("""{"k": 1}""")).toDF("doc")

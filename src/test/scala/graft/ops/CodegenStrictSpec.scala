@@ -42,6 +42,18 @@ class CodegenStrictSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hash60 projection not codegen'd:\n$plan")
   }
 
+  test("vec_dot projection stays inside a whole-stage-codegen span") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.registerAll(spark)
+    val df = Tables(spark, dir, "embeddings")
+      .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .select(graft.functions.GraftFunctions.vecDot(col("v"), col("v")).as("d"))
+    df.collect() // throws under fallback=false if generated code cannot compile
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"vec_dot projection not codegen'd:\n$plan")
+  }
+
   // Every catalog query (public + fenced baselines) under strict codegen —
   // a compile failure in any generated stage throws instead of silently
   // interpreting.

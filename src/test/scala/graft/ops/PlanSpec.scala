@@ -135,31 +135,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("embedding pair stages compute norms per vector, not per pair") {
+    import graft.functions.VecDot
     import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, Sqrt}
     import org.apache.spark.sql.catalyst.plans.logical.Join
     // pre-order prefix up to and including the first Join = the per-pair
     // region of the plan (projection / filter / window chain + the pair join
     // itself, where a pushed predicate may land)
-    def pairStageCounts(df: org.apache.spark.sql.DataFrame): (Int, Int, String) = {
+    def pairStageCounts(df: org.apache.spark.sql.DataFrame): (Int, Int, Int, String) = {
       val plan = df.queryExecution.optimizedPlan
       val pre = plan.collect { case n => n }
       val firstJoin = pre.indexWhere(_.isInstanceOf[Join])
       assert(firstJoin >= 0, s"no join in plan:\n$plan")
-      var aggs = 0
+      var dots = 0
+      var hofs = 0
       var sqrts = 0
       pre.take(firstJoin + 1).foreach(n => n.expressions.foreach(_.foreach {
-        case _: ArrayAggregate => aggs += 1
+        case _: VecDot => dots += 1
+        case _: ArrayAggregate => hofs += 1
         case _: Sqrt => sqrts += 1
         case _ =>
       }))
-      (aggs, sqrts, plan.toString)
+      (dots, hofs, sqrts, plan.toString)
     }
     for (df <- Seq(SimilarityQueries.annBruteForce(spark, dir),
                    DedupQueries.dedupEmbeddingLsh(spark, dir))) {
-      val (aggs, sqrts, p) = pairStageCounts(df)
-      // exactly ONE higher-order fold per candidate pair: the dot product —
-      // the norms must live below the join, evaluated once per vector
-      assert(aggs == 1, s"expected 1 per-pair fold (the dot), got $aggs:\n$p")
+      val (dots, hofs, sqrts, p) = pairStageCounts(df)
+      // exactly ONE dot product per candidate pair — codegen'd vec_dot, not
+      // an interpreted fold — and the norms live below the join, once per
+      // vector
+      assert(dots == 1, s"expected 1 per-pair vec_dot, got $dots:\n$p")
+      assert(hofs == 0, s"interpreted HOF fold in the per-pair region ($hofs):\n$p")
       assert(sqrts == 0, s"norm recomputed per pair ($sqrts sqrt above the join):\n$p")
     }
   }
