@@ -21,9 +21,11 @@ object Bench {
     "q_filter_project", "q_agg_pricing", "q_agg_stats",
     "q_join_big", "q_join_star", "q_left_join",
     "q_window_running", "q_window_rank", "q_sessionize", "q_pivot",
+    "q_asof_join", "q_range_join",
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "ann_bruteforce", "ann_ivf",
-    "text_quality", "text_langid", "text_repetition", "mm_features")
+    "text_quality", "text_langid", "text_repetition", "text_tfidf",
+    "doc_pack", "mm_features")
 
   /** Timed runs per query; the reported time is the median, so one GC pause /
     * noisy-neighbor stall in the sandbox no longer poisons the recorded

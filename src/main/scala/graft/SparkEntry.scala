@@ -25,6 +25,7 @@ object SparkEntry {
       ops.RelationalQueries.queries ++
       ops.DedupQueries.queries ++
       ops.TextQueries.queries ++
+      ops.CurationQueries.queries ++
       ops.SimilarityQueries.queries ++
       ops.MultimodalQueries.queries
 
@@ -44,6 +45,7 @@ object SparkEntry {
       ops.RelationalQueries.oracleSql ++
       ops.DedupQueries.oracleSql ++
       ops.TextQueries.oracleSql ++
+      ops.CurationQueries.oracleSql ++
       ops.SimilarityQueries.oracleSql ++
       ops.MultimodalQueries.oracleSql
 

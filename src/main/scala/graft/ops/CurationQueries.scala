@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Corpus-curation operators for a training-data pipeline over `documents`:
+  * deterministic stratified sampling and sequence packing.
+  *
+  * Both are expression-only (whole-stage codegen, no UDFs) and designed for
+  * the 100 TB shape:
+  *   - sampling is a map-side filter on a content-derived hash — no RNG
+  *     state, no shuffle, bit-reproducible under task retries, repartitions
+  *     and reruns (the property `Bernoulli sample via rand()` does NOT have);
+  *   - packing shuffles once on the stratum key and does a per-stratum
+  *     running sum — at real scale the stratum key is (lang, shard) so each
+  *     partition's sort stays bounded.
+  */
+object CurationQueries {
+
+  private val toks = "split(trim(text), '\\\\s+')"
+
+  /** Deterministic per-document hash in [0, 100): first two bytes of
+    * md5(doc_id), identical in Spark and DuckDB (the `ascii(substr(hex))`
+    * form stays inside both engines' shared function surface — neither has
+    * the other's hex-parse idiom).
+    */
+  private val hashPct =
+    "(ascii(substr(md5(CAST(doc_id AS STRING)), 1, 1)) * 256 + " +
+      "ascii(substr(md5(CAST(doc_id AS STRING)), 2, 1))) % 100"
+
+  /** Stratified sampling with per-language rates (en 10%, de 30%, fr 50%,
+    * everything else 70%) — the down/up-weighting step of a multilingual
+    * training mix. Keep-decision is a pure function of the document key, so
+    * the sample is stable across reruns and insensitive to data layout.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    sampleFrom(Tables(s, dir, "documents"))
+
+  /** The sampling kernel over any frame with (doc_id, lang, source) — the
+    * keep-decision depends only on row content, so the output set is
+    * identical for any partitioning/ordering of `docs`.
+    */
+  def sampleFrom(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "lang", "source", s"CAST($hashPct AS INT) AS h")
+      .filter("h < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 WHEN 'fr' THEN 50 ELSE 70 END")
+
+  /** Sequence packing: assign documents to fixed token-budget packs
+    * (budget 2048 estimated BPE tokens) with deterministic next-fit —
+    * documents ordered by doc_id within a language stratum, a document
+    * whose tokens cross a pack boundary opens the next pack (streaming-
+    * friendly: pack assignment depends only on the running prefix sum, so
+    * it parallelizes as one window per stratum instead of a sequential
+    * driver loop). `pack_pos` is the document's slot within its pack.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "lang",
+        s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS n_tok")
+      .selectExpr("doc_id", "lang", "n_tok",
+        "CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) div 2048 AS BIGINT) AS pack_id")
+      .selectExpr("doc_id", "lang", "n_tok", "pack_id",
+        "CAST(row_number() OVER (PARTITION BY lang, pack_id ORDER BY doc_id) AS INT) AS pack_pos")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_sample_stratified" -> sampleStratified,
+    "doc_pack" -> packSequences,
+  )
+
+  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  val oracleSql: Map[String, String] = Map(
+    "doc_sample_stratified" ->
+      """SELECT doc_id, lang, source, CAST(h AS INT) AS h FROM (
+        |  SELECT doc_id, lang, source,
+        |    (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+        |     ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS h
+        |  FROM documents) t
+        |WHERE h < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 WHEN 'fr' THEN 50 ELSE 70 END""".stripMargin,
+    "doc_pack" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |    CAST(list_sum(list_transform($duckToks, t -> (length(t) + 3) // 4)) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |packed AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048 AS BIGINT) AS pack_id
+         |  FROM toks)
+         |SELECT doc_id, lang, n_tok, pack_id,
+         |  CAST(row_number() OVER (PARTITION BY lang, pack_id ORDER BY doc_id) AS INT) AS pack_pos
+         |FROM packed""".stripMargin,
+  )
+}

@@ -351,7 +351,75 @@ object RelationalQueries {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  // --- as-of / range joins (time-series surface) -----------------------
+
+  /** As-of join: each event matched to the same user's latest purchase
+    * at-or-before its timestamp (inclusive — a purchase event matches
+    * itself at lag 0).
+    *
+    * Spark has no ASOF JOIN operator; the scale path is union-tag +
+    * running window, NOT a range join: tag build rows (purchases) and
+    * probe rows (all events), sort each user's timeline once, and carry
+    * the last build payload forward with `last(ignoreNulls)` over
+    * ROWS UNBOUNDED PRECEDING..CURRENT ROW. One shuffle on the key, a
+    * per-key sort, zero row amplification — at 100 TB this is a single
+    * repartition+sort per side vs. the unbounded candidate explosion of
+    * an inequality join. Build rows sort BEFORE probe rows at equal ts
+    * (side 0 < 1) for the inclusive match; `p_event_id` asc makes the
+    * winner deterministic even if two purchases shared a timestamp.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val build = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("bigint").as("event_id"), lit(null).cast("string").as("event_type"),
+        struct(col("ts").as("p_ts"), col("event_id").as("p_event_id"),
+          col("value").as("p_value")).as("pl"))
+    val probe = ev.select(col("user_id"), col("ts"), lit(1).as("side"),
+      col("event_id"), col("event_type"),
+      lit(null).cast("struct<p_ts:timestamp,p_event_id:bigint,p_value:double>").as("pl"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc, col("pl.p_event_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    build.unionByName(probe)
+      .withColumn("m", last(col("pl"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .selectExpr("event_id", "user_id", "event_type", "ts",
+        "m.p_event_id AS p_event_id", "m.p_value AS p_value",
+        "CAST(unix_micros(ts) - unix_micros(m.p_ts) AS BIGINT) AS lag_us")
+  }
+
+  /** Range (interval) join: purchases within 4 h after a click by the same
+    * user, aggregated per click.
+    *
+    * The scale path is interval bucketing: quantize time into windows of
+    * the interval length W, join on (user, bucket) with the click exploded
+    * into its bucket and the next (a pair whose gap is ≤ W spans at most
+    * one boundary, so each qualifying pair meets in EXACTLY one bucket —
+    * no dedup pass), then apply the exact range predicate. Turns an
+    * inequality join (cartesian-per-key in Spark) into an equi-join:
+    * shuffle is 2× the click side, candidates are bounded by per-bucket
+    * co-occurrence, and AQE handles hot buckets.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val wUs = 14400L * 1000000L // 4 h in microseconds
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("c_us"))
+      .withColumn("bkt", explode(array(expr(s"c_us div ${wUs}L"), expr(s"c_us div ${wUs}L + 1"))))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("bkt", expr(s"p_us div ${wUs}L"))
+    clicks.join(purch, Seq("user_id", "bkt"))
+      .filter(col("p_us") > col("c_us") && col("p_us") <= col("c_us") + wUs)
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_purch"), min(col("p_us") - col("c_us")).as("min_lag_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> asofJoin,
+    "q_range_join" -> rangeJoin,
     "q_filter_project" -> filterProject,
     "q_agg_pricing" -> aggPricingSummary,
     "q_agg_stats" -> aggStats,
@@ -392,6 +460,22 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.event_type, e.ts, p.p_event_id, p.p_value,
+        |  CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT) AS lag_us
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "q_range_join" ->
+      """SELECT c.event_id AS click_id, count(1) AS n_purch,
+        |  CAST(min(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS min_lag_us
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) > epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + CAST(14400 AS BIGINT) * 1000000
+        |GROUP BY 1""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
         |FROM lineitem

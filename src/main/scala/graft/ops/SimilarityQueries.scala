@@ -119,7 +119,11 @@ object SimilarityQueries {
     * probed buckets — always bucket-blocked, never all-pairs. See
     * [[annRecall]] for the measured recall against [[annBruteForce]].
     */
-  def annIvf(s: SparkSession, dir: String, cfg: IvfConfig = IvfConfig()): DataFrame = {
+  /** Shared IVF index build: per-vector projections (widened, quantized,
+    * norm) behind a persist barrier, seeded centroids, `cfg.iters` Lloyd
+    * rounds. Returns (emb, centroids) — both persisted.
+    */
+  private def buildIndex(s: SparkSession, dir: String, cfg: IvfConfig): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(s)
     val emb = Tables(s, dir, "embeddings")
       .selectExpr("vec_id", s"$toDouble AS v", s"$qExpr AS q")
@@ -129,7 +133,11 @@ object SimilarityQueries {
       .selectExpr("vec_id AS cid", "q AS s", "CAST(1 AS BIGINT) AS cnt")
     for (_ <- 1 to cfg.iters)
       centroids = recomputeCentroids(assignBuckets(emb, centroids))
-    centroids = centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (emb, centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  def annIvf(s: SparkSession, dir: String, cfg: IvfConfig = IvfConfig()): DataFrame = {
+    val (emb, centroids) = buildIndex(s, dir, cfg)
     val assigned = assignBuckets(emb, centroids)
     val probes = emb.filter(col("vec_id") < 10).crossJoin(broadcast(centroids))
       .selectExpr("vec_id AS query_id", "v AS qv", "nv AS qnv", "cid",
@@ -165,6 +173,22 @@ object SimilarityQueries {
         "CAST(coalesce(hits, 0) AS DOUBLE) / 5.0 AS recall")
   }
 
+  /** K-means cluster profile over the IVF buckets — the corpus-clustering
+    * view of the same index (topic/domain balance reporting in a training
+    * mix). Per-bucket stats are one bounded groupBy over the map-side
+    * assignment; `sum_q1` (exact int64 sum of the first quantized
+    * component) is the order-independent centroid witness that makes the
+    * profile oracle-checkable.
+    */
+  def embKmeans(s: SparkSession, dir: String, cfg: IvfConfig = IvfConfig()): DataFrame = {
+    val (emb, centroids) = buildIndex(s, dir, cfg)
+    assignBuckets(emb, centroids)
+      .selectExpr("CAST(bucket AS BIGINT) AS bucket", "vec_id", "element_at(q, 1) AS q1")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"), sum(col("q1")).as("sum_q1"))
+  }
+
   /** Array-column surface: dimension, element extraction, label. */
   def embStats(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings").selectExpr(
@@ -182,6 +206,7 @@ object SimilarityQueries {
     "ann_ivf" -> ((s, dir) => annIvf(s, dir)),
     "ann_recall" -> ((s, dir) => annRecall(s, dir)),
     "ann_recall_alt" -> ((s, dir) => annRecall(s, dir, AltConfig)),
+    "emb_kmeans" -> ((s, dir) => embKmeans(s, dir)),
     "emb_stats" -> embStats,
   )
 
@@ -218,8 +243,8 @@ object SimilarityQueries {
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, q AS s, CAST(1 AS BIGINT) AS cnt FROM e WHERE vec_id < ${cfg.k}),
        |${lloyds}assigned AS (
-       |  SELECT vec_id, v, bucket FROM (
-       |    SELECT e.vec_id, e.v, c.cid AS bucket,
+       |  SELECT vec_id, v, q, bucket FROM (
+       |    SELECT e.vec_id, e.v, e.q, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY CAST(${duckDot("e.q", "c.s")} AS DOUBLE) / c.cnt DESC, c.cid ASC) AS rk
        |    FROM e CROSS JOIN $cFinal c) t WHERE rk = 1),
@@ -282,6 +307,12 @@ object SimilarityQueries {
          |FROM ivf_top""".stripMargin,
     "ann_recall" -> duckRecallSql(IvfConfig()),
     "ann_recall_alt" -> duckRecallSql(AltConfig),
+    "emb_kmeans" ->
+      s"""WITH ${duckIvfCtes(IvfConfig())}
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(1) AS n_members,
+         |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+         |  CAST(sum(q[1]) AS BIGINT) AS sum_q1
+         |FROM assigned GROUP BY 1""".stripMargin,
     "emb_stats" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         |  embedding[1] AS e1, embedding[64] AS e64, label

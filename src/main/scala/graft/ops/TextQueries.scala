@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over `documents`:
@@ -102,7 +103,52 @@ object TextQueries {
         "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(max_tok_n AS DOUBLE) / n_tokens END AS top_tok_frac",
         "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens END AS dup_ratio")
 
+  /** Top-3 terms per document by tf-idf. Scored as the exact-integer ratio
+    * tf/df (one IEEE division of two exact longs — bit-identical in both
+    * engines, unlike a log-based idf whose libm rounding may differ), with
+    * token-asc tiebreaks. The document-frequency side is vocabulary-sized —
+    * orders of magnitude smaller than the corpus after the term-level
+    * partial aggregation — so it broadcasts; tf stays partitioned by
+    * (doc, token) with map-side combine.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .selectExpr("doc_id", "explode(split(trim(lower(text)), '\\\\s+')) AS token")
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("token").asc)
+    tf.join(broadcast(dfreq), Seq("token"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rk"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any 4-token
+    * shingle with a benchmark set (source `src0` stands in for the eval
+    * suite; real pipelines use 8-13-gram shingles — the synthetic 40-word
+    * vocabulary makes 4 the demonstrative size). The benchmark's distinct
+    * shingle set is eval-suite-sized (small), so it broadcasts and the
+    * probe is a map-side hash join over the corpus shingle stream — at
+    * 100 TB the corpus side is never shuffled, only streamed. Per flagged
+    * doc: distinct hit count + lexicographically-first hit.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(s, dir, "documents")
+      .selectExpr("doc_id", "source", s"split(trim(lower(text)), '\\\\s+') AS t")
+      .filter("size(t) >= 4")
+      .selectExpr("doc_id", "source",
+        "explode(transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))) AS g")
+    val bench = grams.filter(col("source") === "src0").select(col("g")).distinct()
+    grams.filter(col("source") =!= "src0")
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(countDistinct(col("g")).as("n_hits"), min(col("g")).as("first_gram"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> tfidf,
+    "text_decontaminate" -> decontaminate,
     "text_tokens" -> tokenStats,
     "text_quality" -> qualityScore,
     "text_langid" -> langId,
@@ -114,6 +160,32 @@ object TextQueries {
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracleSql: Map[String, String] = Map(
+    "text_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source, unnest(list_transform(range(1, len(t) - 2),
+        |    i -> array_to_string(t[i:i+3], ' '))) AS g
+        |  FROM tok WHERE len(t) >= 4),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+        |SELECT gr.doc_id, gr.source,
+        |  CAST(count(DISTINCT gr.g) AS BIGINT) AS n_hits, min(gr.g) AS first_gram
+        |FROM grams gr JOIN bench b ON gr.g = b.g
+        |WHERE gr.source <> 'src0'
+        |GROUP BY 1, 2""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, token, count(1) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1)
+        |SELECT doc_id, token, tf, df, rk FROM (
+        |  SELECT t.doc_id, t.token, t.tf, d.df,
+        |    CAST(row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.token ASC) AS INT) AS rk
+        |  FROM tfc t JOIN dfc d USING (token)) x
+        |WHERE rk <= 3""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len($duckToks) AS INT) AS n_tokens,

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics + plan-shape specs for the time-series joins (as-of, range)
+  * and the curation operators (stratified sample, sequence packing,
+  * tf-idf, k-means profile).
+  *
+  * The plan assertions are the scale contract: the as-of join must be
+  * join-FREE (union + one windowed pass — no candidate explosion), and the
+  * range join must plan as an equi-join on the interval bucket, never a
+  * cartesian/broadcast-nested-loop.
+  */
+class CurationAndTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  // --- as-of join -------------------------------------------------------
+
+  test("asof join matches each event to the latest purchase at-or-before it") {
+    val out = RelationalQueries.asofJoin(spark, dir)
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS us", "p_event_id", "lag_us")
+      .collect()
+    val ev = Tables(spark, dir, "events")
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(out.length == ev.length, "as-of is a left join: one row per event")
+    out.foreach { r =>
+      val (eid, uid, ts) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val eligible = purchases.filter(p => p._2 == uid && p._4 <= ts)
+      if (r.isNullAt(3)) assert(eligible.isEmpty, s"event $eid should have matched")
+      else {
+        val best = eligible.maxBy(p => (p._4, p._1))
+        assert(r.getLong(3) == best._1, s"event $eid matched ${r.getLong(3)}, expected ${best._1}")
+        assert(r.getLong(4) == ts - best._4, s"event $eid lag mismatch")
+      }
+    }
+  }
+
+  test("asof join plans join-free: one windowed pass, no join operator") {
+    val p = planString(RelationalQueries.asofJoin(spark, dir))
+    assert(p.contains("Window"), s"expected a window pass:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"as-of must not plan as a join:\n$p")
+  }
+
+  // --- range join -------------------------------------------------------
+
+  test("range join equals the direct inequality join") {
+    val out = RelationalQueries.rangeJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables(spark, dir, "events")
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val w = 14400L * 1000000L
+    val expected = ev.filter(_._3 == "click").flatMap { c =>
+      val ps = ev.filter(p => p._3 == "purchase" && p._2 == c._2 &&
+        p._4 > c._4 && p._4 <= c._4 + w)
+      if (ps.isEmpty) None else Some((c._1, ps.length.toLong, ps.map(_._4 - c._4).min))
+    }.toSet
+    assert(out == expected)
+  }
+
+  test("range join plans as a bucketed equi-join, not a nested loop") {
+    val p = planString(RelationalQueries.rangeJoin(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join:\n$p")
+  }
+
+  // --- stratified sampling ---------------------------------------------
+
+  test("stratified sample is layout-independent and hits the configured rates") {
+    val base = CurationQueries.sampleStratified(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // same keep-set regardless of partitioning/ordering (hash-mod, not rand())
+    val shuffled = Tables(spark, dir, "documents").repartition(7)
+    val re = CurationQueries.sampleFrom(shuffled)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(base == re, "sample must be layout-independent")
+    assert(base.nonEmpty)
+    // every kept row satisfies its stratum threshold
+    CurationQueries.sampleStratified(spark, dir).collect().foreach { r =>
+      val rate = r.getString(1) match {
+        case "en" => 10; case "de" => 30; case "fr" => 50; case _ => 70
+      }
+      assert(r.getInt(3) < rate, s"doc ${r.getLong(0)} violates its stratum rate")
+    }
+  }
+
+  // --- sequence packing --------------------------------------------------
+
+  test("packing reproduces sequential next-fit within each stratum") {
+    val rows = CurationQueries.packSequences(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4)))
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      var cum = 0L
+      var pos = Map.empty[Long, Int]
+      docs.sortBy(_._2).foreach { case (_, docId, nTok, packId, packPos) =>
+        val expected = cum / 2048
+        assert(packId == expected, s"doc $docId pack $packId, expected $expected")
+        val p = pos.getOrElse(expected, 0) + 1
+        pos += expected -> p
+        assert(packPos == p, s"doc $docId pos $packPos, expected $p")
+        cum += nTok
+      }
+    }
+  }
+
+  // --- tf-idf -------------------------------------------------------------
+
+  test("tfidf returns at most 3 ranked terms per document with sane counts") {
+    val rows = TextQueries.tfidf(spark, dir).collect()
+    val nDocs = Tables(spark, dir, "documents").count()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size == nDocs)
+    byDoc.values.foreach { terms =>
+      assert(terms.length <= 3)
+      assert(terms.map(_.getInt(4)).sorted.toSeq == (1 to terms.length))
+      terms.foreach { t =>
+        assert(t.getLong(2) >= 1 && t.getLong(3) >= 1 && t.getLong(3) <= nDocs)
+      }
+    }
+  }
+
+  // --- k-means profile ----------------------------------------------------
+
+  test("kmeans profile partitions the corpus across at most k buckets") {
+    val rows = SimilarityQueries.embKmeans(spark, dir).collect()
+    val n = Tables(spark, dir, "embeddings").count()
+    assert(rows.length <= 8, "at most k buckets")
+    assert(rows.map(_.getLong(1)).sum == n, "every vector assigned exactly once")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-layout techniques for the 100 TB posture, pinned against
+  * regressions:
+  *
+  *   - **bucketed tables**: pre-hashing both join sides into the same
+  *     bucket layout makes repeated large joins shuffle-FREE — the cost
+  *     that dominates a fact-to-fact join at scale is paid once at write
+  *     time and amortized over every subsequent join;
+  *   - **partitioned writes**: a `partitionBy` layout turns a selective
+  *     filter into directory pruning — the scan never opens the other
+  *     partitions' files.
+  */
+class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val warehouse = Files.createTempDirectory("graft-warehouse").toString
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("bucketed tables join and aggregate with zero shuffle exchanges") {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("customer_b")
+
+    // force the sort-merge path (the broadcast plan would hide the layout win)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          spark.table("orders_b")("o_custkey") === spark.table("customer_b")("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      joined.collect()
+      // AQE's toString repeats the plan (Final + Initial) — assert on the
+      // final section only
+      val p = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      // both sides read pre-bucketed: the join itself needs no Exchange; the
+      // only shuffle is the final aggregation on the non-bucket key
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1, s"bucketed join must not shuffle its inputs:\n$p")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"scan did not use the bucket layout:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("partitioned parquet layout prunes non-matching partitions at the scan") {
+    val out = Files.createTempDirectory("graft-part").toString + "/events"
+    Tables(spark, dir, "events").write.partitionBy("event_type")
+      .mode("overwrite").parquet(out)
+    val df = spark.read.parquet(out).filter("event_type = 'click'")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type") &&
+      p.contains("= click)"), s"no partition filters in:\n$p")
+    // the scan must have opened only the click partition's files
+    val scanned = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metrics("numFiles").value
+    }.get
+    val clickFiles = new java.io.File(s"$out/event_type=click")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(scanned == clickFiles, s"scanned $scanned files, click partition has $clickFiles")
+    // and the pruned read returns exactly the filtered rows
+    val expected = Tables(spark, dir, "events").filter("event_type = 'click'").count()
+    assert(df.count() == expected)
+  }
+}
