@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for a training-data pipeline over `documents`:
   * deterministic stratified sampling and sequence packing.
@@ -61,9 +62,27 @@ object CurationQueries {
       .selectExpr("doc_id", "lang", "n_tok", "pack_id",
         "CAST(row_number() OVER (PARTITION BY lang, pack_id ORDER BY doc_id) AS INT) AS pack_pos")
 
+  /** Training-mix report: per (lang, source) document counts, exact token
+    * sums, and each cell's share of the corpus token budget — the dashboard
+    * a data-mixture owner watches when reweighting sources. One partial+final
+    * aggregation over the corpus; the share window runs over the
+    * cardinality-bounded aggregate (|langs|x|sources| rows), not the data.
+    * The share division is exact-int / exact-int — bit-identical across
+    * engines.
+    */
+  def mixReport(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("lang", "source",
+        s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS n_tok")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .selectExpr("lang", "source", "n_docs", "n_tokens",
+        "CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_sample_stratified" -> sampleStratified,
     "doc_pack" -> packSequences,
+    "doc_mix_report" -> mixReport,
   )
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -76,6 +95,18 @@ object CurationQueries {
         |     ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS h
         |  FROM documents) t
         |WHERE h < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 WHEN 'fr' THEN 50 ELSE 70 END""".stripMargin,
+    "doc_mix_report" ->
+      s"""WITH toks AS (
+         |  SELECT lang, source,
+         |    CAST(list_sum(list_transform($duckToks, t -> (length(t) + 3) // 4)) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |agg AS (
+         |  SELECT lang, source, CAST(count(1) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM toks GROUP BY 1, 2)
+         |SELECT lang, source, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share
+         |FROM agg""".stripMargin,
     "doc_pack" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang,

@@ -280,6 +280,40 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(finalCounts == Map(1L -> 3L, 2L -> 2L))
   }
 
+  test("streaming exact dedup suppresses duplicates across micro-batches") {
+    val tmp = Files.createTempDirectory("graft-sdedup").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    // two files + maxFilesPerTrigger=1 => two micro-batches; the batch-1
+    // duplicate of doc 1 must be dropped by dedup STATE, not within-batch
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b0.jsonl"),
+      Seq("""{"doc_id": 1, "text": "alpha  beta"}""",
+        """{"doc_id": 2, "text": "gamma"}""").mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b1.jsonl"),
+      Seq("""{"doc_id": 3, "text": "Alpha Beta"}""",
+        """{"doc_id": 4, "text": "delta"}""").mkString("\n"))
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // same normalization as text_fingerprint / dedup_exact
+    val deduped = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .json(s"$tmp/in")
+      .withColumn("fp",
+        expr("md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY))"))
+      .dropDuplicates("fp")
+    val q = deduped.writeStream
+      .format("memory").queryName("sdedup").outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val out = spark.table("sdedup").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.size == 3, s"expected 3 survivors, got $out")
+    assert(out.keySet == Set(1L, 2L, 4L), s"batch-0 survivor must win: $out")
+    assert(out.values.toSeq.distinct.size == 3)
+  }
+
   test("gzip JSONL sink round-trip (K3)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-gz").toString
