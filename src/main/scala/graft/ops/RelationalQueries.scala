@@ -351,6 +351,27 @@ object RelationalQueries {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Unpivot (melt): wide numeric measures to (key, measure, value) rows via
+    * `stack` — codegen'd row expansion, no shuffle, the inverse of pivot.
+    */
+  def unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part").selectExpr("p_partkey",
+      "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (measure, value)")
+
+  /** Distribution window functions: quartile bucket, percent_rank, cume_dist
+    * over a fully tiebroken ordering (totalprice, orderkey) — the ratios are
+    * exact-int divisions, bit-identical across engines.
+    */
+  def windowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+  }
+
   // --- as-of / range joins (time-series surface) -----------------------
 
   /** As-of join: each event matched to the same user's latest purchase
@@ -418,6 +439,8 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> unpivot,
+    "q_window_dist" -> windowDist,
     "q_asof_join" -> asofJoin,
     "q_range_join" -> rangeJoin,
     "q_filter_project" -> filterProject,
@@ -460,6 +483,17 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_unpivot" ->
+      """SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (
         |  SELECT user_id, ts, event_id AS p_event_id, value AS p_value
