@@ -90,15 +90,25 @@ object TextQueries {
   }
 
   /** Repetition signals (Gopher/C4-style quality filters): duplicate-token
-    * ratio and top-token fraction. `max_tok_n` is O(distinct x tokens) per
-    * document — embarrassingly parallel, no cross-document state.
+    * ratio and top-token fraction. `max_tok_n` (the count of the most
+    * frequent token) is computed as the longest run in the SORTED token
+    * array — one native array_sort + a linear fold, O(t log t) per document
+    * instead of the O(distinct x tokens) nested filter it replaced (same
+    * value by construction: equal tokens are adjacent after sorting).
+    * Embarrassingly parallel, no cross-document state.
     */
   def repetition(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").selectExpr(
       "doc_id",
       s"size($toks) AS n_tokens",
       s"size(array_distinct($toks)) AS n_distinct",
-      s"CAST(aggregate(array_distinct($toks), 0, (acc, t) -> greatest(acc, size(filter($toks, x -> x = t)))) AS INT) AS max_tok_n")
+      s"""CAST(aggregate(array_sort($toks),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+         |  (a, x) -> named_struct(
+         |    'prev', x,
+         |    'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1),
+         |    'best', greatest(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1))),
+         |  a -> a.best) AS INT) AS max_tok_n""".stripMargin)
       .selectExpr("doc_id", "n_tokens", "n_distinct", "max_tok_n",
         "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(max_tok_n AS DOUBLE) / n_tokens END AS top_tok_frac",
         "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens END AS dup_ratio")
