@@ -19,14 +19,21 @@ object CurationQueries {
 
   private val toks = "split(trim(text), '\\\\s+')"
 
-  /** Deterministic per-document hash in [0, 100): first two bytes of
-    * md5(doc_id), identical in Spark and DuckDB (the `ascii(substr(hex))`
-    * form stays inside both engines' shared function surface — neither has
-    * the other's hex-parse idiom).
+  /** Deterministic per-document hash in [0, 100): the first 16 bits of
+    * md5(doc_id), parsed portably (neither engine has the other's hex-parse
+    * idiom, but both have 1-based `instr`) and reduced mod 100 — uniform to
+    * within 36/65536 (+-0.02% absolute per rate). An earlier ascii-of-hex-
+    * chars form only reached 256 of 65536 states and skewed the advertised
+    * rates by up to 6 points (a "30%" stratum kept 23.8%).
     */
-  private val hashPct =
-    "(ascii(substr(md5(CAST(doc_id AS STRING)), 1, 1)) * 256 + " +
-      "ascii(substr(md5(CAST(doc_id AS STRING)), 2, 1))) % 100"
+  private def hexDigit(src: String, i: Int): String =
+    s"(instr('0123456789abcdef', substr($src, $i, 1)) - 1)"
+  private def hashPctOf(key: String): String = {
+    val h = s"md5($key)"
+    s"((${hexDigit(h, 1)} * 4096 + ${hexDigit(h, 2)} * 256 + " +
+      s"${hexDigit(h, 3)} * 16 + ${hexDigit(h, 4)}) % 100)"
+  }
+  private val hashPct = hashPctOf("CAST(doc_id AS STRING)")
 
   /** Stratified sampling with per-language rates (en 10%, de 30%, fr 50%,
     * everything else 70%) — the down/up-weighting step of a multilingual
@@ -44,13 +51,17 @@ object CurationQueries {
     docs.selectExpr("doc_id", "lang", "source", s"CAST($hashPct AS INT) AS h")
       .filter("h < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 WHEN 'fr' THEN 50 ELSE 70 END")
 
-  /** Sequence packing: assign documents to fixed token-budget packs
-    * (budget 2048 estimated BPE tokens) with deterministic next-fit —
-    * documents ordered by doc_id within a language stratum, a document
-    * whose tokens cross a pack boundary opens the next pack (streaming-
-    * friendly: pack assignment depends only on the running prefix sum, so
-    * it parallelizes as one window per stratum instead of a sequential
-    * driver loop). `pack_pos` is the document's slot within its pack.
+  /** Sequence packing: assign documents to token-budget packs (budget 2048
+    * estimated BPE tokens) by OFFSET partitioning — documents ordered by
+    * doc_id within a language stratum, `pack_id = floor(prefix_sum / 2048)`.
+    * A document whose tokens straddle a boundary stays in the pack it
+    * started in, so a pack can exceed the budget by at most one document's
+    * tokens (the consumer splits the straddler or pads — the standard
+    * concat-then-chunk tokenization layout). This is deliberately NOT
+    * closed-form next-fit (which reopens a fresh pack for every straddler):
+    * offset packing is a pure prefix-sum, so it parallelizes as one window
+    * per stratum instead of a sequential fold. `pack_pos` is the document's
+    * slot within its pack.
     */
   def packSequences(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -89,12 +100,11 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "doc_sample_stratified" ->
-      """SELECT doc_id, lang, source, CAST(h AS INT) AS h FROM (
-        |  SELECT doc_id, lang, source,
-        |    (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
-        |     ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 AS h
-        |  FROM documents) t
-        |WHERE h < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 WHEN 'fr' THEN 50 ELSE 70 END""".stripMargin,
+      s"""SELECT doc_id, lang, source, CAST(h AS INT) AS h FROM (
+         |  SELECT doc_id, lang, source,
+         |    ${hashPctOf("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents) t
+         |WHERE h < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 WHEN 'fr' THEN 50 ELSE 70 END""".stripMargin,
     "doc_mix_report" ->
       s"""WITH toks AS (
          |  SELECT lang, source,

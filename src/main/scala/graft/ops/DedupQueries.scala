@@ -391,9 +391,11 @@ object DedupQueries {
     * final generation (reliable checkpoint when a checkpoint dir is set —
     * the right call on a real cluster where localCheckpoint blocks die with
     * executors — else a local checkpoint). Its truncated lineage references
-    * no loop state, and its blocks are released by the ContextCleaner once
-    * the caller drops the DataFrame — no manual cache management leaks
-    * across a long session.
+    * no loop state, so no CACHED blocks leak across a long session. One
+    * caveat on the reliable branch: the checkpoint FILES outlive the
+    * DataFrame unless `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * is enabled (off by default) — a long-lived session invoking this
+    * repeatedly should set that flag or prune its checkpoint dir.
     *
     * @param edges    undirected edge list, columns (src, dst) — one row per
     *                 direction is NOT required; symmetry is added here

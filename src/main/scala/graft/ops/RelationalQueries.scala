@@ -424,14 +424,20 @@ object RelationalQueries {
     */
   def rangeJoin(s: SparkSession, dir: String): DataFrame = {
     val wUs = 14400L * 1000000L // 4 h in microseconds
+    // FLOOR division, exact in int64: `div` truncates toward zero, which
+    // breaks the one-bucket invariant for pre-1970 (negative-epoch)
+    // timestamps — a pair straddling epoch 0 could land in a bucket the
+    // probe never visits and silently drop
+    def floorDiv(c: String): String =
+      s"($c div ${wUs}L - (CASE WHEN $c % ${wUs}L < 0 THEN 1 ELSE 0 END))"
     val ev = Tables(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         unix_micros(col("ts")).as("c_us"))
-      .withColumn("bkt", explode(array(expr(s"c_us div ${wUs}L"), expr(s"c_us div ${wUs}L + 1"))))
+      .withColumn("bkt", explode(array(expr(floorDiv("c_us")), expr(s"${floorDiv("c_us")} + 1"))))
     val purch = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
-      .withColumn("bkt", expr(s"p_us div ${wUs}L"))
+      .withColumn("bkt", expr(floorDiv("p_us")))
     clicks.join(purch, Seq("user_id", "bkt"))
       .filter(col("p_us") > col("c_us") && col("p_us") <= col("c_us") + wUs)
       .groupBy(col("click_id"))
@@ -495,9 +501,16 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
     "q_asof_join" ->
+      // p is deduped to the max event_id per (user_id, ts): DuckDB's ASOF
+      // tie choice is unspecified, while the Spark window deterministically
+      // surfaces the largest p_event_id at a tied timestamp — the dedup
+      // makes the oracle pick the same row if such ties ever appear
       """WITH p AS (
-        |  SELECT user_id, ts, event_id AS p_event_id, value AS p_value
-        |  FROM events WHERE event_type = 'purchase')
+        |  SELECT user_id, ts, p_event_id, p_value FROM (
+        |    SELECT user_id, ts, event_id AS p_event_id, value AS p_value,
+        |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') t
+        |  WHERE rn = 1)
         |SELECT e.event_id, e.user_id, e.event_type, e.ts, p.p_event_id, p.p_value,
         |  CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT) AS lag_us
         |FROM events e ASOF LEFT JOIN p

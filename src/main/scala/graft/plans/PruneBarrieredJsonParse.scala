@@ -16,8 +16,8 @@ import org.apache.spark.sql.types.StructType
   * wide table hits.
   *
   * This rule reimplements the pruning across the barrier: for a consumer
-  * node (Project / Aggregate / Window, optionally separated from the parse
-  * by Filters) over a Project that defines `r = barrier(from_json(payload))`,
+  * node (Project / Aggregate, optionally separated from the parse by
+  * Filters) over a Project that defines `r = barrier(from_json(payload))`,
   * it collects the struct fields the consumer chain actually extracts and
   * shrinks the parse schema to exactly those fields, remapping the
   * `GetStructField` ordinals above. The barrier itself is preserved — still
@@ -25,6 +25,13 @@ import org.apache.spark.sql.types.StructType
   * finds every field referenced). Guard fields referenced by the routing
   * projection's raise-on-bad-tag checks count as referenced, so frozen-schema
   * error semantics survive pruning.
+  *
+  * Window is deliberately NOT a consumer: `Window.output` is
+  * `child.output ++ windowExprs`, so the parse alias would flow through to
+  * ancestor nodes whose `GetStructField` ordinals this local rewrite cannot
+  * see — pruning to the window's own uses would silently retype the struct
+  * under them. Project and Aggregate are safe because their output IS their
+  * expression list (a bare pass-through of the alias sets `whole` and bails).
   *
   * Runs via `spark.experimental.extraOptimizations` (registered by
   * [[graft.functions.GraftFunctions.registerAll]]), i.e. after the main
@@ -61,7 +68,7 @@ object PruneBarrieredJsonParse extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case consumer: UnaryNode if consumer.isInstanceOf[Project] ||
-        consumer.isInstanceOf[Aggregate] || consumer.isInstanceOf[Window] =>
+        consumer.isInstanceOf[Aggregate] =>
       unwrap(consumer.child, Nil) match {
         case None => consumer
         case Some((filters, defining)) =>

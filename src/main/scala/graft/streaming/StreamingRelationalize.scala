@@ -133,8 +133,15 @@ object StreamingRelationalize {
     val retired = new Path(path + RetiredSuffix)
     existing.select(exprs: _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.rename(p, retired)
-    fs.rename(tmp, p)
+    // HDFS/S3A-style FileSystems signal rename failure by RETURNING FALSE,
+    // not throwing. An unchecked false here would return normally, the
+    // caller would persist the new schema, and the next append would mix
+    // two layouts in one directory — fail the batch instead, so the
+    // checkpoint does not commit and recovery rolls the swap forward/back.
+    require(fs.rename(p, retired),
+      s"migration swap failed: could not move $p aside to $retired")
+    require(fs.rename(tmp, p),
+      s"migration swap failed: could not move rewrite $tmp into $p")
     fs.delete(retired, true)
   }
 
@@ -155,8 +162,13 @@ object StreamingRelationalize {
     val tmp = new Path(path + MigratingSuffix)
     val retired = new Path(path + RetiredSuffix)
     if (!fs.exists(p)) {
-      if (fs.exists(tmp)) fs.rename(tmp, p)
-      else if (fs.exists(retired)) fs.rename(retired, p)
+      // an unchecked false return would let the cleanup below delete the
+      // ONLY surviving copy — abort recovery instead and leave the
+      // leftovers for the next attempt (or an operator)
+      if (fs.exists(tmp)) require(fs.rename(tmp, p),
+        s"migration recovery failed: could not roll $tmp forward to $p")
+      else if (fs.exists(retired)) require(fs.rename(retired, p),
+        s"migration recovery failed: could not roll $retired back to $p")
     }
     if (fs.exists(retired)) fs.delete(retired, true)
     if (fs.exists(tmp)) fs.delete(tmp, true)

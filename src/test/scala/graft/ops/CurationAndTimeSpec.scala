@@ -107,7 +107,7 @@ class CurationAndTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // --- sequence packing --------------------------------------------------
 
-  test("packing reproduces sequential next-fit within each stratum") {
+  test("packing reproduces sequential offset partitioning within each stratum") {
     val rows = CurationQueries.packSequences(spark, dir).collect()
       .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4)))
     rows.groupBy(_._1).foreach { case (_, docs) =>
@@ -120,6 +120,12 @@ class CurationAndTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
         pos += expected -> p
         assert(packPos == p, s"doc $docId pos $packPos, expected $p")
         cum += nTok
+      }
+      // overflow bound: a pack exceeds the budget only by its straddling
+      // document — every pack's START offset is inside its budget window
+      docs.groupBy(_._4).foreach { case (pid, members) =>
+        val startOffset = docs.filter(_._4 < pid).map(_._3).sum
+        assert(startOffset / 2048 <= pid, s"pack $pid starts past its window")
       }
     }
   }

@@ -198,6 +198,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.head.schema.asInstanceOf[StructType].length == 200)
   }
 
+  test("window over a converted table keeps correct values (no pruning through Window)") {
+    // Window.output passes the parse alias through to ancestors; pruning on
+    // the window's own uses would retype the struct under an ancestor
+    // Project's stale GetStructField ordinals. The rule must leave Window
+    // consumers alone — pinned here on VALUES, the thing that broke.
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, row_number}
+    val doc = (0 until 50).map(i => s""""c$i": $i""").mkString("{", ", ", "}")
+    val docs = spark.createDataset(Seq(doc, doc))(Encoders.STRING)
+    val wide = graft.relationalize.RelationalizeSpark(docs, "w")("w")
+    val out = wide.select(col("c7"),
+      row_number().over(W.orderBy(col("c3"), col("c7"))).as("rk"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(out == Seq((7L, 1), (7L, 2)), s"window consumer corrupted values: $out")
+  }
+
   test("joining converted tables does not multiply the payload parse") {
     // the rid join-back: an inner join's IsNotNull pushdown must NOT
     // substitute from_json into a filter (10 parses/row before the barrier)
