@@ -198,6 +198,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.head.schema.asInstanceOf[StructType].length == 200)
   }
 
+  test("tfidf and decontamination broadcast their bounded sides") {
+    val tfidf = planString(TextQueries.tfidf(spark, dir))
+    assert(tfidf.contains("BroadcastHashJoin"),
+      s"document-frequency side must broadcast:\n$tfidf")
+    val decon = planString(TextQueries.decontaminate(spark, dir))
+    assert(decon.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast:\n$decon")
+    assert(!decon.contains("SortMergeJoin"),
+      s"the corpus shingle stream must not shuffle into the probe:\n$decon")
+  }
+
+  test("stratified sampling is map-side: no shuffle exchange at all") {
+    val df = CurationQueries.sampleStratified(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"hash-mod sampling must not shuffle:\n$p")
+    assert(p.contains("*(1)"), s"sampling filter should be codegen'd:\n$p")
+  }
+
   test("window over a converted table keeps correct values (no pruning through Window)") {
     // Window.output passes the parse alias through to ancestors; pruning on
     // the window's own uses would retype the struct under an ancestor
