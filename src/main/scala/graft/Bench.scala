@@ -25,7 +25,8 @@ object Bench {
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "ann_bruteforce", "ann_ivf",
     "text_quality", "text_langid", "text_repetition", "text_tfidf",
-    "doc_pack", "mm_features")
+    "text_decontaminate", "doc_pack", "doc_sample_stratified", "doc_mix_report",
+    "emb_kmeans", "mm_features")
 
   /** Timed runs per query; the reported time is the median, so one GC pause /
     * noisy-neighbor stall in the sandbox no longer poisons the recorded
