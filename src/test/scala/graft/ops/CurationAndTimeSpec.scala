@@ -130,6 +130,15 @@ class CurationAndTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sampling kernel returns empty (not an error) on an empty corpus") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType))))
+    assert(CurationQueries.sampleFrom(empty).collect().isEmpty)
+  }
+
   // --- tf-idf -------------------------------------------------------------
 
   test("tfidf returns at most 3 ranked terms per document with sane counts") {

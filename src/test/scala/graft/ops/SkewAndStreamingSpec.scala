@@ -314,6 +314,41 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.toSeq.distinct.size == 3)
   }
 
+  test("streaming session_window aggregation equals the batch computation") {
+    val tmp = Files.createTempDirectory("graft-sesswin").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    // user 1: two sessions separated by >5 min; user 2: one session
+    val rows = Seq(
+      """{"user_id": 1, "ts": "2024-01-01T00:00:00.000Z"}""",
+      """{"user_id": 1, "ts": "2024-01-01T00:02:00.000Z"}""",
+      """{"user_id": 1, "ts": "2024-01-01T00:30:00.000Z"}""",
+      """{"user_id": 2, "ts": "2024-01-01T00:01:00.000Z"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/events.jsonl"), rows.mkString("\n"))
+
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").cast("string").as("s"),
+        col("user_id"), col("n"))
+
+    val q = sessions(spark.readStream.schema(schema).json(s"$tmp/in")
+        .withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("sess_counts").outputMode("complete")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val got = spark.table("sess_counts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = sessions(spark.read.schema(schema).json(s"$tmp/in")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected && got.size == 3,
+      s"streaming sessions $got != batch $expected")
+  }
+
   test("gzip JSONL sink round-trip (K3)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-gz").toString
