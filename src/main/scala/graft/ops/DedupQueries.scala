@@ -115,12 +115,26 @@ object DedupQueries {
       .selectExpr("doc_id" +: sigCols: _*)
   }
 
-  /** MinHash-LSH candidate pairs, verified with exact shingle Jaccard.
-    * Bands of 4 consecutive minhashes (8 bands over k=32); a pair is a
-    * candidate if any band matches; verification keeps jaccard >= 0.2
-    * (2 * 5 * inter >= 2 * union via integers).
+  /** MinHash-LSH banding configuration: `k` total minhash functions split
+    * into `bands` of `k / bands` consecutive rows. More bands (fewer rows
+    * each) = higher candidate recall and more verification work; the
+    * defaults (8x4 over k=32) target J >= 0.2 on 3-gram shingles.
+    * Splitting a band in two can only ADD candidates (a matching 4-row key
+    * implies both 2-row sub-keys match), so tightening the dial never
+    * silently loses pairs — pinned by the superset spec.
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  final case class MinHashConfig(k: Int = 32, bands: Int = 8) {
+    require(k > 0 && bands > 0 && k % bands == 0, "bands must divide k")
+    def rows: Int = k / bands
+  }
+
+  /** MinHash-LSH candidate pairs, verified with exact shingle Jaccard.
+    * Bands of `cfg.rows` consecutive minhashes (`cfg.bands` bands over
+    * `cfg.k`); a pair is a candidate if any band matches; verification
+    * keeps jaccard >= 0.2 (5 * inter >= union via integers) regardless of
+    * banding, so the config tunes recall/cost, never the pair predicate.
+    */
+  def minhashLsh(s: SparkSession, dir: String, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     // Signatures in long format: explode shingles, hash once (codegen'd
     // Hash60), then ONE partial-aggregated groupBy computing all 32 minima --
@@ -131,15 +145,15 @@ object DedupQueries {
     val postings = docs
       .selectExpr("doc_id", "explode(shs) AS sh")
       .selectExpr("doc_id", s"pmod(${h("sh")}, ${P}L) AS x")
-    val aggs = (0 until 32).map(i =>
+    val aggs = (0 until cfg.k).map(i =>
       min(expr(s"pmod((2 * $i + 1) * x + 10007 * ($i + 1), $P)")).as(s"mh_$i"))
     val sigs = postings.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    // 8 band rows per doc via the stack generator (band id + 4-sig key)
-    val stackArgs = (0 until 8).map { b =>
-      val key = (0 until 4).map(j => s"CAST(mh_${4 * b + j} AS STRING)").mkString(", ")
+    // one band row per doc per band via the stack generator (band id + key)
+    val stackArgs = (0 until cfg.bands).map { b =>
+      val key = (0 until cfg.rows).map(j => s"CAST(mh_${cfg.rows * b + j} AS STRING)").mkString(", ")
       s"$b, concat_ws(',', $key)"
     }.mkString(", ")
-    val bands = sigs.selectExpr("doc_id", s"stack(8, $stackArgs) AS (band, sig)")
+    val bands = sigs.selectExpr("doc_id", s"stack(${cfg.bands}, $stackArgs) AS (band, sig)")
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -455,7 +469,7 @@ object DedupQueries {
     "dedup_clusters" -> dedupClusters,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_sig" -> minhashSignatures,
-    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_minhash_lsh" -> ((s, dir) => minhashLsh(s, dir)),
     "dedup_simhash" -> simhash,
     "dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "dedup_simhash_lsh" -> simhashLsh,

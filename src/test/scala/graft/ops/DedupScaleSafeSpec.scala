@@ -32,6 +32,16 @@ class DedupScaleSafeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${quadratic -- banded}, extra=${banded -- quadratic}")
   }
 
+  test("splitting minhash bands only adds verified pairs (recall dial is monotone)") {
+    // a matching 4-row band key implies both 2-row sub-keys match, so the
+    // finer banding's candidate set — and its verified output — is a superset
+    val default = rowSet(DedupQueries.minhashLsh(spark, dir))
+    val finer = rowSet(DedupQueries.minhashLsh(spark, dir,
+      DedupQueries.MinHashConfig(k = 32, bands = 16)))
+    assert(default.subsetOf(finer),
+      s"finer banding lost pairs: ${default -- finer}")
+  }
+
   test("prefix-filtered Jaccard equals the full postings self-join") {
     val prefixed = rowSet(DedupQueries.dedupJaccardPrefix(spark, dir))
     val quadratic = rowSet(DedupQueries.dedupJaccard(spark, dir))
