@@ -35,21 +35,32 @@ object CurationQueries {
   }
   private val hashPct = hashPctOf("CAST(doc_id AS STRING)")
 
-  /** Stratified sampling with per-language rates (en 10%, de 30%, fr 50%,
-    * everything else 70%) — the down/up-weighting step of a multilingual
-    * training mix. Keep-decision is a pure function of the document key, so
-    * the sample is stable across reruns and insensitive to data layout.
+  /** The catalog's pinned per-language keep rates (percent): the
+    * down/up-weighting step of a multilingual training mix.
+    */
+  val DefaultRates: (Map[String, Int], Int) =
+    (Map("en" -> 10, "de" -> 30, "fr" -> 50), 70)
+
+  /** Stratified sampling with per-language rates — keep-decision is a pure
+    * function of the document key, so the sample is stable across reruns
+    * and insensitive to data layout.
     */
   def sampleStratified(s: SparkSession, dir: String): DataFrame =
     sampleFrom(Tables(s, dir, "documents"))
 
   /** The sampling kernel over any frame with (doc_id, lang, source) — the
     * keep-decision depends only on row content, so the output set is
-    * identical for any partitioning/ordering of `docs`.
+    * identical for any partitioning/ordering of `docs`. `rates` maps each
+    * stratum to its keep percent; `default` covers unlisted strata.
     */
-  def sampleFrom(docs: DataFrame): DataFrame =
+  def sampleFrom(docs: DataFrame,
+                 rates: Map[String, Int] = DefaultRates._1,
+                 default: Int = DefaultRates._2): DataFrame = {
+    val whens = rates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
     docs.selectExpr("doc_id", "lang", "source", s"CAST($hashPct AS INT) AS h")
-      .filter("h < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 WHEN 'fr' THEN 50 ELSE 70 END")
+      .filter(s"h < CASE lang $whens ELSE $default END")
+  }
 
   /** Sequence packing: assign documents to token-budget packs (budget 2048
     * estimated BPE tokens) by OFFSET partitioning — documents ordered by
@@ -63,15 +74,17 @@ object CurationQueries {
     * per stratum instead of a sequential fold. `pack_pos` is the document's
     * slot within its pack.
     */
-  def packSequences(s: SparkSession, dir: String): DataFrame =
+  def packSequences(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+    require(budget > 0)
     Tables(s, dir, "documents")
       .selectExpr("doc_id", "lang",
         s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS n_tok")
       .selectExpr("doc_id", "lang", "n_tok",
         "CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) div 2048 AS BIGINT) AS pack_id")
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) div $budget AS BIGINT) AS pack_id")
       .selectExpr("doc_id", "lang", "n_tok", "pack_id",
         "CAST(row_number() OVER (PARTITION BY lang, pack_id ORDER BY doc_id) AS INT) AS pack_pos")
+  }
 
   /** Training-mix report: per (lang, source) document counts, exact token
     * sums, and each cell's share of the corpus token budget — the dashboard
@@ -92,7 +105,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_sample_stratified" -> sampleStratified,
-    "doc_pack" -> packSequences,
+    "doc_pack" -> ((s, dir) => packSequences(s, dir)),
     "doc_mix_report" -> mixReport,
   )
 

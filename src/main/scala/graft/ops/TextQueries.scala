@@ -143,14 +143,16 @@ object TextQueries {
     * 100 TB the corpus side is never shuffled, only streamed. Per flagged
     * doc: distinct hit count + lexicographically-first hit.
     */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  def decontaminate(s: SparkSession, dir: String,
+                    benchSource: String = "src0", n: Int = 4): DataFrame = {
+    require(n >= 2)
     val grams = Tables(s, dir, "documents")
       .selectExpr("doc_id", "source", s"split(trim(lower(text)), '\\\\s+') AS t")
-      .filter("size(t) >= 4")
+      .filter(s"size(t) >= $n")
       .selectExpr("doc_id", "source",
-        "explode(transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))) AS g")
-    val bench = grams.filter(col("source") === "src0").select(col("g")).distinct()
-    grams.filter(col("source") =!= "src0")
+        s"explode(transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))) AS g")
+    val bench = grams.filter(col("source") === benchSource).select(col("g")).distinct()
+    grams.filter(col("source") =!= benchSource)
       .join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id"), col("source"))
       .agg(countDistinct(col("g")).as("n_hits"), min(col("g")).as("first_gram"))
@@ -158,7 +160,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> tfidf,
-    "text_decontaminate" -> decontaminate,
+    "text_decontaminate" -> ((s, dir) => decontaminate(s, dir)),
     "text_tokens" -> tokenStats,
     "text_quality" -> qualityScore,
     "text_langid" -> langId,

@@ -130,6 +130,20 @@ class CurationAndTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("parameterized surface: custom rates, budget, and shingle size behave") {
+    // rates: a 0% default drops unlisted strata entirely
+    val only = CurationQueries.sampleFrom(
+      Tables(spark, dir, "documents"), Map("en" -> 100), default = 0).collect()
+    assert(only.nonEmpty && only.forall(_.getString(1) == "en"))
+    // budget: a tiny budget packs (almost) one document per pack
+    val tiny = CurationQueries.packSequences(spark, dir, budget = 1L).collect()
+    assert(tiny.forall(_.getInt(4) == 1), "budget=1: every doc starts its own pack")
+    // shingle size: a longer shingle can only flag fewer or equal docs
+    val n4 = TextQueries.decontaminate(spark, dir).collect().map(_.getLong(0)).toSet
+    val n6 = TextQueries.decontaminate(spark, dir, n = 6).collect().map(_.getLong(0)).toSet
+    assert(n6.subsetOf(n4), s"longer shingles flagged new docs: ${n6 -- n4}")
+  }
+
   test("sampling kernel returns empty (not an error) on an empty corpus") {
     import org.apache.spark.sql.types._
     val empty = spark.createDataFrame(
