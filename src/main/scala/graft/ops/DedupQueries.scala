@@ -367,12 +367,21 @@ object DedupQueries {
     * 4-block split) the same structure prunes far harder; the band count is
     * the exactness dial (bands > hamming threshold = exact).
     */
-  def simhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def simhashLsh(s: SparkSession, dir: String, hammingMax: Int = 10): DataFrame = {
+    require(hammingMax >= 0 && hammingMax < 32, "hammingMax must be in [0, 32)")
+    // pigeonhole needs hammingMax + 1 bands over the 32 signature bits; the
+    // remainder bits widen the first bands (default 10: 10 bands of 3 + 1
+    // of 2 — the pinned catalog layout)
+    val nBands = hammingMax + 1
+    val base = 32 / nBands
+    val rem = 32 % nBands
+    val widths = Seq.fill(rem)(base + 1) ++ Seq.fill(nBands - rem)(base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val sigs = simhash(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stackArgs = (0 until 11).map { b =>
-      s"$b, shiftright(simhash, ${3 * b}) & ${if (b < 10) 7 else 3}"
+    val stackArgs = (0 until nBands).map { b =>
+      s"$b, shiftright(simhash, ${offsets(b)}) & ${(1 << widths(b)) - 1}"
     }.mkString(", ")
-    val bands = sigs.selectExpr("doc_id", "lang", s"stack(11, $stackArgs) AS (band, key)")
+    val bands = sigs.selectExpr("doc_id", "lang", s"stack($nBands, $stackArgs) AS (band, key)")
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.lang") === col("y.lang") && col("x.band") === col("y.band") &&
@@ -384,7 +393,7 @@ object DedupQueries {
       .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
       .selectExpr("doc_a", "doc_b",
         "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming")
-      .filter(col("hamming") <= 10)
+      .filter(col("hamming") <= hammingMax)
   }
 
   // --- near-dup cluster resolution (pairs -> components -> survivor) ----
@@ -472,7 +481,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> ((s, dir) => minhashLsh(s, dir)),
     "dedup_simhash" -> simhash,
     "dedup_jaccard_prefix" -> dedupJaccardPrefix,
-    "dedup_simhash_lsh" -> simhashLsh,
+    "dedup_simhash_lsh" -> ((s, dir) => simhashLsh(s, dir)),
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
   )
 

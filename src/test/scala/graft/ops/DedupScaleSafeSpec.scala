@@ -32,6 +32,17 @@ class DedupScaleSafeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${quadratic -- banded}, extra=${banded -- quadratic}")
   }
 
+  test("simhash banding stays lossless at a non-default hamming threshold") {
+    // pigeonhole regenerates the band layout from the threshold: 6 bands
+    // over 32 bits for hamming <= 5 must still find EXACTLY the all-pairs
+    // result filtered to that distance
+    val banded = rowSet(DedupQueries.simhashLsh(spark, dir, hammingMax = 5))
+    val quadratic = rowSet(DedupQueries.simhashPairs(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("hamming") <= 5))
+    assert(banded == quadratic,
+      s"missing=${quadratic -- banded}, extra=${banded -- quadratic}")
+  }
+
   test("splitting minhash bands only adds verified pairs (recall dial is monotone)") {
     // a matching 4-row band key implies both 2-row sub-keys match, so the
     // finer banding's candidate set — and its verified output — is a superset
