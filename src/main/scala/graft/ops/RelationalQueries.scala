@@ -389,8 +389,16 @@ object RelationalQueries {
     * (side 0 < 1) for the inclusive match; `p_event_id` asc makes the
     * winner deterministic even if two purchases shared a timestamp.
     */
-  def asofJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(s, dir, "events")
+  def asofJoin(s: SparkSession, dir: String): DataFrame =
+    asofFrom(Tables(s, dir, "events"))
+
+  /** The as-of kernel over any frame with (event_id, user_id, event_type,
+    * ts, value). Tie rule (pinned by spec on constructed data): a purchase
+    * AT the probe's timestamp matches (inclusive), and of several purchases
+    * sharing one timestamp the highest event_id wins — the build rows sort
+    * before the probe row and `last()` takes the final one.
+    */
+  def asofFrom(ev: DataFrame): DataFrame = {
     val build = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(0).as("side"),
         lit(null).cast("bigint").as("event_id"), lit(null).cast("string").as("event_type"),

@@ -55,6 +55,29 @@ class CurationAndTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("asof tie rules: inclusive match, max event_id among equal timestamps") {
+    import spark.implicits._
+    // user 7: two purchases at the SAME timestamp (ids 2 < 3), a click at
+    // that exact timestamp, a later click, and an earlier click
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val before = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    val after = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    val ev = Seq(
+      (1L, 7L, "click", before, 0.0),
+      (2L, 7L, "purchase", ts0, 10.0),
+      (3L, 7L, "purchase", ts0, 30.0),
+      (4L, 7L, "click", ts0, 0.0),
+      (5L, 7L, "click", after, 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = RelationalQueries.asofFrom(ev).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out(1L) == -1L, "click before any purchase must not match")
+    assert(out(4L) == 3L, "click AT the tied timestamp matches the max-id purchase")
+    assert(out(5L) == 3L, "later click matches the max-id purchase")
+    assert(out(2L) == 3L && out(3L) == 3L,
+      "purchase rows self-match the tie winner (inclusive, max id)")
+  }
+
   test("asof join plans join-free: one windowed pass, no join operator") {
     val p = planString(RelationalQueries.asofJoin(spark, dir))
     assert(p.contains("Window"), s"expected a window pass:\n$p")
