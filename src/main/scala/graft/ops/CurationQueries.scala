@@ -52,14 +52,18 @@ object CurationQueries {
     * keep-decision depends only on row content, so the output set is
     * identical for any partitioning/ordering of `docs`. `rates` maps each
     * stratum to its keep percent; `default` covers unlisted strata.
+    * The per-stratum threshold is built with the Column API (a `when` chain),
+    * never by splicing stratum keys into SQL text: `rates` is caller-supplied,
+    * and a key containing a quote must select a stratum, not break the parse.
     */
   def sampleFrom(docs: DataFrame,
                  rates: Map[String, Int] = DefaultRates._1,
                  default: Int = DefaultRates._2): DataFrame = {
-    val whens = rates.toSeq.sortBy(_._1)
-      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (l, r)) => when(col("lang") === lit(l), lit(r)).otherwise(acc)
+    }
     docs.selectExpr("doc_id", "lang", "source", s"CAST($hashPct AS INT) AS h")
-      .filter(s"h < CASE lang $whens ELSE $default END")
+      .filter(col("h") < threshold)
   }
 
   /** Sequence packing: assign documents to token-budget packs (budget 2048
@@ -74,16 +78,44 @@ object CurationQueries {
     * per stratum instead of a sequential fold. `pack_pos` is the document's
     * slot within its pack.
     */
-  def packSequences(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
-    require(budget > 0)
-    Tables(s, dir, "documents")
-      .selectExpr("doc_id", "lang",
-        s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS n_tok")
-      .selectExpr("doc_id", "lang", "n_tok",
-        "CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id " +
-          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) div $budget AS BIGINT) AS pack_id")
-      .selectExpr("doc_id", "lang", "n_tok", "pack_id",
-        "CAST(row_number() OVER (PARTITION BY lang, pack_id ORDER BY doc_id) AS INT) AS pack_pos")
+  def packSequences(s: SparkSession, dir: String, budget: Long = 2048L,
+                    strata: Seq[String] = Seq("lang")): DataFrame =
+    packTokens(
+      Tables(s, dir, "documents")
+        .selectExpr("doc_id", "lang",
+          s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS n_tok"),
+      budget, strata)
+
+  /** The packing kernel over any frame with (doc_id, <strata cols>, n_tok):
+    * a prefix-sum window per stratum, `pack_id = floor(prefix_sum / budget)`,
+    * then a slot number within each pack.
+    *
+    * `strata` is the 100 TB dial: the catalog's pinned default (`lang`) puts
+    * a whole language stratum on ONE window task — fine at test scale, a
+    * scale-killer on a real corpus where one language is most of the data.
+    * A production run adds a shard sub-key (any deterministic bucketing
+    * column, e.g. `pmod(hash(doc_id), 1024)`) so each window partition's
+    * sort stays bounded; packing is then sequential *within each shard*
+    * (each (stratum, shard) gets its own independent pack sequence), which
+    * is exactly the concat-then-chunk layout a sharded tokenizer consumes.
+    */
+  def packTokens(docs: DataFrame, budget: Long = 2048L,
+                 strata: Seq[String] = Seq("lang")): DataFrame = {
+    require(budget > 0 && strata.nonEmpty)
+    val parts = strata.map(col)
+    val wSum = org.apache.spark.sql.expressions.Window
+      .partitionBy(parts: _*).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(parts :+ col("pack_id"): _*).orderBy(col("doc_id"))
+    docs
+      .withColumn("__start_tok", sum(col("n_tok")).over(wSum) - col("n_tok"))
+      // integer div, not floor(double /): token prefix sums at corpus scale
+      // can exceed 2^53 where double division would misplace pack boundaries
+      .withColumn("pack_id", expr(s"CAST(__start_tok div ${budget}L AS BIGINT)"))
+      .drop("__start_tok")
+      .withColumn("pack_pos", row_number().over(wPos).cast("int"))
   }
 
   /** Training-mix report: per (lang, source) document counts, exact token

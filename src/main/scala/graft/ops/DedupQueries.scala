@@ -369,19 +369,8 @@ object DedupQueries {
     */
   def simhashLsh(s: SparkSession, dir: String, hammingMax: Int = 10): DataFrame = {
     require(hammingMax >= 0 && hammingMax < 32, "hammingMax must be in [0, 32)")
-    // pigeonhole needs hammingMax + 1 bands over the 32 signature bits; the
-    // remainder bits widen the first bands (default 10: 10 bands of 3 + 1
-    // of 2 — the pinned catalog layout)
-    val nBands = hammingMax + 1
-    val base = 32 / nBands
-    val rem = 32 % nBands
-    val widths = Seq.fill(rem)(base + 1) ++ Seq.fill(nBands - rem)(base)
-    val offsets = widths.scanLeft(0)(_ + _)
     val sigs = simhash(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stackArgs = (0 until nBands).map { b =>
-      s"$b, shiftright(simhash, ${offsets(b)}) & ${(1 << widths(b)) - 1}"
-    }.mkString(", ")
-    val bands = sigs.selectExpr("doc_id", "lang", s"stack($nBands, $stackArgs) AS (band, key)")
+    val bands = simhashBands(sigs, hammingMax)
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.lang") === col("y.lang") && col("x.band") === col("y.band") &&
@@ -394,6 +383,27 @@ object DedupQueries {
       .selectExpr("doc_a", "doc_b",
         "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming")
       .filter(col("hamming") <= hammingMax)
+  }
+
+  /** Band rows (doc_id, lang, band, key) for [[simhashLsh]]'s candidate
+    * equi-join. The mask is computed in Long arithmetic: at `hammingMax = 0`
+    * the single band spans all 32 bits and an Int `1 << 32` would wrap to 1
+    * (mask 0 — every key collapses to 0 and the "banding" silently becomes
+    * the per-language all-pairs join it exists to avoid).
+    */
+  private[graft] def simhashBands(sigs: DataFrame, hammingMax: Int): DataFrame = {
+    // pigeonhole needs hammingMax + 1 bands over the 32 signature bits; the
+    // remainder bits widen the first bands (default 10: 10 bands of 3 + 1
+    // of 2 — the pinned catalog layout)
+    val nBands = hammingMax + 1
+    val base = 32 / nBands
+    val rem = 32 % nBands
+    val widths = Seq.fill(rem)(base + 1) ++ Seq.fill(nBands - rem)(base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val stackArgs = (0 until nBands).map { b =>
+      s"$b, shiftright(simhash, ${offsets(b)}) & ${(1L << widths(b)) - 1}L"
+    }.mkString(", ")
+    sigs.selectExpr("doc_id", "lang", s"stack($nBands, $stackArgs) AS (band, key)")
   }
 
   // --- near-dup cluster resolution (pairs -> components -> survivor) ----

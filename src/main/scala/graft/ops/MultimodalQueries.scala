@@ -95,8 +95,11 @@ object MultimodalQueries {
     * heuristics run on exactly these signals. Bytes are read as hex pairs of
     * `hex(media)`, so it works on arbitrary binary, not just text; all
     * outputs are exact integers plus one single-division fraction
-    * (deterministic in both engines). Max-frequency is O(distinct x bytes)
-    * per document with distinct <= 256 — embarrassingly parallel.
+    * (deterministic in both engines). Max-frequency is the longest run in
+    * the SORTED byte array — one array_sort + a linear fold (same idiom as
+    * `text_repetition`'s max_tok_n: equal values are adjacent after sorting),
+    * O(n log n) per document instead of the O(distinct x bytes) nested
+    * filter it replaced — embarrassingly parallel.
     */
   def byteStats(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -107,7 +110,13 @@ object MultimodalQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // barrier: hex+transform once
       .selectExpr("doc_id", "n_bytes",
         "CAST(size(array_distinct(bytes)) AS INT) AS n_distinct_bytes",
-        "CAST(aggregate(array_distinct(bytes), 0, (acc, b) -> greatest(acc, size(filter(bytes, x -> x = b)))) AS INT) AS max_byte_n")
+        """CAST(aggregate(array_sort(bytes),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          |  (a, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1),
+          |    'best', greatest(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1))),
+          |  a -> a.best) AS INT) AS max_byte_n""".stripMargin)
       .selectExpr("doc_id", "n_bytes", "n_distinct_bytes", "max_byte_n",
         "CASE WHEN n_bytes = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(max_byte_n AS DOUBLE) / n_bytes END AS top_byte_frac")
 

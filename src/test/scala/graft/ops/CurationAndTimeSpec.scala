@@ -167,6 +167,53 @@ class CurationAndTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n6.subsetOf(n4), s"longer shingles flagged new docs: ${n6 -- n4}")
   }
 
+  test("sampling rates keys are data, not SQL: quotes in a stratum key select, never parse") {
+    import spark.implicits._
+    val docs = Seq((1L, "o'brien", "s0"), (2L, "plain", "s0"))
+      .toDF("doc_id", "lang", "source")
+    // quoted key keeps everything in its stratum; everything else drops
+    val kept = CurationQueries.sampleFrom(docs, Map("o'brien" -> 100), default = 0)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L), s"quoted stratum key mishandled: $kept")
+  }
+
+  test("packing by (lang, shard) strata: independent per-shard sequences, bounded window partitions") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "lang", "pmod(doc_id, 2) AS shard",
+        "CAST(10 + doc_id % 50 AS BIGINT) AS n_tok")
+    val out = CurationQueries.packTokens(docs, budget = 64, strata = Seq("lang", "shard"))
+    val rows = out.collect()
+      .map(r => ((r.getString(1), r.getLong(2)), r.getLong(0), r.getLong(3), r.getLong(4), r.getInt(5)))
+    // >1 window partition per language: both shards of each language present,
+    // each starting its OWN pack sequence at 0
+    rows.groupBy(_._1._1).foreach { case (lang, byLang) =>
+      val shards = byLang.map(_._1._2).distinct.sorted
+      assert(shards.toSeq == Seq(0L, 1L), s"lang $lang not split across shards: $shards")
+    }
+    // per-(lang, shard): the sequential offset-packing fold reproduces
+    // pack_id and pack_pos exactly — sharding changes parallelism, not the
+    // within-shard semantics
+    rows.groupBy(_._1).foreach { case (stratum, docs2) =>
+      var cum = 0L
+      var pos = Map.empty[Long, Int]
+      docs2.sortBy(_._2).foreach { case (_, docId, nTok, packId, packPos) =>
+        val expected = cum / 64
+        assert(packId == expected, s"$stratum doc $docId pack $packId, expected $expected")
+        val p = pos.getOrElse(expected, 0) + 1
+        pos += expected -> p
+        assert(packPos == p, s"$stratum doc $docId pos $packPos, expected $p")
+        cum += nTok
+      }
+      assert(docs2.exists(_._4 == 0L), s"$stratum does not start at pack 0")
+    }
+    // plan pin: the running-sum window partitions by BOTH strata columns
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(lang#\\d+, shard#\\d+".r.findFirstIn(p).isDefined,
+      s"window must partition by (lang, shard):\n$p")
+  }
+
   test("sampling kernel returns empty (not an error) on an empty corpus") {
     import org.apache.spark.sql.types._
     val empty = spark.createDataFrame(

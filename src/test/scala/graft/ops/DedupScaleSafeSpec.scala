@@ -43,6 +43,25 @@ class DedupScaleSafeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${quadratic -- banded}, extra=${banded -- quadratic}")
   }
 
+  test("hammingMax=0: one 32-bit band keys on the full signature, not a collapsed mask") {
+    // (1 << 32) in Int arithmetic wraps to 1, so the single band's mask would
+    // be 0 and every key would collapse to 0 — the candidate join silently
+    // degenerating to the per-language all-pairs it exists to avoid. The mask
+    // is Long now: the band key must be the signature itself.
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val sigs = DedupQueries.simhash(spark, dir)
+    val bands = DedupQueries.simhashBands(sigs, hammingMax = 0)
+    val nKeys = bands.agg(countDistinct(col("key"))).head().getLong(0)
+    val nSigs = sigs.agg(countDistinct(col("simhash"))).head().getLong(0)
+    assert(nKeys == nSigs, s"band keys collapsed: $nKeys keys for $nSigs signatures")
+    // and the output is exactly the signature-equality pairs
+    val banded = rowSet(DedupQueries.simhashLsh(spark, dir, hammingMax = 0))
+    val quadratic = rowSet(DedupQueries.simhashPairs(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("hamming") === 0))
+    assert(banded == quadratic,
+      s"missing=${quadratic -- banded}, extra=${banded -- quadratic}")
+  }
+
   test("splitting minhash bands only adds verified pairs (recall dial is monotone)") {
     // a matching 4-row band key implies both 2-row sub-keys match, so the
     // finer banding's candidate set — and its verified output — is a superset
