@@ -50,9 +50,14 @@ object Bench {
       // parallelize the scans, and empirically an 8 MB setting interacted
       // with AQE to serialize rel_explode's intermediate stages (88 s vs
       // 15 s cold). Parallelism begins at the first shuffle (32 partitions).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable checkpoints for Lifecycle.released (see Verify): the measured
+    // work then includes the materialize-and-release a production session pays
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
 
     // JVM/codegen warmup outside the timed region
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -82,5 +87,6 @@ object Bench {
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(ckptDir.toFile)
   }
 }

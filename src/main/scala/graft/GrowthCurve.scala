@@ -1,0 +1,149 @@
+package graft
+
+import graft.ops.DedupQueries
+import graft.ops.DedupQueries.{EmbeddingLshConfig, MinHashConfig}
+import graft.ops.SimilarityQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Growth-curve harness for the fuzzy-dedup / ANN paths: generates synthetic
+  * corpora with a realistic (Zipf) vocabulary and planted near-duplicates at
+  * 1x and 10x, then records candidate-pair counts and wall-clock for each
+  * scale-safe path. The claim under test: candidate sets grow with the TRUE
+  * pair count (near-linear, since planted dups are a fixed fraction), not
+  * with n^2 — except where a loose threshold forces narrow bands, which the
+  * table quantifies honestly (see EmbeddingLshConfig's scaladoc).
+  *
+  * Corpus design:
+  *   - documents: 30-80 tokens, words Zipf-distributed over a ~10k-word
+  *     vocabulary (rank = V^u for uniform u — pr(rank r) ~ 1/r), 10% of docs
+  *     are a copy of their predecessor with the last token replaced (same
+  *     language: lang is derived per decade);
+  *   - embeddings: 64-dim hash-uniform vectors, 10% perturbed copies of
+  *     their predecessor (cosine ~ 0.999, same label per decade).
+  *
+  * Candidate counts are computed as sum over band-key groups of C(cnt, 2) —
+  * the band join's INPUT pair count (pre-distinct), which is the cost that
+  * must not go quadratic — no pair materialization needed.
+  *
+  * Usage: `sbt "runMain graft.GrowthCurve [baseDir]"` (default /tmp/growth).
+  * Writes a markdown table to stdout; ROADMAP.md records the results.
+  */
+object GrowthCurve {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Pairs within equal-key groups: sum of cnt*(cnt-1)/2 (exact int math). */
+  private def groupPairs(df: DataFrame, keys: Seq[String]): Long = {
+    val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Don't materialize a candidate join past this size locally — the count
+    * already tells the growth story.
+    */
+  private val TimedRunCap = 150000000L
+
+  private def genDocuments(s: SparkSession, n: Long, path: String): Unit = {
+    graft.functions.GraftFunctions.registerAll(s)
+    def tokens(base: String) =
+      s"transform(sequence(1, 30 + CAST(pmod(hash60(concat('len:', $base)), 51) AS INT)), " +
+        s"i -> concat('w', CAST(pow(10000.0, pmod(hash60(concat('t:', $base, ':', i)), 1000000) / 1000000.0) AS INT)))"
+    s.range(n).selectExpr(
+      "id AS doc_id",
+      // per-decade language so a planted (id-1, id) pair shares its block
+      "element_at(array('en','de','fr','es'), CAST(pmod(hash60(concat('lang:', id div 10)), 4) AS INT) + 1) AS lang",
+      "concat('src', pmod(hash60(concat('src:', id)), 5)) AS source",
+      s"""CASE WHEN pmod(id, 10) = 9
+         | THEN concat_ws(' ', concat(slice(${tokens("id - 1")}, 1, size(${tokens("id - 1")}) - 1),
+         |                            array(concat('x', id))))
+         | ELSE concat_ws(' ', ${tokens("id")}) END AS text""".stripMargin)
+      .write.mode("overwrite").parquet(s"$path/documents.parquet")
+  }
+
+  private def genEmbeddings(s: SparkSession, n: Long, path: String): Unit = {
+    graft.functions.GraftFunctions.registerAll(s)
+    def comp(base: String) =
+      s"(pmod(hash60(concat('e:', $base, ':', k)), 2001) - 1000) / 1000.0"
+    s.range(n).selectExpr(
+      "id AS vec_id",
+      "CAST(pmod(id div 10, 8) AS INT) AS label", // per-decade: planted pair shares it
+      s"""CASE WHEN pmod(id, 10) = 9
+         | THEN transform(sequence(1, 64), k -> CAST(${comp("id - 1")}
+         |      + (pmod(hash60(concat('d:', id, ':', k)), 21) - 10) / 1000.0 AS FLOAT))
+         | ELSE transform(sequence(1, 64), k -> CAST(${comp("id")} AS FLOAT)) END AS embedding""".stripMargin)
+      .write.mode("overwrite").parquet(s"$path/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/tmp/growth")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-growth-ckpt").toString)
+
+    val docScales = Seq(("1x", 5000L), ("10x", 50000L))
+    val embScales = Seq(("1x", 2000L), ("10x", 20000L))
+    docScales.foreach { case (tag, n) => genDocuments(spark, n, s"$base/$tag") }
+    embScales.foreach { case (tag, n) => genEmbeddings(spark, n, s"$base/$tag") }
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long, Long, Double)]
+
+    docScales.foreach { case (tag, n) =>
+      val dir = s"$base/$tag"
+      // minhash: distinct candidate pairs, then the public op
+      val (shs, tks) = DedupQueries.shingledDocs(spark, dir)
+      val cands = DedupQueries.minhashCandidatesFrom(shs, MinHashConfig())
+      val (mhPairs, _) = timed(cands.count())
+      tks.unpersist()
+      val (mhOut, mhSec) = timed(DedupQueries.minhashLsh(spark, dir).count())
+      rows += (("dedup_minhash_lsh", tag, n, mhPairs, mhOut, mhSec))
+
+      // simhash: band-group pair count (the join input), then the public op
+      val sims = DedupQueries.simhash(spark, dir)
+      val bandPairs = groupPairs(
+        DedupQueries.simhashBands(sims, hammingMax = 10), Seq("lang", "band", "key"))
+      if (bandPairs <= TimedRunCap) {
+        val (shOut, shSec) = timed(DedupQueries.simhashLsh(spark, dir).count())
+        rows += (("dedup_simhash_lsh", tag, n, bandPairs, shOut, shSec))
+      } else rows += (("dedup_simhash_lsh", tag, n, bandPairs, -1L, -1.0))
+    }
+
+    embScales.foreach { case (tag, n) =>
+      val dir = s"$base/$tag"
+      for ((label, cfg) <- Seq(
+          ("dedup_embedding_lsh[16x3,c>=0.4]", EmbeddingLshConfig()),
+          ("dedup_embedding_lsh[4x12,c>=0.9]", EmbeddingLshConfig(bands = 4, minCosine = 0.9)))) {
+        val (result, e, bands) = DedupQueries.dedupEmbeddingLshPlan(spark, dir, cfg)
+        val cand = groupPairs(bands, Seq("label", "band", "key"))
+        if (cand <= TimedRunCap) {
+          val (out, sec) = timed(result.count())
+          rows += ((label, tag, n, cand, out, sec))
+        } else rows += ((label, tag, n, cand, -1L, -1.0))
+        e.unpersist(); bands.unpersist()
+      }
+      val (ivfOut, ivfSec) = timed(SimilarityQueries.annIvf(spark, dir).count())
+      rows += (("ann_ivf", tag, n, -1L, ivfOut, ivfSec))
+    }
+
+    println("| path | scale | rows | candidate pairs | output pairs | sec |")
+    println("|---|---|---|---|---|---|")
+    rows.foreach { case (path, tag, n, cand, out, sec) =>
+      val c = if (cand < 0) "-" else cand.toString
+      println(f"| $path | $tag | $n | $c | $out | $sec%.2f |")
+    }
+    spark.stop()
+  }
+}

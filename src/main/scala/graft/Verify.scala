@@ -13,9 +13,17 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // checkpoint files are deleted when their DataFrame is GC'd (see
+      // README ops notes: reliable-checkpoint files otherwise outlive it)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a checkpoint dir makes Lifecycle.released use RELIABLE checkpoints, so
+    // every op's persisted intermediates are dropped eagerly (localCheckpoint
+    // would keep the result blocks cached until GC)
+    val ckptDir = Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
     new java.io.File(outDir).mkdirs()
     // drop result dirs for queries no longer in the catalog (renames would
     // otherwise leave stale outputs the compare reports as oracle-less)
@@ -54,5 +62,6 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(ckptDir.toFile)
   }
 }

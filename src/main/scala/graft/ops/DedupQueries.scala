@@ -91,16 +91,18 @@ object DedupQueries {
     * outer expression like `element_at(split(...), i)` re-evaluates the full
     * regex split PER ELEMENT (the alias is inlined by CollapseProject), so
     * shingle construction must read tokens from a materialized attribute.
+    * Returns (shingles frame, the persisted tokens frame for the caller's
+    * [[Lifecycle]] release).
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  private def shingled(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val shsFromTks =
       "CASE WHEN size(tks) < 3 THEN CAST(array() AS ARRAY<STRING>) ELSE " +
         "array_distinct(transform(sequence(1, size(tks) - 2), " +
         "i -> concat_ws(' ', element_at(tks, i), element_at(tks, i + 1), element_at(tks, i + 2)))) END"
-    Tables(s, dir, "documents")
+    val tks = Tables(s, dir, "documents")
       .selectExpr("doc_id", s"$toks AS tks")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .selectExpr("doc_id", s"$shsFromTks AS shs")
+    (tks.selectExpr("doc_id", s"$shsFromTks AS shs"), tks)
   }
 
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
@@ -109,10 +111,11 @@ object DedupQueries {
     val sigCols = (0 until 8).map { i =>
       s"array_min(transform(hs, x -> pmod(${aCoef(i)}L * x + ${bCoef(i)}L, ${P}L))) AS mh_$i"
     }
-    shingled(s, dir)
+    val (shs, tks) = shingled(s, dir)
+    val hs = shs
       .selectExpr("doc_id", s"transform(shs, sh -> pmod(${h("sh")}, ${P}L)) AS hs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // barrier: md5 once, not 8x
-      .selectExpr("doc_id" +: sigCols: _*)
+    Lifecycle.released(hs.selectExpr("doc_id" +: sigCols: _*), hs, tks)
   }
 
   /** MinHash-LSH banding configuration: `k` total minhash functions split
@@ -141,33 +144,59 @@ object DedupQueries {
     // no interpreted higher-order lambdas in the hot path, and the shuffle
     // carries only (doc_id, 32 longs) after map-side combine. Docs with no
     // shingles drop out, which is correct here: they cannot be candidates.
-    val docs = shingled(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val postings = docs
-      .selectExpr("doc_id", "explode(shs) AS sh")
-      .selectExpr("doc_id", s"pmod(${h("sh")}, ${P}L) AS x")
-    val aggs = (0 until cfg.k).map(i =>
-      min(expr(s"pmod((2 * $i + 1) * x + 10007 * ($i + 1), $P)")).as(s"mh_$i"))
-    val sigs = postings.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    // one band row per doc per band via the stack generator (band id + key)
-    val stackArgs = (0 until cfg.bands).map { b =>
-      val key = (0 until cfg.rows).map(j => s"CAST(mh_${cfg.rows * b + j} AS STRING)").mkString(", ")
-      s"$b, concat_ws(',', $key)"
-    }.mkString(", ")
-    val bands = sigs.selectExpr("doc_id", s"stack(${cfg.bands}, $stackArgs) AS (band, sig)")
-    val candidates = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val (shs, tks) = shingled(s, dir)
+    val docs = shs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = minhashCandidatesFrom(docs, cfg)
     val sets = docs
-    candidates
+    val verified = candidates
       .join(sets.as("pa"), col("doc_a") === col("pa.doc_id"))
       .join(sets.as("pb"), col("doc_b") === col("pb.doc_id"))
       .selectExpr("doc_a", "doc_b",
         "size(array_intersect(pa.shs, pb.shs)) AS inter",
         "size(array_union(pa.shs, pb.shs)) AS union_sz")
       .filter(col("inter") * 5 >= col("union_sz"))
+    Lifecycle.released(verified, docs, tks)
+  }
+
+  /** Band rows (doc_id, band, sig): one row per doc per band via the stack
+    * generator.
+    */
+  private def minhashBands(sigs: DataFrame, cfg: MinHashConfig): DataFrame = {
+    val stackArgs = (0 until cfg.bands).map { b =>
+      val key = (0 until cfg.rows).map(j => s"CAST(mh_${cfg.rows * b + j} AS STRING)").mkString(", ")
+      s"$b, concat_ws(',', $key)"
+    }.mkString(", ")
+    sigs.selectExpr("doc_id", s"stack(${cfg.bands}, $stackArgs) AS (band, sig)")
+  }
+
+  /** Distinct candidate pairs of the MinHash-LSH band join over a shingled
+    * frame (doc_id, shs) — the pre-verification stage. Shared by
+    * [[minhashLsh]]; exposed so the growth-curve harness can count candidate
+    * pairs at 1x vs 10x corpus scale.
+    */
+  private[graft] def minhashCandidatesFrom(
+      shs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val postings = shs
+      .selectExpr("doc_id", "explode(shs) AS sh")
+      .selectExpr("doc_id", s"pmod(${h("sh")}, ${P}L) AS x")
+    val aggs = (0 until cfg.k).map(i =>
+      min(expr(s"pmod((2 * $i + 1) * x + 10007 * ($i + 1), $P)")).as(s"mh_$i"))
+    val sigs = postings.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bands = minhashBands(sigs, cfg)
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Shingled documents frame for the growth-curve harness (caller releases
+    * the returned persisted tokens frame).
+    */
+  private[graft] def shingledDocs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.registerAll(s)
+    shingled(s, dir)
   }
 
   // --- exact n-gram Jaccard, prefix-filtered (the scale path) -----------
@@ -211,7 +240,7 @@ object DedupQueries {
           col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    candidates
+    val verified = candidates
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
       .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
       .selectExpr("doc_a", "doc_b",
@@ -219,6 +248,7 @@ object DedupQueries {
         "CAST(size(da.tset) + size(db.tset) - size(array_intersect(da.tset, db.tset)) AS BIGINT) AS union_sz")
       .filter(col("inter") * 2 >= col("union_sz"))
       .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
+    Lifecycle.released(verified, docs)
   }
 
   // --- embedding-cosine near-dup ---------------------------------------
@@ -264,11 +294,31 @@ object DedupQueries {
     * once at broadcast build, and the plan carries one compact expression
     * (bounded plan size — no `maxToStringFields` truncation).
     */
-  private def rhWeightsDf(s: SparkSession): DataFrame = {
+  private def rhWeightsDf(s: SparkSession, bits: Int): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     s.range(1).selectExpr(
-      s"transform(sequence(0, ${RH_BITS - 1}), j -> transform(sequence(1, 64), " +
+      s"transform(sequence(0, ${bits - 1}), j -> transform(sequence(1, 64), " +
         "k -> pmod(hash60(concat('rh:', j, ':', k)), 1001) - 500)) AS ws")
+  }
+
+  /** Hyperplane-LSH banding + verification-threshold configuration.
+    *
+    * The pinned catalog default (48 bits in 16 bands of 3, cosine >= 0.4)
+    * matches the loose oracle threshold: at theta = arccos(0.4) each sign
+    * bit agrees with only p ~ 0.63, so recall needs narrow bands — and
+    * narrow bands admit a large share of RANDOM pairs as candidates
+    * (p_rand per 3-bit band = 1/8). Production near-dup thresholds
+    * (cosine >= 0.9, p_bit ~ 0.86) take WIDE bands: e.g. 4 bands of 12 keeps
+    * recall ~0.999 on true pairs while a random pair passes a band with
+    * p = 2^-12 — the dial that makes the candidate set grow with the TRUE
+    * pair count instead of n^2 (measured in ROADMAP's growth-curve table).
+    */
+  final case class EmbeddingLshConfig(bits: Int = RH_BITS, bands: Int = RH_BANDS,
+                                      minCosine: Double = 0.4) {
+    require(bits > 0 && bits <= 60 && bands > 0 && bits % bands == 0,
+      "bands must divide bits (<= 60)")
+    require(minCosine > -1.0 && minCosine <= 1.0)
+    def width: Int = bits / bands
   }
 
   /** Embedding near-dup pairs via random-hyperplane LSH + exact verification —
@@ -289,7 +339,18 @@ object DedupQueries {
     * cost dial. The candidate join is an equi-join on (label, band, key):
     * shuffle-parallel, never a per-block cartesian.
     */
-  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+  def dedupEmbeddingLsh(s: SparkSession, dir: String,
+                        cfg: EmbeddingLshConfig = EmbeddingLshConfig()): DataFrame = {
+    val (result, e, bands) = dedupEmbeddingLshPlan(s, dir, cfg)
+    Lifecycle.released(result, e, bands)
+  }
+
+  /** Lazy plan + the persisted barriers, for plan inspection and for
+    * [[dedupEmbeddingLsh]]'s materialize-then-release wrapper.
+    */
+  private[graft] def dedupEmbeddingLshPlan(
+      s: SparkSession, dir: String,
+      cfg: EmbeddingLshConfig = EmbeddingLshConfig()): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(s)
     val e = Tables(s, dir, "embeddings")
       .selectExpr("vec_id", "label",
@@ -297,34 +358,37 @@ object DedupQueries {
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q")
       .selectExpr("vec_id", "label", "v", "q", s"$normOnce AS nv") // once per vector, behind the persist
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 48 sign bits: the outer transform stays a (once-per-vector) lambda, but
+    // sign bits: the outer transform stays a (once-per-vector) lambda, but
     // each inner dot is the codegen-capable vec_dot — evaluated via its tight
     // eval loop instead of a zip_with allocation + interpreted fold per plane
     val bits =
-      s"transform(sequence(0, ${RH_BITS - 1}), j -> CASE WHEN " +
+      s"transform(sequence(0, ${cfg.bits - 1}), j -> CASE WHEN " +
         "vec_dot(q, element_at(ws, j + 1)) > 0 " +
         "THEN 1 ELSE 0 END)"
-    val stackArgs = (0 until RH_BANDS).map { bd =>
-      val key = (0 until 3).map(i => s"element_at(b, ${3 * bd + i + 1}) * ${1 << (2 - i)}").mkString(" + ")
+    val w = cfg.width
+    val stackArgs = (0 until cfg.bands).map { bd =>
+      val key = (0 until w)
+        .map(i => s"element_at(b, ${w * bd + i + 1}) * ${1L << (w - 1 - i)}L").mkString(" + ")
       s"$bd, $key"
     }.mkString(", ")
     val bands = e
-      .crossJoin(broadcast(rhWeightsDf(s))) // 1-row weights: computed once, no shuffle
+      .crossJoin(broadcast(rhWeightsDf(s, cfg.bits))) // 1-row weights: computed once, no shuffle
       .selectExpr("vec_id", "label", s"$bits AS b")
-      .selectExpr("vec_id", "label", s"stack($RH_BANDS, $stackArgs) AS (band, key)")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // barrier: 48 dot products once, not per join side
+      .selectExpr("vec_id", "label", s"stack(${cfg.bands}, $stackArgs) AS (band, key)")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // barrier: all dot products once, not per join side
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.label") === col("y.label") && col("x.band") === col("y.band") &&
           col("x.key") === col("y.key") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    candidates
+    val verified = candidates
       .join(e.as("a"), col("vec_a") === col("a.vec_id"))
       .join(e.as("b"), col("vec_b") === col("b.vec_id"))
       .selectExpr("vec_a", "vec_b", "a.label AS label", s"$dot / (a.nv * b.nv) AS sim")
-      .filter(col("sim") >= 0.4)
+      .filter(col("sim") >= cfg.minCosine)
       .select(col("vec_a"), col("vec_b"), col("label"))
+    (verified, e, bands)
   }
 
   // --- SimHash ----------------------------------------------------------
@@ -333,25 +397,35 @@ object DedupQueries {
     * (2*bit_j(h(token)) - 1) over token *occurrences*.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    val (sigs, ths) = simhashSigs(s, dir)
+    Lifecycle.released(sigs, ths)
+  }
+
+  /** Lazy signature frame + the persisted token-hash barrier, for callers
+    * that layer more joins on the signatures and release everything at once.
+    */
+  private def simhashSigs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(s)
     val sig = "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + " +
       s"CASE WHEN aggregate(ths, CAST(0 AS BIGINT), " +
       s"(c, x) -> c + 2L * pmod(CAST(floor(x / power(2, j)) AS BIGINT), 2L) - 1L) > 0 " +
       "THEN CAST(power(2, j) AS BIGINT) ELSE 0L END)"
-    Tables(s, dir, "documents")
+    val ths = Tables(s, dir, "documents")
       .selectExpr("doc_id", "lang", s"transform($toks, t -> pmod(${h("t")}, ${P}L)) AS ths")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // barrier: md5 once, not 32x
-      .selectExpr("doc_id", "lang", s"$sig AS simhash")
+    (ths.selectExpr("doc_id", "lang", s"$sig AS simhash"), ths)
   }
 
   /** SimHash near-dup pairs: hamming distance <= 10 within a language block. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = simhash(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.as("a").join(sigs.as("b"),
+    val (raw, ths) = simhashSigs(s, dir)
+    val sigs = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = sigs.as("a").join(sigs.as("b"),
         col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
       .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
         "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming")
       .filter(col("hamming") <= 10)
+    Lifecycle.released(pairs, sigs, ths)
   }
 
   /** SimHash near-dup pairs via multi-index banding (Manku-style) — the
@@ -369,7 +443,8 @@ object DedupQueries {
     */
   def simhashLsh(s: SparkSession, dir: String, hammingMax: Int = 10): DataFrame = {
     require(hammingMax >= 0 && hammingMax < 32, "hammingMax must be in [0, 32)")
-    val sigs = simhash(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (raw, ths) = simhashSigs(s, dir)
+    val sigs = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = simhashBands(sigs, hammingMax)
     val candidates = bands.as("x")
       .join(bands.as("y"),
@@ -377,12 +452,13 @@ object DedupQueries {
           col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    candidates
+    val verified = candidates
       .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
       .selectExpr("doc_a", "doc_b",
         "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming")
       .filter(col("hamming") <= hammingMax)
+    Lifecycle.released(verified, sigs, ths)
   }
 
   /** Band rows (doc_id, lang, band, key) for [[simhashLsh]]'s candidate
@@ -492,7 +568,7 @@ object DedupQueries {
     "dedup_simhash" -> simhash,
     "dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "dedup_simhash_lsh" -> ((s, dir) => simhashLsh(s, dir)),
-    "dedup_embedding_lsh" -> dedupEmbeddingLsh,
+    "dedup_embedding_lsh" -> ((s, dir) => dedupEmbeddingLsh(s, dir)),
   )
 
   /** Test-only quadratic baselines (`oracle_` prefix): each is the provably

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialize-then-release for operators built around persist barriers.
+  *
+  * The fuzzy-dedup / ANN pipelines persist intermediates (tokenized docs,
+  * signatures, band rows, the IVF index) because the candidate stage and the
+  * verification stage both consume them — without the barrier the whole
+  * upstream subtree re-executes per join side, and `CollapseProject` inlines
+  * aliased expensive expressions per reference. But a lazily-returned result
+  * can never safely unpersist its own inputs: the caller's action still needs
+  * them. So every public catalog entry materializes its (small) result first
+  * — a reliable checkpoint when the session has a checkpoint dir, else an
+  * eager local checkpoint — and only then drops the persisted inputs. A
+  * long-lived session composing catalog ops no longer accumulates cached
+  * partitions until eviction pressure; `CacheLifecycleSpec` pins
+  * `getPersistentRDDs.isEmpty` after every public query.
+  *
+  * The result is orders of magnitude smaller than the inputs for every
+  * wrapped op (pairs / signatures / top-k vs the corpus), so the extra
+  * write+read is noise next to the recompute the barrier avoids.
+  *
+  * Fallback caveat: without a checkpoint dir, `localCheckpoint` itself keeps
+  * the RESULT blocks cached until the DataFrame is GC'd (the ContextCleaner
+  * releases them) — bounded by the result size, not the intermediates.
+  * Reliable-checkpoint FILES outlive the DataFrame unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints` is enabled; Verify and
+  * Bench set it (see README ops notes).
+  */
+object Lifecycle {
+
+  /** Materialize `result`, then unpersist `inputs`. */
+  def released(result: DataFrame, inputs: DataFrame*): DataFrame =
+    releasedBy(result)(inputs.foreach(_.unpersist()))
+
+  /** Materialize `result`, then run an arbitrary release action. */
+  def releasedBy(result: DataFrame)(release: => Unit): DataFrame = {
+    val sc = result.sparkSession.sparkContext
+    val out =
+      if (sc.getCheckpointDir.isDefined) result.checkpoint(eager = true)
+      else result.localCheckpoint(eager = true)
+    release
+    out
+  }
+}

@@ -101,13 +101,14 @@ object MultimodalQueries {
     * O(n log n) per document instead of the O(distinct x bytes) nested
     * filter it replaced — embarrassingly parallel.
     */
-  def byteStats(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  def byteStats(s: SparkSession, dir: String): DataFrame = {
+    val bytes = Tables(s, dir, "documents")
       .selectExpr("doc_id", "CAST(text AS BINARY) AS media")
       .selectExpr("doc_id", "octet_length(media) AS n_bytes", "hex(media) AS hx")
       .selectExpr("doc_id", "n_bytes",
         "transform(sequence(0, n_bytes - 1), i -> substring(hx, 2 * i + 1, 2)) AS bytes")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // barrier: hex+transform once
+    val stats = bytes
       .selectExpr("doc_id", "n_bytes",
         "CAST(size(array_distinct(bytes)) AS INT) AS n_distinct_bytes",
         """CAST(aggregate(array_sort(bytes),
@@ -119,6 +120,8 @@ object MultimodalQueries {
           |  a -> a.best) AS INT) AS max_byte_n""".stripMargin)
       .selectExpr("doc_id", "n_bytes", "n_distinct_bytes", "max_byte_n",
         "CASE WHEN n_bytes = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(max_byte_n AS DOUBLE) / n_bytes END AS top_byte_frac")
+    Lifecycle.released(stats, bytes)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mediaMeta,

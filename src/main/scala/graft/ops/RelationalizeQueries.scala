@@ -18,13 +18,23 @@ object RelationalizeQueries {
     val docs = Tables(spark, dir, "events")
       .select(concat(lit("{\"event_id\":"), col("event_id"), lit(",\"props\":"), col("props"), lit("}")).as("doc"))
       .as(Encoders.STRING)
-    RelationalizeSpark(docs, "events")("events")
+    val res = RelationalizeSpark(docs, "events")
+    Lifecycle.releasedBy(res("events"))(res.release())
   }
 
   /** Nested array explode: per-order JSON docs with a lineitems array ->
     * child table with __index_, joined back to the parent via rid.
     */
   def relExplode(spark: SparkSession, dir: String): DataFrame = {
+    val (df, res) = relExplodePlan(spark, dir)
+    Lifecycle.releasedBy(df)(res.release())
+  }
+
+  /** Lazy plan + the result handle, for plan inspection and for
+    * [[relExplode]]'s materialize-then-release wrapper.
+    */
+  private[graft] def relExplodePlan(
+      spark: SparkSession, dir: String): (DataFrame, graft.relationalize.RelationalizeResult) = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     val docs = li.groupBy(col("l_orderkey"))
@@ -34,9 +44,10 @@ object RelationalizeQueries {
     val res = RelationalizeSpark(docs, "orders")
     val root = res("orders").select(col("orderkey"), col("items"))
     val child = res("orders_items")
-    root.join(child, root("items") === child("items__rid_"))
+    val joined = root.join(child, root("items") === child("items__rid_"))
       .select(col("orderkey"), col("items__index_"),
         col("items_l_linenumber"), col("items_l_quantity"))
+    (joined, res)
   }
 
   /** Choice-type split: a field that is int / str / null depending on the row
@@ -44,8 +55,9 @@ object RelationalizeQueries {
     */
   def relChoice(spark: SparkSession, dir: String): DataFrame = {
     val docs = choiceDocs(spark, dir)
-    RelationalizeSpark(docs.as(Encoders.STRING), "events")("events")
-      .select(col("event_id"), col("v_int"), col("v_str"))
+    val res = RelationalizeSpark(docs.as(Encoders.STRING), "events")
+    Lifecycle.releasedBy(
+      res("events").select(col("event_id"), col("v_int"), col("v_str")))(res.release())
   }
 
   /** Schema inference surfaced as rows: (column, coltype) for the choice
@@ -76,7 +88,10 @@ object RelationalizeQueries {
     val docs = choiceDocs(spark, dir)
     val res = RelationalizeSpark(docs.as(Encoders.STRING), "events")
     import spark.implicits._
-    res.ddl().toSeq.map { case (t, d) => (t, d) }.toDF("table_name", "ddl").orderBy("table_name")
+    val out = res.ddl().toSeq.map { case (t, d) => (t, d) }
+      .toDF("table_name", "ddl").orderBy("table_name")
+    res.release() // DDL derives from the (already collected) schemas alone
+    out
   }
 
   /** The relationalize transform as a SQL generator (custom Catalyst

@@ -51,6 +51,14 @@ object SimilarityQueries {
     graft.functions.GraftFunctions.registerAll(s)
     val emb = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$toDouble AS v")
       .selectExpr("vec_id", "v", s"${norm("v")} AS nv")
+    bruteForceFrom(emb)
+  }
+
+  /** The brute-force kernel over any (vec_id, v, nv) frame — shared between
+    * the standalone baseline and [[annRecall]]'s exact arm (which feeds it
+    * the one persisted index projection instead of building a second one).
+    */
+  private def bruteForceFrom(emb: DataFrame): DataFrame = {
     val queries = emb.filter(col("vec_id") < 10)
       .selectExpr("vec_id AS query_id", "v AS qv", "nv AS qnv")
     val sims = broadcast(queries).join(emb, col("vec_id") =!= col("query_id"))
@@ -138,6 +146,11 @@ object SimilarityQueries {
 
   def annIvf(s: SparkSession, dir: String, cfg: IvfConfig = IvfConfig()): DataFrame = {
     val (emb, centroids) = buildIndex(s, dir, cfg)
+    Lifecycle.released(ivfFrom(emb, centroids, cfg), emb, centroids)
+  }
+
+  /** The multi-probe search over an already-built index. */
+  private def ivfFrom(emb: DataFrame, centroids: DataFrame, cfg: IvfConfig): DataFrame = {
     val assigned = assignBuckets(emb, centroids)
     val probes = emb.filter(col("vec_id") < 10).crossJoin(broadcast(centroids))
       .selectExpr("vec_id AS query_id", "v AS qv", "nv AS qnv", "cid",
@@ -160,17 +173,23 @@ object SimilarityQueries {
   /** Recall accounting for the IVF index: per query, how many of the exact
     * brute-force top-5 the multi-probe IVF search recovered — the continuous
     * quality report a production deployment watches when it retunes
-    * (k, iters, probes).
+    * (k, iters, probes). Both arms share ONE index build: the persisted
+    * per-vector projection (v, q, nv) and the refined centroids are computed
+    * once and feed the exact scan and the multi-probe search — a recall
+    * monitor that ran the embedding projection twice would double its own
+    * cost for no information.
     */
   def annRecall(s: SparkSession, dir: String, cfg: IvfConfig = IvfConfig()): DataFrame = {
-    val bf = annBruteForce(s, dir).select(col("query_id"), col("neighbor_id"))
-    val ivf = annIvf(s, dir, cfg).select(col("query_id"), col("neighbor_id"))
+    val (emb, centroids) = buildIndex(s, dir, cfg)
+    val bf = bruteForceFrom(emb).select(col("query_id"), col("neighbor_id"))
+    val ivf = ivfFrom(emb, centroids, cfg).select(col("query_id"), col("neighbor_id"))
     val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-    bf.select(col("query_id")).distinct()
+    val recall = bf.select(col("query_id")).distinct()
       .join(hits, Seq("query_id"), "left")
       .selectExpr("query_id", "CAST(coalesce(hits, 0) AS BIGINT) AS hits",
         "CAST(coalesce(hits, 0) AS DOUBLE) / 5.0 AS recall")
+    Lifecycle.released(recall, emb, centroids)
   }
 
   /** K-means cluster profile over the IVF buckets — the corpus-clustering
@@ -182,11 +201,12 @@ object SimilarityQueries {
     */
   def embKmeans(s: SparkSession, dir: String, cfg: IvfConfig = IvfConfig()): DataFrame = {
     val (emb, centroids) = buildIndex(s, dir, cfg)
-    assignBuckets(emb, centroids)
+    val profile = assignBuckets(emb, centroids)
       .selectExpr("CAST(bucket AS BIGINT) AS bucket", "vec_id", "element_at(q, 1) AS q1")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_vec"),
         max(col("vec_id")).as("max_vec"), sum(col("q1")).as("sum_q1"))
+    Lifecycle.released(profile, emb, centroids)
   }
 
   /** Array-column surface: dimension, element extraction, label. */

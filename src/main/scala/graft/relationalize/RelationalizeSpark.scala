@@ -51,12 +51,20 @@ final case class RelationalizeOptions(
   */
 final case class RelationalizeResult(
     tables: Map[String, DataFrame],
-    schemas: Map[String, ChoiceSchema]) {
+    schemas: Map[String, ChoiceSchema],
+    private val cached: Option[Dataset[Emitted]] = None) {
 
   def apply(table: String): DataFrame = tables(table)
 
   def ddl(schemaName: String = "public", dialect: SqlDialect = PostgresDialect): Map[String, String] =
     schemas.map { case (t, s) => t -> s.generateDdl(t, schemaName, dialect) }
+
+  /** Unpersist the cached pass-1 emit (no-op under `materializePath`, where
+    * the emit lives in files instead of the block store). Call once the
+    * per-table DataFrames have been consumed or materialized — afterwards
+    * they still compute correctly but re-run pass 1 per action.
+    */
+  def release(): Unit = cached.foreach(_.unpersist())
 }
 
 /** Distributed relationalize, Spark-first:
@@ -306,21 +314,23 @@ object RelationalizeSpark {
   def apply(ds: Dataset[String], name: String,
             options: RelationalizeOptions = RelationalizeOptions()): RelationalizeResult = {
     val spark = ds.sparkSession
-    val emittedSource: Dataset[Emitted] = options.materializePath match {
+    val (emittedSource: Dataset[Emitted], cached: Option[Dataset[Emitted]]) =
+      options.materializePath match {
       case Some(path) =>
         emitWithSchemas(ds, name, options.schemaMapCap, options.contentDocKeys)
           .write.mode(SaveMode.Overwrite).partitionBy("table").parquet(path)
         implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
         // explicit schema: an empty corpus writes no data files, and
         // schema inference on a data-file-less partitioned dir throws
-        spark.read
+        (spark.read
           .schema(StructType(Seq(
             StructField("payload", StringType), StructField("table", StringType))))
           .parquet(path)
-          .select(col("table").cast(StringType), col("payload")).as[Emitted]
+          .select(col("table").cast(StringType), col("payload")).as[Emitted], None)
       case None =>
-        emitWithSchemas(ds, name, options.schemaMapCap, options.contentDocKeys)
+        val c = emitWithSchemas(ds, name, options.schemaMapCap, options.contentDocKeys)
           .persist(StorageLevel.MEMORY_AND_DISK)
+        (c, Some(c))
     }
     val raw = collectSchemas(emittedSource)
     val schemas = raw.map { case (t, s0) =>
@@ -331,7 +341,7 @@ object RelationalizeSpark {
       t -> s
     }
     val tables = schemas.map { case (t, s) => t -> toDataFrame(emittedSource, t, s) }
-    RelationalizeResult(tables, schemas)
+    RelationalizeResult(tables, schemas, cached)
   }
 
   /** Relationalize a JSON string column of an existing DataFrame. */

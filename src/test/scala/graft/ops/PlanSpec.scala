@@ -157,8 +157,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       }))
       (dots, hofs, sqrts, plan.toString)
     }
+    // the lazy plan variant: the public entry materializes (checkpoint) and
+    // releases its barriers, which hides the logical plan under a LogicalRDD
     for (df <- Seq(SimilarityQueries.annBruteForce(spark, dir),
-                   DedupQueries.dedupEmbeddingLsh(spark, dir))) {
+                   DedupQueries.dedupEmbeddingLshPlan(spark, dir)._1)) {
       val (dots, hofs, sqrts, p) = pairStageCounts(df)
       // exactly ONE dot product per candidate pair — codegen'd vec_dot, not
       // an interpreted fold — and the norms live below the join, once per
@@ -236,8 +238,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("joining converted tables does not multiply the payload parse") {
     // the rid join-back: an inner join's IsNotNull pushdown must NOT
-    // substitute from_json into a filter (10 parses/row before the barrier)
-    val df = RelationalizeQueries.relExplode(spark, dir)
+    // substitute from_json into a filter (10 parses/row before the barrier);
+    // the lazy plan variant keeps the join visible (the public entry
+    // checkpoints, hiding the plan under a LogicalRDD)
+    val df = RelationalizeQueries.relExplodePlan(spark, dir)._1
     var parses = 0
     df.queryExecution.optimizedPlan.foreach { node =>
       node.expressions.foreach(_.foreach {
