@@ -32,6 +32,12 @@ import org.apache.spark.sql.types.StructType
   * see — pruning to the window's own uses would silently retype the struct
   * under them. Project and Aggregate are safe because their output IS their
   * expression list (a bare pass-through of the alias sets `whole` and bails).
+  * The exclusion costs nothing: Spark's `ExtractWindowExpressions` always
+  * materializes a window's inputs (partition/order keys, function args) in a
+  * Project BELOW the Window, and after ColumnPruning that projection is a
+  * narrow consumer directly over the defining project — window queries get
+  * pruning transitively. PlanSpec pins a window over 2 of 50 columns parsing
+  * an 8-field struct.
   *
   * Runs via `spark.experimental.extraOptimizations` (registered by
   * [[graft.functions.GraftFunctions.registerAll]]), i.e. after the main

@@ -219,6 +219,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*(1)"), s"sampling filter should be codegen'd:\n$p")
   }
 
+  test("window consumers get parse pruning transitively (below-window projection)") {
+    // The rule never treats Window itself as a consumer (see the retype
+    // hazard below), and does not need to: Spark's ExtractWindowExpressions
+    // always materializes a window's inputs in a Project BELOW the Window,
+    // and that projection IS a pruning consumer over the defining project.
+    // A window over 2 of 50 columns must parse 8 tag fields, not 200.
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.types.StructType
+    val doc = (0 until 50).map(i => s""""c$i": $i""").mkString("{", ", ", "}")
+    val docs = spark.createDataset(Seq(doc, doc))(Encoders.STRING)
+    val wide = graft.relationalize.RelationalizeSpark(docs, "w")("w")
+    val out = wide.select(col("c7"),
+      row_number().over(W.orderBy(col("c3"), col("c7"))).as("rk"))
+    val parses = out.queryExecution.optimizedPlan.collect { case n =>
+      n.expressions.flatMap(_.collect { case j: JsonToStructs => j })
+    }.flatten
+    assert(parses.size == 1, s"expected 1 parse, got ${parses.size}")
+    val fields = parses.head.schema.asInstanceOf[StructType].fieldNames
+    assert(fields.length == 8,
+      s"window consumer parse not pruned: ${fields.length} fields")
+    assert(fields.forall(f => f.startsWith(s"c3${graft.core.Json.TagSep}") ||
+        f.startsWith(s"c7${graft.core.Json.TagSep}")),
+      s"unexpected fields: ${fields.mkString(",")}")
+    // and values survive
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(rows == Seq((7L, 1), (7L, 2)), s"pruned window corrupted values: $rows")
+  }
+
   test("window over a converted table keeps correct values (no pruning through Window)") {
     // Window.output passes the parse alias through to ancestors; pruning on
     // the window's own uses would retype the struct under an ancestor
