@@ -117,7 +117,9 @@ object StreamingRelationalize {
     if (!fs.exists(p)) return
     val newStruct = to.toStructType
     val types = newStruct.fields.map(f => f.name -> f.dataType).toMap
-    val existing = spark.read.parquet(path)
+    // recursive lookup: appended batches live in b<batchId> subdirectories
+    // (the replay-idempotence layout); the rewrite flattens them
+    val existing = spark.read.option("recursiveFileLookup", "true").parquet(path)
     val present = existing.columns.toSet
     val exprs = to.outputBindings.map { case (out, k, tag) =>
       val source: Option[String] =
@@ -184,50 +186,74 @@ object StreamingRelationalize {
     * every batch first self-heals any interrupted migration swap.
     *
     * Crash-safety ordering per table: recover -> migrate -> save schema ->
-    * append. Saving BEFORE the append means a crash anywhere in the batch
+    * write. Saving BEFORE the write means a crash anywhere in the batch
     * leaves store >= file layout or an uncommitted checkpoint: the batch
     * replays with the same observed schemas, the migration re-runs (an
-    * identity rewrite if it already swapped in), and the append lands in the
-    * consistent layout. The standard foreachBatch caveat applies: a crash
-    * AFTER the append but before the checkpoint commit replays the batch and
-    * duplicates its rows — at-least-once, like every non-idempotent
-    * foreachBatch sink.
+    * identity rewrite if it already swapped in), and the write lands in the
+    * consistent layout.
+    *
+    * '''Replay idempotence''': each batch writes to the batch-id-
+    * deterministic subpath `<table>/b<batchId>` with Overwrite, so the
+    * foreachBatch at-least-once window (crash AFTER the write, before the
+    * checkpoint commit) replays into the SAME subpath and overwrites instead
+    * of duplicating — effectively-once output. A replayed widening batch is
+    * safe too: its first attempt saved the merged schema before writing, so
+    * the replay observes merged == stored, skips the migration, and
+    * re-overwrites its own subpath. Read the sink through [[readTable]] (or
+    * `option("recursiveFileLookup", "true")`): migrations flatten history
+    * into the table root while later batches land in subdirectories.
     */
   def runToParquetEvolving(lines: Dataset[String], name: String, outDir: String,
                            checkpoint: String): StreamingQuery =
-    lines.writeStream.foreachBatch { (batch: Dataset[String], _: Long) =>
-      if (!batch.isEmpty) {
-        val spark = batch.sparkSession
-        val emitted = RelationalizeSpark.emitWithSchemas(batch, name)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          RelationalizeSpark.collectSchemas(emitted).foreach { case (t, observed) =>
-            val tablePath = s"$outDir/$t"
-            val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-            recoverInterruptedMigration(fs, tablePath)
-            val prior = SchemaStore.load(spark, outDir, t)
-            val merged = prior.fold(observed)(_.merge(observed))
-            prior.filter(_.outputColumns != merged.outputColumns)
-              .foreach(p => migrateParquet(spark, tablePath, p, merged))
-            SchemaStore.save(spark, outDir, t, merged)
-            RelationalizeSpark.toDataFrame(emitted, t, merged)
-              .write.mode(SaveMode.Append).parquet(tablePath)
-          }
-        } finally emitted.unpersist()
-      }
+    lines.writeStream.foreachBatch { (batch: Dataset[String], batchId: Long) =>
+      processEvolvingBatch(batch, batchId, name, outDir)
     }.option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** One micro-batch of [[runToParquetEvolving]] — exposed so the replay
+    * spec can invoke the same batch twice, exactly as the engine does after
+    * a crash between the sink write and the checkpoint commit.
+    */
+  private[graft] def processEvolvingBatch(batch: Dataset[String], batchId: Long,
+                                          name: String, outDir: String): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val emitted = RelationalizeSpark.emitWithSchemas(batch, name)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        RelationalizeSpark.collectSchemas(emitted).foreach { case (t, observed) =>
+          val tablePath = s"$outDir/$t"
+          val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          recoverInterruptedMigration(fs, tablePath)
+          val prior = SchemaStore.load(spark, outDir, t)
+          val merged = prior.fold(observed)(_.merge(observed))
+          prior.filter(_.outputColumns != merged.outputColumns)
+            .foreach(p => migrateParquet(spark, tablePath, p, merged))
+          SchemaStore.save(spark, outDir, t, merged)
+          RelationalizeSpark.toDataFrame(emitted, t, merged)
+            .write.mode(SaveMode.Overwrite).parquet(s"$tablePath/b$batchId")
+        }
+      } finally emitted.unpersist()
+    }
+
+  /** Read a table written by [[runToParquetEvolving]] / [[runToParquet]]:
+    * batch writes live in `b<batchId>` subdirectories (migrated history sits
+    * flat in the root), so the listing must recurse.
+    */
+  def readTable(spark: SparkSession, outDir: String, table: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$outDir/$table")
+
   /** Convenience: run a micro-batch relationalize stream into per-table
-    * parquet directories under `outDir/<table>/`, with availableNow
-    * semantics for bounded sources.
+    * parquet directories under `outDir/<table>/b<batchId>/` (batch-id
+    * subpaths + Overwrite: replays after a pre-commit crash are idempotent),
+    * with availableNow semantics for bounded sources.
     */
   def runToParquet(lines: Dataset[String], name: String, outDir: String,
                    checkpoint: String): StreamingQuery =
-    foreachBatchWriter(lines, name) { (tables, _) =>
+    foreachBatchWriter(lines, name) { (tables, batchId) =>
       tables.foreach { case (t, df) =>
-        df.write.mode(SaveMode.Append).parquet(s"$outDir/$t")
+        df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t/b$batchId")
       }
     }.option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -70,7 +70,7 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     StreamingRelationalize.runToParquetEvolving(
       spark.readStream.textFile(inDir), "t", s"$tmp/out", s"$tmp/ckpt")
       .awaitTermination(60000)
-    assert(spark.read.parquet(s"$tmp/out/t").columns.sorted.toSeq == Seq("id", "v"))
+    assert(StreamingRelationalize.readTable(spark, s"$tmp/out", "t").columns.sorted.toSeq == Seq("id", "v"))
 
     // run 2 (restart, same checkpoint): v widens to c-int-str, w appears ->
     // the already-written parquet must be migrated before the append
@@ -79,7 +79,7 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.readStream.textFile(inDir), "t", s"$tmp/out", s"$tmp/ckpt")
       .awaitTermination(60000)
 
-    val streamed = spark.read.parquet(s"$tmp/out/t")
+    val streamed = StreamingRelationalize.readTable(spark, s"$tmp/out", "t")
     assert(streamed.columns.sorted.toSeq == Seq("id", "v_int", "v_str", "w"))
 
     // the evolved sink must equal a batch run over the full corpus
@@ -160,7 +160,7 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.readStream.textFile(inDir), "t", s"$tmp/out", s"$tmp/ckpt")
       .awaitTermination(60000)
 
-    val streamed = spark.read.parquet(s"$tmp/out/t")
+    val streamed = StreamingRelationalize.readTable(spark, s"$tmp/out", "t")
     val batchRun = graft.relationalize.RelationalizeSpark(
       graft.sources.Sources.fromIterable(spark, batch1 ++ batch2), "t")("t")
     val cols = batchRun.columns.sorted.map(col)
@@ -192,7 +192,7 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.sources.Sources.fromIterable(spark, batch1 ++ batch2), "t")
     val wide = docs23.schemas("t")
     StreamingRelationalize.migrateParquet(spark, s"$tmp/out/t", oldSchema, wide)
-    assert(spark.read.parquet(s"$tmp/out/t").columns.contains("v_int"))
+    assert(StreamingRelationalize.readTable(spark, s"$tmp/out", "t").columns.contains("v_int"))
 
     // replayed batch: the stale store re-triggers the migration over the
     // already-migrated files — must keep the moved values, not null them
@@ -201,13 +201,45 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.readStream.textFile(inDir), "t", s"$tmp/out", s"$tmp/ckpt")
       .awaitTermination(60000)
 
-    val streamed = spark.read.parquet(s"$tmp/out/t")
+    val streamed = StreamingRelationalize.readTable(spark, s"$tmp/out", "t")
     val batchRun = docs23("t")
     val cols = batchRun.columns.sorted.map(col)
     val key: org.apache.spark.sql.Row => String = _.toSeq.map(String.valueOf).mkString("|")
     assert(streamed.columns.sorted.toSeq == batchRun.columns.sorted.toSeq)
     assert(streamed.select(cols: _*).collect().map(key).sorted.toSeq ==
       batchRun.select(cols: _*).collect().map(key).sorted.toSeq)
+  }
+
+  test("replayed batch after its sink write is idempotent (no duplicate rows)") {
+    // foreachBatch's at-least-once window: a crash AFTER the write but
+    // BEFORE the checkpoint commit replays the whole batch. Batch-id
+    // subpaths + Overwrite must make the replay a no-op — including for a
+    // WIDENING batch, whose replay must skip the (already done) migration
+    // and re-overwrite only its own subpath.
+    import graft.streaming.StreamingRelationalize
+    val tmp = Files.createTempDirectory("graft-replay").toString
+    val batch1 = Seq("""{"id": 1, "v": 10}""", """{"id": 2, "v": 20}""")
+    val batch2 = Seq("""{"id": 3, "v": "s3", "w": true}""")
+    val ds1 = graft.sources.Sources.fromIterable(spark, batch1)
+    val ds2 = graft.sources.Sources.fromIterable(spark, batch2)
+
+    StreamingRelationalize.processEvolvingBatch(ds1, 0L, "t", s"$tmp/out")
+    StreamingRelationalize.processEvolvingBatch(ds1, 0L, "t", s"$tmp/out") // replay
+    assert(StreamingRelationalize.readTable(spark, s"$tmp/out", "t").count() == 2,
+      "replayed batch duplicated rows")
+
+    // widening batch (v int -> c-int-str, w appears), then its replay
+    StreamingRelationalize.processEvolvingBatch(ds2, 1L, "t", s"$tmp/out")
+    StreamingRelationalize.processEvolvingBatch(ds2, 1L, "t", s"$tmp/out") // replay
+    val streamed = StreamingRelationalize.readTable(spark, s"$tmp/out", "t")
+    val batchRun = graft.relationalize.RelationalizeSpark(
+      graft.sources.Sources.fromIterable(spark, batch1 ++ batch2), "t")("t")
+    val key: org.apache.spark.sql.Row => String = _.toSeq.map(String.valueOf).mkString("|")
+    assert(streamed.columns.sorted.toSeq == batchRun.columns.sorted.toSeq)
+    val cols = streamed.columns.sorted.map(col)
+    assert(streamed.select(cols: _*).collect().map(key).sorted.toSeq ==
+      batchRun.select(cols: _*).collect().map(key).sorted.toSeq,
+      "replayed widening batch diverged from the batch run")
   }
 
   test("streaming tumbling-window aggregation with watermark over events JSONL") {

@@ -222,8 +222,8 @@ class RelationalizeSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lines = spark.readStream.textFile(inDir)
     val q = StreamingRelationalize.runToParquet(lines, "users", s"$tmp/out", s"$tmp/ckpt")
     q.awaitTermination(60000)
-    assert(spark.read.parquet(s"$tmp/out/users").count() == 2)
-    assert(spark.read.parquet(s"$tmp/out/users_enrollments").count() == 2)
+    assert(StreamingRelationalize.readTable(spark, s"$tmp/out", "users").count() == 2)
+    assert(StreamingRelationalize.readTable(spark, s"$tmp/out", "users_enrollments").count() == 2)
   }
 
   test("streaming: frozen-schema convert rejects out-of-choice values at execution") {
