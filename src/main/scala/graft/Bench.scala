@@ -23,7 +23,7 @@ object Bench {
     "q_window_running", "q_window_rank", "q_sessionize", "q_pivot",
     "q_asof_join", "q_range_join",
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
-    "ann_bruteforce", "ann_ivf",
+    "ann_bruteforce", "ann_ivf", "ann_recall",
     "text_quality", "text_langid", "text_repetition", "text_tfidf",
     "text_decontaminate", "doc_pack", "doc_sample_stratified", "doc_mix_report",
     "emb_kmeans", "mm_features")
@@ -55,9 +55,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // reliable checkpoints for Lifecycle.released (see Verify): the measured
-    // work then includes the materialize-and-release a production session pays
+    // work then includes the materialize-and-release a production session
+    // pays. SPARK_GRAFT_LOCAL_CKPT=1 switches to the localCheckpoint
+    // fallback (in-memory materialization) for comparison.
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
-    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    if (!sys.env.contains("SPARK_GRAFT_LOCAL_CKPT"))
+      spark.sparkContext.setCheckpointDir(ckptDir.toString)
 
     // JVM/codegen warmup outside the timed region
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -118,6 +118,22 @@ object CurationQueries {
       .withColumn("pack_pos", row_number().over(wPos).cast("int"))
   }
 
+  /** The corpus-scale packing shape: stratum key (lang, shard), shard a
+    * deterministic bucket of doc_id — each window partition's sort stays
+    * bounded at 100 TB instead of one language landing on one task. Packing
+    * is sequential within each (lang, shard); the catalog pins `shards = 4`
+    * so the DuckDB oracle gates the sharded semantics end-to-end.
+    */
+  def packSequencesSharded(s: SparkSession, dir: String, budget: Long = 2048L,
+                           shards: Int = 4): DataFrame = {
+    require(shards > 0)
+    packTokens(
+      Tables(s, dir, "documents")
+        .selectExpr("doc_id", "lang", s"CAST(pmod(doc_id, $shards) AS BIGINT) AS shard",
+          s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS n_tok"),
+      budget, Seq("lang", "shard"))
+  }
+
   /** Training-mix report: per (lang, source) document counts, exact token
     * sums, and each cell's share of the corpus token budget — the dashboard
     * a data-mixture owner watches when reweighting sources. One partial+final
@@ -138,6 +154,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_sample_stratified" -> sampleStratified,
     "doc_pack" -> ((s, dir) => packSequences(s, dir)),
+    "doc_pack_sharded" -> ((s, dir) => packSequencesSharded(s, dir)),
     "doc_mix_report" -> mixReport,
   )
 
@@ -174,6 +191,19 @@ object CurationQueries {
          |  FROM toks)
          |SELECT doc_id, lang, n_tok, pack_id,
          |  CAST(row_number() OVER (PARTITION BY lang, pack_id ORDER BY doc_id) AS INT) AS pack_pos
+         |FROM packed""".stripMargin,
+    "doc_pack_sharded" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, CAST(doc_id % 4 AS BIGINT) AS shard,
+         |    CAST(list_sum(list_transform($duckToks, t -> (length(t) + 3) // 4)) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |packed AS (
+         |  SELECT doc_id, lang, shard, n_tok,
+         |    CAST((sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048 AS BIGINT) AS pack_id
+         |  FROM toks)
+         |SELECT doc_id, lang, shard, n_tok, pack_id,
+         |  CAST(row_number() OVER (PARTITION BY lang, shard, pack_id ORDER BY doc_id) AS INT) AS pack_pos
          |FROM packed""".stripMargin,
   )
 }

@@ -38,8 +38,16 @@ object Lifecycle {
   def releasedBy(result: DataFrame)(release: => Unit): DataFrame = {
     val sc = result.sparkSession.sparkContext
     val out =
-      if (sc.getCheckpointDir.isDefined) result.checkpoint(eager = true)
-      else result.localCheckpoint(eager = true)
+      if (sc.getCheckpointDir.isDefined) {
+        // Dataset.checkpoint(eager) runs TWO jobs — the eager count and the
+        // checkpoint write — and the second recomputes the whole query
+        // unless the plan is cached. Persist around the checkpoint so the
+        // expensive pipeline executes once (the write job reads the cache),
+        // then drop the cache: only the checkpoint files back the result.
+        val cached = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint(eager = true)
+        finally cached.unpersist()
+      } else result.localCheckpoint(eager = true)
     release
     out
   }
