@@ -34,10 +34,14 @@ object Lifecycle {
   def released(result: DataFrame, inputs: DataFrame*): DataFrame =
     releasedBy(result)(inputs.foreach(_.unpersist()))
 
-  /** Materialize `result`, then run an arbitrary release action. */
-  def releasedBy(result: DataFrame)(release: => Unit): DataFrame = {
-    val sc = result.sparkSession.sparkContext
-    val out =
+  /** Materialize `result`, then run an arbitrary release action. The
+    * release runs even when materialization throws (e.g. a frozen-schema
+    * raise_error surfacing at execution): a failing query must not leave
+    * its barriers cached either.
+    */
+  def releasedBy(result: DataFrame)(release: => Unit): DataFrame =
+    try {
+      val sc = result.sparkSession.sparkContext
       if (sc.getCheckpointDir.isDefined) {
         // Dataset.checkpoint(eager) runs TWO jobs — the eager count and the
         // checkpoint write — and the second recomputes the whole query
@@ -48,7 +52,5 @@ object Lifecycle {
         try cached.checkpoint(eager = true)
         finally cached.unpersist()
       } else result.localCheckpoint(eager = true)
-    release
-    out
-  }
+    } finally release
 }
