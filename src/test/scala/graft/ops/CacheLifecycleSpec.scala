@@ -43,6 +43,19 @@ class CacheLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a FAILING materialization still releases the persisted inputs") {
+    spark.catalog.clearCache()
+    val input = spark.range(10).toDF("x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val failing = input.selectExpr("assert_true(x < 5) AS ok", "x")
+    intercept[Throwable] {
+      Lifecycle.releasedBy(failing)(input.unpersist())
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"failure path leaked ${leaked.size} cached RDDs")
+  }
+
   test("the fenced quadratic baselines release their barriers too") {
     spark.catalog.clearCache()
     graft.SparkEntry.oracleBaselines.toSeq.sortBy(_._1).foreach { case (name, fn) =>
