@@ -103,13 +103,16 @@ object GrowthCurve {
 
     docScales.foreach { case (tag, n) =>
       val dir = s"$base/$tag"
-      // minhash: distinct candidate pairs, then the public op
+      // minhash: band-group collision pairs (the join input — same metric
+      // as the other arms), then the public op behind the same cap guard
       val (shs, tks) = DedupQueries.shingledDocs(spark, dir)
-      val cands = DedupQueries.minhashCandidatesFrom(shs, MinHashConfig())
-      val (mhPairs, _) = timed(cands.count())
+      val mhPairs = groupPairs(
+        DedupQueries.minhashBandRows(shs, MinHashConfig()), Seq("band", "sig"))
       tks.unpersist()
-      val (mhOut, mhSec) = timed(DedupQueries.minhashLsh(spark, dir).count())
-      rows += (("dedup_minhash_lsh", tag, n, mhPairs, mhOut, mhSec))
+      if (mhPairs <= TimedRunCap) {
+        val (mhOut, mhSec) = timed(DedupQueries.minhashLsh(spark, dir).count())
+        rows += (("dedup_minhash_lsh", tag, n, mhPairs, mhOut, mhSec))
+      } else rows += (("dedup_minhash_lsh", tag, n, mhPairs, -1L, -1.0))
 
       // simhash: band-group pair count (the join input), then the public op
       val sims = DedupQueries.simhash(spark, dir)

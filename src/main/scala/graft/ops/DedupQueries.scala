@@ -171,10 +171,24 @@ object DedupQueries {
 
   /** Distinct candidate pairs of the MinHash-LSH band join over a shingled
     * frame (doc_id, shs) — the pre-verification stage. Shared by
-    * [[minhashLsh]]; exposed so the growth-curve harness can count candidate
-    * pairs at 1x vs 10x corpus scale.
+    * [[minhashLsh]].
     */
   private[graft] def minhashCandidatesFrom(
+      shs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val bands = minhashBandRows(shs, cfg)
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Band rows of the MinHash-LSH stage over a shingled frame — exposed so
+    * the growth-curve harness can count band-group collision pairs (the
+    * candidate join's input cost) without materializing the join.
+    */
+  private[graft] def minhashBandRows(
       shs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
     val postings = shs
       .selectExpr("doc_id", "explode(shs) AS sh")
@@ -182,13 +196,7 @@ object DedupQueries {
     val aggs = (0 until cfg.k).map(i =>
       min(expr(s"pmod((2 * $i + 1) * x + 10007 * ($i + 1), $P)")).as(s"mh_$i"))
     val sigs = postings.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val bands = minhashBands(sigs, cfg)
-    bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    minhashBands(sigs, cfg)
   }
 
   /** Shingled documents frame for the growth-curve harness (caller releases

@@ -44,13 +44,17 @@ object StreamingRelationalize {
   /** foreachBatch pipeline: each micro-batch is relationalized with
     * *per-batch* inferred schemas and handed to `sink` as typed DataFrames.
     * Returns the writer (caller sets checkpoint/output mode and starts it).
+    * The per-batch cached emit is released once `sink` returns (the sink
+    * must consume/write the tables before returning) — a long-running
+    * stream must not accumulate one persisted emit per micro-batch.
     */
   def foreachBatchWriter(lines: Dataset[String], name: String)(
       sink: (Map[String, DataFrame], Long) => Unit): DataStreamWriter[String] =
     lines.writeStream.foreachBatch { (batch: Dataset[String], batchId: Long) =>
       if (!batch.isEmpty) {
         val result = RelationalizeSpark(batch, name)
-        sink(result.tables, batchId)
+        try sink(result.tables, batchId)
+        finally result.release()
       }
     }
 
