@@ -95,16 +95,24 @@ object SimilarityQueries {
   private def idot(a: String, b: String): String = s"vec_dot($a, $b)"
 
   /** Nearest-centroid assignment by mean-dot score (exact int dot / count),
-    * lowest cid wins ties. Centroids are broadcast: assignment is map-side.
+    * lowest cid wins ties. Centroids are broadcast, and the argmax is a
+    * `max_by` over a totally-ordered key (score, then -cid breaks ties
+    * deterministically — identical to the row_number window it replaced):
+    * a partial-aggregable groupBy, so the n x k score rows combine MAP-SIDE
+    * to one row per vector before any shuffle — at corpus scale that beats
+    * a window's full n x k shuffle + per-group sort. The per-vector payload
+    * (v, q, nv) is constant within a group, so first() is value-
+    * deterministic.
     */
   private def assignBuckets(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroids))
       .selectExpr("vec_id", "v", "q", "nv", "cid",
         s"CAST(${idot("q", "s")} AS DOUBLE) / cnt AS score")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("cid").asc)))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("q"), col("nv"), col("cid").as("bucket"))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("v")).as("v"), first(col("q")).as("q"), first(col("nv")).as("nv"),
+        expr("max_by(cid, named_struct('score', score, 'negcid', -cid))").as("bucket"))
+      .select(col("vec_id"), col("v"), col("q"), col("nv"), col("bucket"))
 
   /** Centroid update: per-component exact int64 sums + member count. The
     * shuffle after partial aggregation is bounded by k x dim rows — the
