@@ -30,9 +30,11 @@ object Bench {
 
   /** Timed runs per query; the reported time is the median, so one GC pause /
     * noisy-neighbor stall in the sandbox no longer poisons the recorded
-    * number (two recorded rounds in a row disagreed with reruns by 5-10x).
+    * number (two recorded rounds in a row disagreed with reruns by 5-10x;
+    * round 5 still saw unchanged queries double between back-to-back totals
+    * at 3 runs — 5 tightens the median).
     */
-  val RunsPerQuery = 3
+  val RunsPerQuery = 5
 
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated subset of the headline set (fast local
