@@ -72,6 +72,17 @@ class DedupScaleSafeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"finer banding lost pairs: ${default -- finer}")
   }
 
+  test("wider hyperplane bands only lose pairs (the production-threshold dial is monotone)") {
+    // 8x6 bands align on the 16x3 layout (each 6-bit band is two adjacent
+    // 3-bit bands), so a 6-bit match implies both 3-bit matches: the wide
+    // config's candidates — and its identically-verified output — must be a
+    // subset of the default's
+    val narrow = rowSet(DedupQueries.dedupEmbeddingLsh(spark, dir))
+    val wide = rowSet(DedupQueries.dedupEmbeddingLsh(spark, dir,
+      DedupQueries.EmbeddingLshConfig(bands = 8)))
+    assert(wide.subsetOf(narrow), s"wide bands invented pairs: ${wide -- narrow}")
+  }
+
   test("prefix-filtered Jaccard equals the full postings self-join") {
     val prefixed = rowSet(DedupQueries.dedupJaccardPrefix(spark, dir))
     val quadratic = rowSet(DedupQueries.dedupJaccard(spark, dir))
