@@ -25,7 +25,9 @@ object Bench {
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "ann_bruteforce", "ann_ivf", "ann_recall",
     "text_quality", "text_langid", "text_repetition", "text_tfidf",
-    "text_decontaminate", "doc_pack", "doc_sample_stratified", "doc_mix_report",
+    "text_decontaminate", "text_ngram_dup", "text_quality_model",
+    "doc_pack", "doc_sample_stratified", "doc_mix_report",
+    "doc_upsample", "doc_shuffle_split",
     "emb_kmeans", "mm_features")
 
   /** Timed runs per query; the reported time is the median, so one GC pause /

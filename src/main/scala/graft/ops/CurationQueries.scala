@@ -28,11 +28,11 @@ object CurationQueries {
     */
   private def hexDigit(src: String, i: Int): String =
     s"(instr('0123456789abcdef', substr($src, $i, 1)) - 1)"
-  private def hashPctOf(key: String): String = {
-    val h = s"md5($key)"
-    s"((${hexDigit(h, 1)} * 4096 + ${hexDigit(h, 2)} * 256 + " +
-      s"${hexDigit(h, 3)} * 16 + ${hexDigit(h, 4)}) % 100)"
-  }
+  /** First 16 bits of an md5-hex expression, reduced mod `m`. */
+  private def hashModOf(md5expr: String, m: Int): String =
+    s"((${hexDigit(md5expr, 1)} * 4096 + ${hexDigit(md5expr, 2)} * 256 + " +
+      s"${hexDigit(md5expr, 3)} * 16 + ${hexDigit(md5expr, 4)}) % $m)"
+  private def hashPctOf(key: String): String = hashModOf(s"md5($key)", 100)
   private val hashPct = hashPctOf("CAST(doc_id AS STRING)")
 
   /** The catalog's pinned per-language keep rates (percent): the
@@ -134,6 +134,79 @@ object CurationQueries {
       budget, Seq("lang", "shard"))
   }
 
+  /** The catalog's pinned per-language emission rates (percent of one
+    * epoch): 35 = downsample to 0.35x, 100 = keep, 170 = 1.7x (every doc
+    * once, 70% twice), 250 = 2.5x. One of each regime so the oracle gates
+    * all three branches of the fractional-repeat arithmetic.
+    */
+  val DefaultUpsampleRates: (Map[String, Int], Int) =
+    (Map("en" -> 35, "de" -> 100, "fr" -> 170), 250)
+
+  /** Mixture upsampling: emit each document `rate/100` times plus one more
+    * when its hash falls under the fractional remainder — the reweighting
+    * step that turns a mix report's target shares into an epoch stream.
+    */
+  def upsample(s: SparkSession, dir: String): DataFrame =
+    upsampleFrom(Tables(s, dir, "documents"))
+
+  /** The upsampling kernel over any frame with (doc_id, lang, source).
+    * `rates` maps a stratum to its emission rate in percent (>= 0; < 100
+    * downsamples, >= 100 repeats); `default` covers unlisted strata. The
+    * copy count is a pure function of row content — `floor(rate/100)` plus
+    * one more when the document's hash percent falls below `rate % 100` —
+    * so the epoch stream is bit-reproducible under retries, repartitions
+    * and reruns, and E[copies] = rate/100 exactly (up to the 16-bit hash
+    * granularity). The hash is salted ('up:') so the keep-decision is
+    * independent of [[sampleFrom]]'s — a doc surviving sampling is not
+    * thereby biased toward an extra upsample copy. Pure map-side: no
+    * shuffle, no RNG state, scales linearly with the corpus at 100 TB.
+    * The rate threshold is built with the Column API, never spliced into
+    * SQL text (caller-supplied keys must select, not parse).
+    */
+  def upsampleFrom(docs: DataFrame,
+                   rates: Map[String, Int] = DefaultUpsampleRates._1,
+                   default: Int = DefaultUpsampleRates._2): DataFrame = {
+    require(default >= 0 && rates.values.forall(_ >= 0), "rates are percents >= 0")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (l, r)) => when(col("lang") === lit(l), lit(r)).otherwise(acc)
+    }
+    val hUp = hashPctOf("concat('up:', CAST(doc_id AS STRING))")
+    docs
+      .select(col("doc_id"), col("lang"), col("source"), rate.as("rate"))
+      .withColumn("copies",
+        expr("CAST(rate div 100 AS BIGINT)") +
+          when(expr(s"$hUp") < col("rate") % 100, 1L).otherwise(0L))
+      .filter(col("copies") > 0) // sequence(0, -1) would DESCEND, not empty
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr("sequence(CAST(0 AS BIGINT), copies - 1)")).as("epoch"))
+  }
+
+  /** Deterministic corpus shuffle into training splits: every document is
+    * assigned a split by content hash and a dense within-split position in
+    * hash order — the "shuffle your training data" step, reproducible
+    * across reruns (no RNG, no layout sensitivity). One shuffle on
+    * `split_id`; each split's sort is corpus/splits, so a production run
+    * sets `splits` to its output shard count (thousands) and every window
+    * partition stays bounded — the same dial as [[packTokens]]' strata.
+    * The order key is the full md5 (salted 'shuf:', independent of the
+    * sampling and upsampling hashes), doc_id-tiebroken.
+    */
+  def shuffleSplit(s: SparkSession, dir: String, splits: Int = 8): DataFrame =
+    shuffleSplitFrom(Tables(s, dir, "documents"), splits)
+
+  /** The shuffle kernel over any frame with (doc_id, lang). */
+  def shuffleSplitFrom(docs: DataFrame, splits: Int = 8): DataFrame = {
+    require(splits > 0)
+    val h = "md5(concat('shuf:', CAST(doc_id AS STRING)))"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split_id")).orderBy(col("hk"), col("doc_id"))
+    docs
+      .selectExpr("doc_id", "lang", s"$h AS hk",
+        s"CAST(${hashModOf(h, splits)} AS INT) AS split_id")
+      .withColumn("seq", row_number().over(w).cast("int"))
+      .select(col("doc_id"), col("lang"), col("split_id"), col("seq"))
+  }
+
   /** Training-mix report: per (lang, source) document counts, exact token
     * sums, and each cell's share of the corpus token budget — the dashboard
     * a data-mixture owner watches when reweighting sources. One partial+final
@@ -156,6 +229,8 @@ object CurationQueries {
     "doc_pack" -> ((s, dir) => packSequences(s, dir)),
     "doc_pack_sharded" -> ((s, dir) => packSequencesSharded(s, dir)),
     "doc_mix_report" -> mixReport,
+    "doc_upsample" -> upsample,
+    "doc_shuffle_split" -> ((s, dir) => shuffleSplit(s, dir)),
   )
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -205,5 +280,27 @@ object CurationQueries {
          |SELECT doc_id, lang, shard, n_tok, pack_id,
          |  CAST(row_number() OVER (PARTITION BY lang, shard, pack_id ORDER BY doc_id) AS INT) AS pack_pos
          |FROM packed""".stripMargin,
+    "doc_upsample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source,
+         |    CASE lang WHEN 'en' THEN 35 WHEN 'de' THEN 100 WHEN 'fr' THEN 170 ELSE 250 END AS rate,
+         |    ${hashPctOf("'up:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, source,
+         |    rate // 100 + CASE WHEN h < rate % 100 THEN 1 ELSE 0 END AS copies
+         |  FROM d)
+         |SELECT doc_id, lang, source, CAST(unnest(range(0, copies)) AS BIGINT) AS epoch
+         |FROM c""".stripMargin,
+    "doc_shuffle_split" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hk
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, lang, hk, CAST(${hashModOf("hk", 8)} AS INT) AS split_id
+         |  FROM d)
+         |SELECT doc_id, lang, split_id,
+         |  CAST(row_number() OVER (PARTITION BY split_id ORDER BY hk, doc_id) AS INT) AS seq
+         |FROM s""".stripMargin,
   )
 }

@@ -158,6 +158,80 @@ object TextQueries {
       .agg(countDistinct(col("g")).as("n_hits"), min(col("g")).as("first_gram"))
   }
 
+  /** Duplicated n-gram coverage: for every document, how many of its n-gram
+    * positions carry a gram that also appears in at least one OTHER document
+    * — the per-document signal behind exact-substring dedup (cf. suffix-array
+    * dedup, Lee et al. 2022; fixed-n shingles are the bounded-state streaming
+    * approximation). A doc with high `dup_frac` is mostly boilerplate /
+    * copied passages even when no whole-document fingerprint matches.
+    *
+    * Scale shape: the gram stream is corpus-sized, so the document-frequency
+    * side is NOT broadcast (unlike [[decontaminate]], whose probe set is
+    * eval-suite-sized) — both aggregations are partial+final on the gram
+    * key, and the gram->df join is a plain equi-join: linear in the corpus,
+    * shuffle-partitioned by gram. The exploded gram stream feeds both the
+    * df aggregation and the join probe, so it sits behind a persist barrier
+    * released via [[Lifecycle]].
+    */
+  def ngramDup(s: SparkSession, dir: String, n: Int = 4): DataFrame =
+    ngramDupFrom(Tables(s, dir, "documents"), n)
+
+  /** The coverage kernel over any frame with (doc_id, text). */
+  def ngramDupFrom(docs: DataFrame, n: Int = 4): DataFrame = {
+    require(n >= 2)
+    val grams = docs
+      .selectExpr("doc_id", "split(trim(lower(text)), '\\\\s+') AS t")
+      .filter(s"size(t) >= $n")
+      .selectExpr("doc_id",
+        s"explode(transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))) AS g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = grams.groupBy(col("g")).agg(countDistinct(col("doc_id")).as("nd"))
+    val out = grams.join(dfreq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac", col("n_dup_grams").cast("double") / col("n_grams"))
+    Lifecycle.released(out, grams)
+  }
+
+  /** Hashed-feature linear quality model (the fasttext-style classifier a
+    * production pipeline runs as its learned quality filter): each token
+    * hashes into one of [[ModelDim]] buckets (first 8 bits of md5, exactly
+    * uniform mod 64) and contributes that bucket's weight; the document
+    * score is the mean weight per token. The weight table here is a
+    * deterministic stand-in (Knuth multiplicative hash of the bucket index)
+    * — a real deployment swaps in trained weights, same plan. The table is
+    * a literal array, i.e. broadcast-by-construction; scoring is a pure
+    * projection — no shuffle, no UDF, embarrassingly parallel at 100 TB.
+    * Scoring is exact-integer until one final IEEE division, so Spark and
+    * DuckDB agree bit-for-bit.
+    */
+  val ModelDim = 64
+  private[ops] val modelWeights: IndexedSeq[Long] =
+    (0 until ModelDim).map(i => (i.toLong * 2654435761L) % 2001L - 1000L)
+
+  private def hexVal(src: String, i: Int): String =
+    s"(instr('0123456789abcdef', substr($src, $i, 1)) - 1)"
+  /** Feature bucket of token expression `t`: first 8 md5 bits mod [[ModelDim]]. */
+  private def bucketOf(t: String): String =
+    s"((${hexVal(s"md5($t)", 1)} * 16 + ${hexVal(s"md5($t)", 2)}) % $ModelDim)"
+
+  def qualityModel(s: SparkSession, dir: String): DataFrame =
+    qualityModelFrom(Tables(s, dir, "documents"))
+
+  /** The scoring kernel over any frame with (doc_id, text). */
+  def qualityModelFrom(docs: DataFrame): DataFrame = {
+    val wArr = modelWeights.mkString("array(", "L, ", "L)")
+    docs
+      .selectExpr(
+        "doc_id",
+        s"size($toks) AS n_tokens",
+        s"CAST(aggregate($toks, 0L, (acc, t) -> acc + element_at($wArr, CAST(${bucketOf("t")} AS INT) + 1)) AS BIGINT) AS score_raw")
+      .selectExpr("doc_id", "n_tokens", "score_raw",
+        "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(score_raw AS DOUBLE) / n_tokens END AS score",
+        "CASE WHEN score_raw >= 0 THEN 'keep' ELSE 'drop' END AS label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> tfidf,
     "text_decontaminate" -> ((s, dir) => decontaminate(s, dir)),
@@ -167,11 +241,39 @@ object TextQueries {
     "text_fingerprint" -> fingerprint,
     "text_scrub" -> scrub,
     "text_repetition" -> repetition,
+    "text_ngram_dup" -> ((s, dir) => ngramDup(s, dir)),
+    "text_quality_model" -> qualityModel,
   )
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private val duckWArr = modelWeights.mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "text_ngram_dup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+        |    i -> array_to_string(t[i:i+3], ' '))) AS g
+        |  FROM tok WHERE len(t) >= 4),
+        |dfreq AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY 1)
+        |SELECT gr.doc_id,
+        |  CAST(count(1) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |  CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(1) AS dup_frac
+        |FROM grams gr JOIN dfreq d USING (g)
+        |GROUP BY 1""".stripMargin,
+    "text_quality_model" ->
+      s"""SELECT doc_id, n_tokens, score_raw,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(score_raw AS DOUBLE) / n_tokens END AS score,
+         |  CASE WHEN score_raw >= 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len($duckToks) AS INT) AS n_tokens,
+         |    CAST(list_sum(list_transform($duckToks,
+         |      t -> ($duckWArr)[${bucketOf("t")} + 1])) AS BIGINT) AS score_raw
+         |  FROM documents) x""".stripMargin,
     "text_decontaminate" ->
       """WITH tok AS (
         |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS t

@@ -239,6 +239,138 @@ class CurationAndTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --- mixture upsampling --------------------------------------------------
+
+  test("upsample emits dense epoch ranges at the configured rate regimes") {
+    val rows = CurationQueries.upsample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val langOf = Tables(spark, dir, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (docId, copies) =>
+      val epochs = copies.map(_._3).sorted.toSeq
+      assert(epochs == (0L until epochs.length).toSeq,
+        s"doc $docId epochs not a dense 0-based range: $epochs")
+      val expected = langOf(docId) match {
+        case "en" => Set(1)        // 35%: emitted docs get exactly one copy
+        case "de" => Set(1)        // 100%: exactly once
+        case "fr" => Set(1, 2)     // 170%: once, 70% twice
+        case _    => Set(2, 3)     // 250%: twice, 50% thrice
+      }
+      assert(expected.contains(epochs.length),
+        s"doc $docId (${langOf(docId)}) emitted ${epochs.length} copies")
+    }
+    // every de (rate 100) and fr (rate >= 100) doc is present
+    langOf.filter(kv => kv._2 == "de" || kv._2 == "fr").keys.foreach { id =>
+      assert(byDoc.contains(id), s"doc $id (rate >= 100) must be emitted")
+    }
+    // fractional regimes actually exercise both branches at this corpus size
+    val frCounts = byDoc.collect { case (id, c) if langOf(id) == "fr" => c.length }.toSeq
+    assert(frCounts.contains(1) && frCounts.contains(2),
+      "fr (170%) should show both 1- and 2-copy docs")
+  }
+
+  test("upsample is layout-independent, integer rates are exact, rate 0 drops") {
+    val docs = Tables(spark, dir, "documents")
+    val base = CurationQueries.upsampleFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    val re = CurationQueries.upsampleFrom(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(base == re, "epoch stream must be layout-independent")
+    val tripled = CurationQueries.upsampleFrom(docs, Map.empty, default = 300).collect()
+    assert(tripled.groupBy(_.getLong(0)).values.forall(_.length == 3),
+      "rate 300 emits exactly 3 copies, no fractional branch")
+    assert(CurationQueries.upsampleFrom(docs, Map.empty, default = 0).collect().isEmpty,
+      "rate 0 emits nothing")
+  }
+
+  test("upsample plans map-side: no shuffle exchange") {
+    val df = CurationQueries.upsample(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"upsample must not shuffle:\n$p")
+  }
+
+  // --- deterministic shuffle-split ------------------------------------------
+
+  test("shuffle split assigns every doc once with dense per-split sequences") {
+    val rows = CurationQueries.shuffleSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    val n = Tables(spark, dir, "documents").count()
+    assert(rows.length == n && rows.map(_._1).distinct.length == n,
+      "every document exactly once")
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8), "split_id in [0, 8)")
+    rows.groupBy(_._2).values.foreach { split =>
+      assert(split.map(_._3).sorted.toSeq == (1 to split.length).toSeq,
+        "seq must be dense 1-based within each split")
+    }
+    // layout-independence: assignment and order survive a repartition
+    val re = CurationQueries.shuffleSplitFrom(
+      Tables(spark, dir, "documents").repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).sorted.toSeq
+    assert(re == rows.sorted.toSeq, "shuffle order must be layout-independent")
+    // it's a shuffle: consecutive seq positions are not consecutive doc_ids
+    val s0 = rows.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(s0.sliding(2).exists(p => p.length == 2 && p(1) != p(0) + 1),
+      "hash order should not preserve doc_id order")
+  }
+
+  // --- duplicated n-gram coverage -------------------------------------------
+
+  test("ngram dup coverage counts cross-document gram positions exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),     // grams: "a b c d", "b c d e"
+      (2L, "x a b c d"),     // grams: "x a b c", "a b c d" (shared with 1)
+      (3L, "p q r s"),       // gram:  "p q r s" (unique)
+      (4L, "w x y")          // too short: no 4-grams, absent from output
+    ).toDF("doc_id", "text")
+    val out = TextQueries.ngramDupFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, 1L, 0.5)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 0.5)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((1L, 0L, 0.0)), s"doc 3: ${out(3L)}")
+    // a REPEATED gram inside one doc is not cross-document duplication
+    val solo = Seq((9L, "a b c d a b c d a b c d")).toDF("doc_id", "text")
+    val soloOut = TextQueries.ngramDupFrom(solo).collect()
+    assert(soloOut.head.getLong(2) == 0L,
+      "within-doc repetition must not count as duplication (nd counts DISTINCT docs)")
+  }
+
+  // --- hashed linear quality model -------------------------------------------
+
+  test("quality model reproduces the md5-bucket linear score exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha")).toDF("doc_id", "text")
+    def bucket(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ("0123456789abcdef".indexOf(hex(0)) * 16 +
+        "0123456789abcdef".indexOf(hex(1))) % TextQueries.ModelDim
+    }
+    def score(toks: Seq[String]): Long =
+      toks.map(t => TextQueries.modelWeights(bucket(t))).sum
+    val out = TextQueries.qualityModelFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    val s1 = score(Seq("alpha", "beta", "gamma"))
+    val s2 = score(Seq("alpha", "alpha"))
+    assert(out(1L) == ((3, s1, s1.toDouble / 3, if (s1 >= 0) "keep" else "drop")))
+    assert(out(2L) == ((2, s2, s2.toDouble / 2, if (s2 >= 0) "keep" else "drop")))
+    // the stand-in weight table stays in the documented band
+    assert(TextQueries.modelWeights.forall(w => w >= -1000 && w <= 1000))
+    assert(TextQueries.modelWeights.distinct.length > TextQueries.ModelDim / 2,
+      "weights should not collapse to a few values")
+  }
+
+  test("quality model plans map-side: no shuffle exchange, no UDFs") {
+    val df = TextQueries.qualityModel(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"scoring must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   // --- k-means profile ----------------------------------------------------
 
   test("kmeans profile partitions the corpus across at most k buckets") {
