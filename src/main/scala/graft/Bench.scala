@@ -27,7 +27,7 @@ object Bench {
     "text_quality", "text_langid", "text_repetition", "text_tfidf",
     "text_decontaminate", "text_ngram_dup", "text_quality_model",
     "doc_pack", "doc_sample_stratified", "doc_mix_report",
-    "doc_upsample", "doc_shuffle_split",
+    "doc_upsample", "doc_shuffle_split", "doc_curate",
     "emb_kmeans", "mm_features")
 
   /** Timed runs per query; the reported time is the median, so one GC pause /

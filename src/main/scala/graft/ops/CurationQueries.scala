@@ -207,6 +207,51 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), col("split_id"), col("seq"))
   }
 
+  /** The end-to-end curation funnel: one per-document verdict combining the
+    * three filters a production corpus actually chains — near-dup removal,
+    * model-based quality, and repetition — with per-stage pass flags so the
+    * attrition report is one groupBy over the output.
+    *
+    * Stages (first failure names the verdict):
+    *   1. `near_dup` — the document is the LATER member of a verified
+    *      MinHash-LSH near-dup pair ([[DedupQueries.minhashLsh]]; "keep the
+    *      earliest copy" — the pairwise approximation of cluster
+    *      survivorship; [[DedupQueries.dedupClusters]] is the transitive
+    *      version when dup chains matter).
+    *   2. `low_quality` — mean hashed-model weight per token below
+    *      `minScoreX10 / 10` ([[TextQueries.scoreRawSql]]; exact-int test:
+    *      `score_raw * 10 >= minScoreX10 * n_tokens`).
+    *   3. `repetitive` — most frequent token above `maxTopPct`% of the doc
+    *      ([[TextQueries.maxTokNSql]]).
+    *
+    * Scale shape: scoring is map-side over the corpus; the dup-id side is
+    * the near-dup set — proportional to the corpus dup rate, so it is NOT
+    * broadcast (a left equi-join AQE can still broadcast when it turns out
+    * small). The pair generation inside minhashLsh is the banded join the
+    * gate already validates, with its barriers Lifecycle-released.
+    */
+  def curate(s: SparkSession, dir: String,
+             minScoreX10: Long = -150L, maxTopPct: Long = 20L): DataFrame = {
+    val dups = DedupQueries.minhashLsh(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1))
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "lang",
+        s"size($toks) AS n_tokens",
+        s"${TextQueries.scoreRawSql} AS score_raw",
+        s"${TextQueries.maxTokNSql} AS max_tok_n")
+      .join(dups, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "lang",
+        "CAST(IF(is_dup IS NULL, 1, 0) AS INT) AS pass_dedup",
+        s"CAST(IF(score_raw * 10 >= $minScoreX10 * n_tokens, 1, 0) AS INT) AS pass_model",
+        s"CAST(IF(max_tok_n * 100 <= $maxTopPct * n_tokens, 1, 0) AS INT) AS pass_rep")
+      .selectExpr("doc_id", "lang", "pass_dedup", "pass_model", "pass_rep",
+        """CASE WHEN pass_dedup = 0 THEN 'near_dup'
+          |     WHEN pass_model = 0 THEN 'low_quality'
+          |     WHEN pass_rep = 0 THEN 'repetitive'
+          |     ELSE 'keep' END AS verdict""".stripMargin)
+  }
+
   /** Training-mix report: per (lang, source) document counts, exact token
     * sums, and each cell's share of the corpus token budget — the dashboard
     * a data-mixture owner watches when reweighting sources. One partial+final
@@ -231,6 +276,7 @@ object CurationQueries {
     "doc_mix_report" -> mixReport,
     "doc_upsample" -> upsample,
     "doc_shuffle_split" -> ((s, dir) => shuffleSplit(s, dir)),
+    "doc_curate" -> ((s, dir) => curate(s, dir)),
   )
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -292,6 +338,27 @@ object CurationQueries {
          |  FROM d)
          |SELECT doc_id, lang, source, CAST(unnest(range(0, copies)) AS BIGINT) AS epoch
          |FROM c""".stripMargin,
+    "doc_curate" ->
+      s"""WITH pairs AS (${DedupQueries.minhashLshPairsSql}),
+         |dups AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    ${TextQueries.duckNTokensSql} AS n_tokens,
+         |    ${TextQueries.duckScoreRawSql} AS score_raw,
+         |    ${TextQueries.duckMaxTokNSql} AS max_tok_n
+         |  FROM documents),
+         |flags AS (
+         |  SELECT s.doc_id, s.lang,
+         |    CAST(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS pass_dedup,
+         |    CAST(CASE WHEN score_raw * 10 >= -150 * n_tokens THEN 1 ELSE 0 END AS INT) AS pass_model,
+         |    CAST(CASE WHEN max_tok_n * 100 <= 20 * n_tokens THEN 1 ELSE 0 END AS INT) AS pass_rep
+         |  FROM scored s LEFT JOIN dups d ON s.doc_id = d.doc_id)
+         |SELECT doc_id, lang, pass_dedup, pass_model, pass_rep,
+         |  CASE WHEN pass_dedup = 0 THEN 'near_dup'
+         |       WHEN pass_model = 0 THEN 'low_quality'
+         |       WHEN pass_rep = 0 THEN 'repetitive'
+         |       ELSE 'keep' END AS verdict
+         |FROM flags""".stripMargin,
     "doc_shuffle_split" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hk

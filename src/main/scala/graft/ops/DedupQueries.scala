@@ -599,6 +599,31 @@ object DedupQueries {
     s"list_distinct(list_transform(range(1, greatest(len($duckToks) - 1, 1)), " +
       s"i -> $duckToks[i] || ' ' || $duckToks[i + 1] || ' ' || $duckToks[i + 2]))"
 
+  /** The verified minhash-LSH pair SQL, exposed so composed oracles (the
+    * curation funnel) reuse the exact statement the gate validates for
+    * `dedup_minhash_lsh` — one source of truth for the pair semantics.
+    */
+  private[ops] val minhashLshPairsSql: String =
+    s"""WITH d AS (SELECT doc_id, $duckShingles AS shs FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, shs, list_transform(range(0, 32),
+       |    i -> list_min(list_transform(shs, sh -> ((2 * i + 1) * (${duckH("sh")} % ${P}) + 10007 * (i + 1)) % ${P}))) AS mhs
+       |  FROM d),
+       |bands AS (
+       |  SELECT doc_id, b AS band, array_to_string(mhs[4 * b + 1 : 4 * b + 4], ',') AS sig
+       |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(pa.shs, pb.shs)) AS INT) AS inter,
+       |  CAST(len(list_distinct(list_concat(pa.shs, pb.shs))) AS INT) AS union_sz
+       |FROM cands
+       |JOIN d pa ON doc_a = pa.doc_id
+       |JOIN d pb ON doc_b = pb.doc_id
+       |WHERE len(list_intersect(pa.shs, pb.shs)) * 5 >= len(list_distinct(list_concat(pa.shs, pb.shs)))""".stripMargin
+
   private val allOracleSql: Map[String, String] = Map(
     // components via a recursive CTE: reach(node, r) holds every label r
     // reachable from node over the symmetric near-dup edge set; min(r) per
@@ -654,26 +679,7 @@ object DedupQueries {
       s"""WITH d AS (SELECT doc_id, $duckShingles AS shs FROM documents)
          |SELECT doc_id, $cols FROM d""".stripMargin
     },
-    "dedup_minhash_lsh" ->
-      s"""WITH d AS (SELECT doc_id, $duckShingles AS shs FROM documents),
-         |sigs AS (
-         |  SELECT doc_id, shs, list_transform(range(0, 32),
-         |    i -> list_min(list_transform(shs, sh -> ((2 * i + 1) * (${duckH("sh")} % ${P}) + 10007 * (i + 1)) % ${P}))) AS mhs
-         |  FROM d),
-         |bands AS (
-         |  SELECT doc_id, b AS band, array_to_string(mhs[4 * b + 1 : 4 * b + 4], ',') AS sig
-         |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
-         |cands AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(pa.shs, pb.shs)) AS INT) AS inter,
-         |  CAST(len(list_distinct(list_concat(pa.shs, pb.shs))) AS INT) AS union_sz
-         |FROM cands
-         |JOIN d pa ON doc_a = pa.doc_id
-         |JOIN d pb ON doc_b = pb.doc_id
-         |WHERE len(list_intersect(pa.shs, pb.shs)) * 5 >= len(list_distinct(list_concat(pa.shs, pb.shs)))""".stripMargin,
+    "dedup_minhash_lsh" -> minhashLshPairsSql,
     "dedup_simhash" ->
       s"""SELECT doc_id, lang,
          |  CAST(list_sum(list_transform(range(0, 32), j ->

@@ -97,18 +97,24 @@ object TextQueries {
     * value by construction: equal tokens are adjacent after sorting).
     * Embarrassingly parallel, no cross-document state.
     */
+  /** Count of the most frequent token, as the longest run in the sorted
+    * token array — shared by [[repetition]] and the curation funnel.
+    */
+  private[ops] val maxTokNSql: String =
+    s"""CAST(aggregate(array_sort($toks),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+       |  (a, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1),
+       |    'best', greatest(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1))),
+       |  a -> a.best) AS INT)""".stripMargin
+
   def repetition(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").selectExpr(
       "doc_id",
       s"size($toks) AS n_tokens",
       s"size(array_distinct($toks)) AS n_distinct",
-      s"""CAST(aggregate(array_sort($toks),
-         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
-         |  (a, x) -> named_struct(
-         |    'prev', x,
-         |    'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1),
-         |    'best', greatest(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1))),
-         |  a -> a.best) AS INT) AS max_tok_n""".stripMargin)
+      s"$maxTokNSql AS max_tok_n")
       .selectExpr("doc_id", "n_tokens", "n_distinct", "max_tok_n",
         "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(max_tok_n AS DOUBLE) / n_tokens END AS top_tok_frac",
         "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens END AS dup_ratio")
@@ -216,17 +222,24 @@ object TextQueries {
   private def bucketOf(t: String): String =
     s"((${hexVal(s"md5($t)", 1)} * 16 + ${hexVal(s"md5($t)", 2)}) % $ModelDim)"
 
+  /** Exact-integer model score — shared by [[qualityModelFrom]] and the
+    * curation funnel.
+    */
+  private[ops] val scoreRawSql: String = {
+    val wArr = modelWeights.mkString("array(", "L, ", "L)")
+    s"CAST(aggregate($toks, 0L, (acc, t) -> acc + element_at($wArr, CAST(${bucketOf("t")} AS INT) + 1)) AS BIGINT)"
+  }
+
   def qualityModel(s: SparkSession, dir: String): DataFrame =
     qualityModelFrom(Tables(s, dir, "documents"))
 
   /** The scoring kernel over any frame with (doc_id, text). */
   def qualityModelFrom(docs: DataFrame): DataFrame = {
-    val wArr = modelWeights.mkString("array(", "L, ", "L)")
     docs
       .selectExpr(
         "doc_id",
         s"size($toks) AS n_tokens",
-        s"CAST(aggregate($toks, 0L, (acc, t) -> acc + element_at($wArr, CAST(${bucketOf("t")} AS INT) + 1)) AS BIGINT) AS score_raw")
+        s"$scoreRawSql AS score_raw")
       .selectExpr("doc_id", "n_tokens", "score_raw",
         "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(score_raw AS DOUBLE) / n_tokens END AS score",
         "CASE WHEN score_raw >= 0 THEN 'keep' ELSE 'drop' END AS label")
@@ -247,6 +260,12 @@ object TextQueries {
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
   private val duckWArr = modelWeights.mkString("[", ", ", "]")
+  /** DuckDB twins of [[scoreRawSql]] / [[maxTokNSql]] for composed oracles. */
+  private[ops] val duckScoreRawSql: String =
+    s"CAST(list_sum(list_transform($duckToks, t -> ($duckWArr)[${bucketOf("t")} + 1])) AS BIGINT)"
+  private[ops] val duckMaxTokNSql: String =
+    s"CAST(list_max(list_transform(list_distinct($duckToks), t -> len(list_filter($duckToks, x -> x = t)))) AS INT)"
+  private[ops] val duckNTokensSql: String = s"CAST(len($duckToks) AS INT)"
 
   val oracleSql: Map[String, String] = Map(
     "text_ngram_dup" ->
@@ -270,9 +289,8 @@ object TextQueries {
          |  CASE WHEN score_raw >= 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM (
          |  SELECT doc_id,
-         |    CAST(len($duckToks) AS INT) AS n_tokens,
-         |    CAST(list_sum(list_transform($duckToks,
-         |      t -> ($duckWArr)[${bucketOf("t")} + 1])) AS BIGINT) AS score_raw
+         |    $duckNTokensSql AS n_tokens,
+         |    $duckScoreRawSql AS score_raw
          |  FROM documents) x""".stripMargin,
     "text_decontaminate" ->
       """WITH tok AS (
@@ -357,8 +375,7 @@ object TextQueries {
          |  SELECT doc_id,
          |    CAST(len($duckToks) AS INT) AS n_tokens,
          |    CAST(len(list_distinct($duckToks)) AS INT) AS n_distinct,
-         |    CAST(list_max(list_transform(list_distinct($duckToks),
-         |      t -> len(list_filter($duckToks, x -> x = t)))) AS INT) AS max_tok_n
+         |    $duckMaxTokNSql AS max_tok_n
          |  FROM documents) t""".stripMargin,
   )
 }

@@ -371,6 +371,35 @@ class CurationAndTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  // --- curation funnel -------------------------------------------------------
+
+  test("curate verdicts name the first failing stage and agree with the component ops") {
+    val rows = CurationQueries.curate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))
+    val n = Tables(spark, dir, "documents").count()
+    assert(rows.length == n, "one verdict per document")
+    rows.foreach { case (id, d, m, p, v) =>
+      val expected =
+        if (d == 0) "near_dup"
+        else if (m == 0) "low_quality"
+        else if (p == 0) "repetitive"
+        else "keep"
+      assert(v == expected, s"doc $id verdict $v, flags ($d,$m,$p)")
+    }
+    // stage 1 agrees with the gate-verified pair op: later pair members fail
+    val laterDups = DedupQueries.minhashLsh(spark, dir).collect()
+      .map(_.getLong(1)).toSet
+    rows.foreach { case (id, d, _, _, _) =>
+      assert((d == 0) == laterDups.contains(id),
+        s"doc $id pass_dedup=$d disagrees with minhash pairs")
+    }
+    // thresholds are dials: an impossible repetition bound fails everything
+    // that reaches stage 3
+    val strict = CurationQueries.curate(spark, dir, maxTopPct = -1L).collect()
+    assert(strict.forall(r => r.getInt(4) == 0),
+      "maxTopPct = -1 must fail the repetition stage for every doc")
+  }
+
   // --- k-means profile ----------------------------------------------------
 
   test("kmeans profile partitions the corpus across at most k buckets") {
