@@ -25,13 +25,14 @@ object Verify {
     val ckptDir = Files.createTempDirectory("graft-ckpt")
     spark.sparkContext.setCheckpointDir(ckptDir.toString)
     new java.io.File(outDir).mkdirs()
-    // drop result dirs for queries no longer in the catalog (renames would
-    // otherwise leave stale outputs the compare reports as oracle-less)
+    // drop result dirs for queries outside this run's scope: renamed/removed
+    // catalog entries, and — in focused mode — leftovers from earlier runs
+    // (a stale dump would otherwise be compared as if this run produced it)
     val live = SparkEntry.queries.keySet ++ SparkEntry.oracleBaselines.keySet
-    if (only.isEmpty)
-      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && !live.contains(f.getName))
-        .foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(d))
+    val keep = only.map(_.intersect(live)).getOrElse(live)
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !keep.contains(f.getName))
+      .foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(d))
     // the gate covers the public catalog AND the fenced quadratic baselines
     // (the latter are the equivalence anchors for the scale-safe paths)
     (SparkEntry.queries ++ SparkEntry.oracleBaselines)
@@ -58,7 +59,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // focused mode dumps a subset, so emit only its oracles: the compare
+    // script treats an oracle with no dump as a FAIL (a query that threw)
     val json = (SparkEntry.oracleSql ++ SparkEntry.baselineOracleSql)
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -305,6 +305,62 @@ object RelationalQueries {
         expr("percentile(l_quantity, 0.9)").as("p90_qty"),
         expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
 
+  /** Sketch aggregates — the 100 TB substitutes for exact distinct counts
+    * and quantiles. An exact `countDistinct` rewrites into an Expand +
+    * second shuffle; a sketch is one partial+final pass with constant-size
+    * state, and (for HLL) the per-group sketches MERGE — the pre-aggregated
+    * dashboard-table pattern. A sketch estimate is engine-specific, so the
+    * gate can't hash-compare it; instead each query outputs the EXACT value
+    * (DuckDB-checkable) plus an accuracy flag the estimate must satisfy —
+    * the oracle pins the flag at 1, so a drifting sketch fails the gate.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n_approx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        when(abs(col("n_approx") - col("n_exact")) * 20 <= col("n_exact"), 1)
+          .otherwise(0).cast("int").as("within_5pct"))
+
+  /** Mergeable HLL sketches (Apache DataSketches via `hll_sketch_agg`):
+    * per-group sketches unioned into a global estimate — at scale the
+    * per-day/per-source sketch table is tiny and re-aggregates along any
+    * rollup without touching the fact table again.
+    */
+  def sketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val perStatus = orders
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+    val global = perStatus
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .crossJoin(broadcast(orders.agg(
+        countDistinct(col("o_custkey")).as("n_exact"))))
+    global.select(col("n_exact"),
+      when(abs(col("est") - col("n_exact")) * 20 <= col("n_exact"), 1)
+        .otherwise(0).cast("int").as("within_5pct"))
+  }
+
+  /** Quantile sketch: `approx_percentile` (Greenwald-Khanna style) with a
+    * RANK-tolerance gate — the estimate must land within ±2% of the true
+    * median's rank inside its group (value-distance is meaningless for
+    * skewed distributions; rank is the sketch's actual contract).
+    */
+  def approxQuantile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_est"))
+    li.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <= col("p50_est"), 1L).otherwise(0L)).as("n_le"))
+      .select(col("l_returnflag"), col("n"),
+        when(abs(col("n_le") * 2 - col("n")) * 50 <= col("n") * 2, 1)
+          .otherwise(0).cast("int").as("rank_within_2pct"))
+  }
+
   def jsonFuncs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .select(col("event_id"),
@@ -491,6 +547,9 @@ object RelationalQueries {
     "q_sessionize" -> sessionize,
     "q_agg_variance" -> aggVariance,
     "q_percentiles" -> percentiles,
+    "q_approx_distinct" -> approxDistinct,
+    "q_sketch_union" -> sketchUnion,
+    "q_approx_quantile" -> approxQuantile,
     "q_json_funcs" -> jsonFuncs,
     "q_regexp_funcs" -> regexpFuncs,
     "q_null_funcs" -> nullFuncs,
@@ -705,6 +764,21 @@ object RelationalQueries {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  quantile_cont(l_extendedprice, 0.25) AS p25_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // sketch estimates are engine-specific: the oracle checks the exact
+    // value and pins the accuracy flag at 1 — a drifting sketch fails
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |  CAST(1 AS INT) AS within_5pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_sketch_union" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |  CAST(1 AS INT) AS within_5pct
+        |FROM orders""".stripMargin,
+    "q_approx_quantile" ->
+      """SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n,
+        |  CAST(1 AS INT) AS rank_within_2pct
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_extracted,

@@ -336,6 +336,15 @@ class CurationAndTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val soloOut = TextQueries.ngramDupFrom(solo).collect()
     assert(soloOut.head.getLong(2) == 0L,
       "within-doc repetition must not count as duplication (nd counts DISTINCT docs)")
+    // the pre-aggregated variant (the repetitive-corpus dial) is equivalent
+    // — including on within-doc repeats, where its collapsed counts must
+    // still weight every position
+    val both = docs.union(solo)
+    val a = TextQueries.ngramDupFrom(both).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val b = TextQueries.ngramDupFrom(both, preAggregate = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(a == b, "preAggregate must not change results")
   }
 
   // --- hashed linear quality model -------------------------------------------

@@ -94,6 +94,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sketch aggregates: estimates inside tolerance; sketch-only plan avoids the distinct Expand") {
+    import org.apache.spark.sql.functions._
+    // the gating flags really are computed from live estimates (not constants):
+    // every group must satisfy its tolerance on this data
+    val ad = RelationalQueries.approxDistinct(spark, dir).collect()
+    assert(ad.nonEmpty && ad.forall(_.getInt(2) == 1), "HLL estimate outside 5%")
+    val su = RelationalQueries.sketchUnion(spark, dir).collect()
+    assert(su.length == 1 && su.head.getInt(1) == 1, "unioned sketch outside 5%")
+    val aq = RelationalQueries.approxQuantile(spark, dir).collect()
+    assert(aq.nonEmpty && aq.forall(_.getInt(2) == 1), "approx median rank outside 2%")
+    // the scale claim: exact countDistinct rewrites through Expand (a second
+    // shuffle of the fact table); the sketch-only aggregation must not
+    val exact = Tables(spark, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+    val sketch = Tables(spark, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n"))
+    val pe = planString(exact)
+    val ps = planString(sketch)
+    assert(pe.contains("Expand") || pe.split("Exchange").length > ps.split("Exchange").length,
+      s"expected the exact plan to pay a distinct rewrite:\n$pe")
+    assert(!ps.contains("Expand"), s"sketch aggregation must not Expand:\n$ps")
+  }
+
   test("relationalize schema inference shuffles only aggregated schema maps") {
     import org.apache.spark.sql.functions.col
     val docs = Tables(spark, dir, "events")

@@ -34,6 +34,14 @@ def main(sf_dir, out_dir):
     import glob, os
     results = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
     n_pass = n_fail = n_weak = 0
+    # a query that THREW inside graft.Verify leaves no dump at all — surface
+    # it as a FAIL instead of silently comparing only what exists (Verify
+    # catches per-query errors to keep the rest of the dump going)
+    dumped = {os.path.basename(d) for d in results}
+    for name in sorted(set(oracle) - dumped):
+        print(f"FAIL  {name}: oracle declared but no result dumped "
+              f"(query likely threw — check the Verify log)")
+        n_fail += 1
     for d in results:
         name = os.path.basename(d)
         try:
