@@ -122,6 +122,12 @@ object GrowthCurve {
         val (shOut, shSec) = timed(DedupQueries.simhashLsh(spark, dir).count())
         rows += (("dedup_simhash_lsh", tag, n, bandPairs, shOut, shSec))
       } else rows += (("dedup_simhash_lsh", tag, n, bandPairs, -1L, -1.0))
+
+      // ngram-dup coverage: no pair join at all (gram-keyed aggs + a linear
+      // equi-join), so the growth story is wall-clock — it must track rows,
+      // not rows^2; "candidate pairs" has no analog here
+      val (ngOut, ngSec) = timed(graft.ops.TextQueries.ngramDup(spark, dir).count())
+      rows += (("text_ngram_dup", tag, n, -1L, ngOut, ngSec))
     }
 
     embScales.foreach { case (tag, n) =>

@@ -184,6 +184,29 @@ object DedupQueries {
       .distinct()
   }
 
+  /** Stateless band rows (doc_id, band, sig) straight from (doc_id, text)
+    * — per-row expressions only, NO aggregation, so the same code runs
+    * unchanged inside a streaming micro-batch (a groupBy signature build
+    * would be a second stateful operator there). Batch equivalence with
+    * [[minhashBandRows]] is spec-pinned: array_min over the per-doc hash
+    * array computes the same minima as the exploded partial-agg groupBy
+    * (the batch path keeps the groupBy because map-side combine beats
+    * per-row lambdas on large corpora).
+    */
+  private[graft] def bandRowsStateless(
+      docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    val sigCols = (0 until cfg.k).map { i =>
+      s"array_min(transform(hs, x -> pmod(${aCoef(i)}L * x + ${bCoef(i)}L, ${P}L))) AS mh_$i"
+    }
+    val sigs = docs
+      .selectExpr("doc_id", s"$shingles AS shs")
+      .filter("size(shs) > 0")
+      .selectExpr("doc_id", s"transform(shs, sh -> pmod(${h("sh")}, ${P}L)) AS hs")
+      .selectExpr("doc_id" +: sigCols: _*)
+    minhashBands(sigs, cfg)
+  }
+
   /** Band rows of the MinHash-LSH stage over a shingled frame — exposed so
     * the growth-curve harness can count band-group collision pairs (the
     * candidate join's input cost) without materializing the join.

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.DedupQueries
+import graft.ops.Tables
+
+/** Streaming fuzzy dedup: the incremental MinHash-LSH candidate stream must
+  * agree with the batch banding it reuses, and its one-long-per-bucket state
+  * must carry across micro-batches.
+  */
+class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("stateless band rows equal the batch groupBy signature build") {
+    val docs = Tables(spark, dir, "documents")
+    val stateless = DedupQueries.bandRowsStateless(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // the batch path: shingled frame -> exploded postings -> partial-agg min
+    val shingled = docs.selectExpr("doc_id",
+      """CASE WHEN size(split(trim(text), '\\s+')) < 3
+        |THEN CAST(array() AS ARRAY<STRING>)
+        |ELSE array_distinct(transform(
+        |  sequence(1, size(split(trim(text), '\\s+')) - 2),
+        |  i -> concat_ws(' ',
+        |    element_at(split(trim(text), '\\s+'), i),
+        |    element_at(split(trim(text), '\\s+'), i + 1),
+        |    element_at(split(trim(text), '\\s+'), i + 2)))) END AS shs""".stripMargin)
+    val batch = DedupQueries.minhashBandRows(shingled)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(stateless == batch, "streaming signature build diverged from batch")
+    assert(stateless.nonEmpty)
+  }
+
+  test("streaming candidates: within-batch and cross-batch collisions against the anchor") {
+    val tmp = Files.createTempDirectory("graft-sfuzzy").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    val textC = "completely different words nothing shared here at all"
+    // batch 0: doc 1 (original A), doc 2 (exact within-batch dup of A), doc 5 (B)
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b0.jsonl"), Seq(
+      s"""{"doc_id": 1, "text": "$textA"}""",
+      s"""{"doc_id": 2, "text": "$textA"}""",
+      s"""{"doc_id": 5, "text": "$textB"}""").mkString("\n"))
+    // batch 1: doc 7 (cross-batch dup of A), doc 8 (unique), doc 9 (dup of B)
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b1.jsonl"), Seq(
+      s"""{"doc_id": 7, "text": "$textA"}""",
+      s"""{"doc_id": 8, "text": "$textC"}""",
+      s"""{"doc_id": 9, "text": "$textB"}""").mkString("\n"))
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .json(s"$tmp/in")
+    val q = StreamingDedup.minhashCandidates(stream).toDF()
+      .writeStream.format("memory").queryName("sfuzzy").outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val pairs = spark.table("sfuzzy")
+      .select(col("doc_id"), col("anchor")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ids arrive in increasing order, so the flagged set is exactly "docs
+    // with an earlier band-mate" and every anchor is the bucket min
+    assert(pairs == Set((2L, 1L), (7L, 1L), (9L, 5L)),
+      s"candidate pairs: $pairs")
+
+    // agreement with the static computation on the union: flagged docs =
+    // docs sharing a (band, sig) bucket with a smaller doc_id
+    import spark.implicits._
+    val static = Seq((1L, textA), (2L, textA), (5L, textB), (7L, textA),
+      (8L, textC), (9L, textB)).toDF("doc_id", "text")
+    val buckets = DedupQueries.bandRowsStateless(static)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+    val expectedFlagged = buckets.groupBy(_._2).values
+      .flatMap { bucket => val ids = bucket.map(_._1); ids.filter(_ != ids.min) }
+      .toSet
+    assert(pairs.map(_._1) == expectedFlagged,
+      s"streaming flagged ${pairs.map(_._1)}, static expects $expectedFlagged")
+  }
+}
