@@ -167,6 +167,11 @@ object CurationQueries {
                    rates: Map[String, Int] = DefaultUpsampleRates._1,
                    default: Int = DefaultUpsampleRates._2): DataFrame = {
     require(default >= 0 && rates.values.forall(_ >= 0), "rates are percents >= 0")
+    // cap the per-row explode: a fat-fingered rate (1e9% = 10M copies per
+    // doc) would amplify the corpus map-side before anything could push
+    // back; 10000% (100 copies) is beyond any sane mixture weight
+    require(default <= 10000 && rates.values.forall(_ <= 10000),
+      "rates are percents <= 10000 (100 copies)")
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(default)) {
       case (acc, (l, r)) => when(col("lang") === lit(l), lit(r)).otherwise(acc)
     }
@@ -196,7 +201,10 @@ object CurationQueries {
 
   /** The shuffle kernel over any frame with (doc_id, lang). */
   def shuffleSplitFrom(docs: DataFrame, splits: Int = 8): DataFrame = {
-    require(splits > 0)
+    // the split assignment reads 16 hash bits: beyond 2^16 splits the
+    // distribution silently skews (and 65536 output shards of a corpus is
+    // already one shard per ~1.5 GB at 100 TB)
+    require(splits > 0 && splits <= 65536, "splits in [1, 65536] (16-bit hash)")
     val h = "md5(concat('shuf:', CAST(doc_id AS STRING)))"
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("split_id")).orderBy(col("hk"), col("doc_id"))
