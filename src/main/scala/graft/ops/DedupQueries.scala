@@ -515,16 +515,26 @@ object DedupQueries {
 
   // --- near-dup cluster resolution (pairs -> components -> survivor) ----
 
-  /** Connected components by iterative min-label propagation on DataFrames.
+  /** Connected components by min-label propagation PLUS pointer doubling.
     *
     * Every vertex starts labeled with its own id; each round every vertex
-    * takes the min of its own and its neighbors' labels (one equi-join +
-    * one groupBy); a round that lowers no label is the fixpoint. Labels
-    * decrease monotonically, so the loop converges in O(graph diameter)
-    * rounds — near-dup clusters are dense (tiny diameter), so 2-4 rounds in
-    * practice. No driver-side data: loop control reads only a per-round
-    * 0/1 changed flag; labels stay distributed. Each round is a self-cleaning
-    * shuffle pipeline (persist the new generation, drop the old).
+    * takes the min of (its label, its neighbors' labels) — then follows its
+    * label pointer once more: label'(v) = min(label(v), label(label(v))).
+    * The doubling step is what makes high-diameter components safe: plain
+    * propagation moves the component min ONE hop per round (a near-dup
+    * CHAIN of n docs = n rounds of full-graph shuffles at corpus scale),
+    * while label-pointer chasing compresses paths multiplicatively, giving
+    * O(log n) rounds on chains (spec-pinned: a 256-vertex path resolves in
+    * <= 16 rounds, and the round count is part of the public result
+    * contract via [[connectedComponentsWithRounds]]). Labels only ever
+    * move to ids inside the same component, so the fixpoint is unchanged:
+    * a stationary round implies label(u) = label(v) across every
+    * (symmetric) edge AND label(label(v)) = label(v) — constant labels per
+    * component, anchored at the component min, which keeps its own id.
+    * A round that lowers no label is the fixpoint. No driver-side data:
+    * loop control reads only a per-round 0/1 changed flag; labels stay
+    * distributed. Each round is a self-cleaning shuffle pipeline (persist
+    * the new generation, drop the old).
     *
     * Cache lifecycle: every intermediate generation and the symmetric edge
     * list are unpersisted before returning; the result is a checkpointed
@@ -542,32 +552,77 @@ object DedupQueries {
     * @param vertices one column `id`; isolated vertices keep their own label
     * @return (id, label) with label = min id of the component
     */
-  def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame =
+    connectedComponentsWithRounds(edges, vertices)._1
+
+  /** [[connectedComponents]] plus the number of rounds the loop ran — the
+    * observable the convergence specs pin (O(log n) on a path graph).
+    */
+  /** Truncate lineage every N rounds: the doubling self-join embeds the
+    * previous generation's plan TWICE, so without truncation the LOGICAL
+    * plan (not the data) doubles per round and analysis time goes
+    * exponential. Between truncations growth is bounded at 2^N copies of a
+    * flat LogicalRDD-rooted plan. The same interval idea as GraphX/
+    * GraphFrames' checkpointInterval.
+    */
+  private val CcCheckpointInterval = 3
+
+  private[graft] def connectedComponentsWithRounds(
+      edges: DataFrame, vertices: DataFrame): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels: the frame rounds consume (possibly a flat lineage-truncated
+    // wrapper); backing: the persisted generation whose blocks feed it —
+    // released when the generation retires, so the loop never accumulates
+    // cached state (the leak spec pins it)
     var labels = vertices.select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var backing = labels
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(prop)
+      // persisted: the doubling self-join consumes it twice
+      val viaNeighbors = labels.select(col("id"), col("label")).union(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+      // pointer doubling: label(label(v)). Every label is a vertex id (it
+      // starts as one and only ever becomes another vertex's label), but
+      // edges may reference ids outside `vertices` — left join + coalesce
+      // keeps those rows intact instead of dropping them.
+      val nextP = viaNeighbors.as("x")
+        .join(viaNeighbors.select(col("id").as("pid"), col("label").as("plabel")).as("p"),
+          col("x.label") === col("p.pid"), "left")
+        .select(col("x.id"),
+          least(col("x.label"), coalesce(col("p.plabel"), col("x.label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = nextP.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") < col("o.label"))
         .limit(1).count()
-      labels.unpersist()
-      labels = next
+      viaNeighbors.unpersist()
+      backing.unpersist()
+      backing = nextP
+      // lineage truncation every CcCheckpointInterval rounds: rebuild the
+      // frame from the materialized RDD so the logical plan resets to a
+      // LogicalRDD (blocks stay owned by `backing` — releasable, unlike a
+      // localCheckpoint's). On eviction/task retry the wrapper's RDD still
+      // recomputes through real lineage.
+      labels =
+        if (rounds % CcCheckpointInterval == 0)
+          spark.createDataFrame(nextP.rdd, nextP.schema)
+        else nextP
     }
     val result =
-      if (labels.sparkSession.sparkContext.getCheckpointDir.isDefined) labels.checkpoint(true)
-      else labels.localCheckpoint(true)
-    labels.unpersist()
+      if (spark.sparkContext.getCheckpointDir.isDefined) labels.checkpoint(eager = true)
+      else labels.localCheckpoint(eager = true)
+    backing.unpersist()
     sym.unpersist()
-    result
+    (result, rounds)
   }
 
   /** Near-dup cluster resolution — the step a production dedup runs after

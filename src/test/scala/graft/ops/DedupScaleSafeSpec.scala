@@ -112,6 +112,22 @@ class DedupScaleSafeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("connected components: pointer doubling resolves a 256-vertex path in O(log n) rounds") {
+    import spark.implicits._
+    // a worst-case near-dup CHAIN: plain min propagation needs ~255 rounds
+    // of full-graph shuffles here; propagation + label-of-label compression
+    // must stay logarithmic (2^8 vertices -> well under 16 rounds)
+    val n = 256L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val vertices = (0L until n).toDF("id")
+    val (labels, rounds) =
+      DedupQueries.connectedComponentsWithRounds(edges, vertices)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n && got.forall(_._2 == 0L),
+      "every chain vertex joins component 0")
+    assert(rounds <= 16, s"chain of $n took $rounds rounds — not logarithmic")
+  }
+
   test("connected components releases its loop caches (no leak across a session)") {
     import spark.implicits._
     spark.catalog.clearCache()
