@@ -195,6 +195,16 @@ object TextQueries {
     */
   def ngramDupFrom(docs: DataFrame, n: Int = 4,
                    preAggregate: Boolean = false): DataFrame = {
+    val (out, grams) = ngramDupPlan(docs, n, preAggregate)
+    Lifecycle.released(out, grams)
+  }
+
+  /** Lazy twin of [[ngramDupFrom]] for plan inspection (the public entry
+    * returns a checkpointed LogicalRDD): (result, persisted gram barrier —
+    * the caller releases it).
+    */
+  private[graft] def ngramDupPlan(docs: DataFrame, n: Int = 4,
+                                  preAggregate: Boolean = false): (DataFrame, DataFrame) = {
     require(n >= 2)
     val positions = docs
       .selectExpr("doc_id", "split(trim(lower(text)), '\\\\s+') AS t")
@@ -216,7 +226,7 @@ object TextQueries {
       .agg(sum(col("cnt")).as("n_grams"),
         sum(when(col("nd") >= 2, col("cnt")).otherwise(0L)).as("n_dup_grams"))
       .withColumn("dup_frac", col("n_dup_grams").cast("double") / col("n_grams"))
-    Lifecycle.released(out, grams)
+    (out, grams)
   }
 
   /** Hashed-feature linear quality model (the fasttext-style classifier a

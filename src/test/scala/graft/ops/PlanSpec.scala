@@ -242,6 +242,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*(1)"), s"sampling filter should be codegen'd:\n$p")
   }
 
+  test("round-6 curation plans: one shuffle for shuffle-split, equi-joins for curate and ngram-dup") {
+    // shuffle-split: exactly ONE exchange (hash on split_id, feeding the
+    // per-split window sort) — the hash assignment itself is map-side
+    val ss = CurationQueries.shuffleSplit(spark, dir)
+    ss.collect()
+    val pss = ss.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(pss.split("Exchange").length - 1 == 1,
+      s"shuffle-split must shuffle exactly once:\n$pss")
+    assert("hashpartitioning\\(split_id".r.findFirstIn(pss).isDefined,
+      s"the one shuffle must partition by split_id:\n$pss")
+    // curate: the dup-id side joins as an equi-join, never a nested loop
+    val cur = CurationQueries.curate(spark, dir)
+    cur.collect()
+    val pc = cur.queryExecution.executedPlan.toString
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"),
+      s"curate must stay an equi-join:\n$pc")
+    // ngram-dup (lazy plan twin — the public entry is a checkpointed
+    // LogicalRDD): the gram->df join keys on the gram — an equi-join
+    // (broadcast is fine at this size; never a nested loop)
+    val (ng, grams) = TextQueries.ngramDupPlan(
+      Tables(spark, dir, "documents").select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")))
+    ng.collect()
+    val png = ng.queryExecution.executedPlan.toString
+    grams.unpersist()
+    assert(!png.contains("CartesianProduct") && !png.contains("BroadcastNestedLoopJoin"),
+      s"ngram-dup must stay an equi-join:\n$png")
+    assert("\\bJoin\\b|Join ".r.findFirstIn(png).isDefined || png.contains("Join"),
+      s"expected a join in the ngram-dup plan:\n$png")
+  }
+
   test("window consumers get parse pruning transitively (below-window projection)") {
     // The rule never treats Window itself as a consumer (see the retype
     // hazard below), and does not need to: Spark's ExtractWindowExpressions
