@@ -21,7 +21,7 @@ object Bench {
     "q_filter_project", "q_agg_pricing", "q_agg_stats",
     "q_join_big", "q_join_star", "q_left_join",
     "q_window_running", "q_window_rank", "q_sessionize", "q_pivot",
-    "q_approx_distinct", "q_sketch_union",
+    "q_approx_distinct", "q_sketch_union", "q_approx_quantile",
     "q_asof_join", "q_range_join",
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "ann_bruteforce", "ann_ivf", "ann_recall",
