@@ -194,17 +194,35 @@ object DedupQueries {
     * per-row lambdas on large corpora).
     */
   private[graft] def bandRowsStateless(
-      docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+      docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame =
+    minhashBands(statelessSigs(docs, cfg), cfg)
+
+  /** Per-row signature build shared by the stateless band-row variants. */
+  private def statelessSigs(docs: DataFrame, cfg: MinHashConfig): DataFrame = {
     graft.functions.GraftFunctions.registerAll(docs.sparkSession)
     val sigCols = (0 until cfg.k).map { i =>
       s"array_min(transform(hs, x -> pmod(${aCoef(i)}L * x + ${bCoef(i)}L, ${P}L))) AS mh_$i"
     }
-    val sigs = docs
+    docs
       .selectExpr("doc_id", s"$shingles AS shs")
       .filter("size(shs) > 0")
       .selectExpr("doc_id", s"transform(shs, sh -> pmod(${h("sh")}, ${P}L)) AS hs")
       .selectExpr("doc_id" +: sigCols: _*)
-    minhashBands(sigs, cfg)
+  }
+
+  /** [[bandRowsStateless]] carrying the FULL signature array alongside each
+    * band row — the streaming in-stream verifier stores it as bucket state
+    * (k longs per bucket) to estimate Jaccard without keeping any text.
+    */
+  private[graft] def bandRowsStatelessWithSig(
+      docs: DataFrame, cfg: MinHashConfig = MinHashConfig()): DataFrame = {
+    val stackArgs = (0 until cfg.bands).map { b =>
+      val key = (0 until cfg.rows).map(j => s"CAST(mh_${cfg.rows * b + j} AS STRING)").mkString(", ")
+      s"$b, concat_ws(',', $key)"
+    }.mkString(", ")
+    statelessSigs(docs, cfg).selectExpr("doc_id",
+      s"array(${(0 until cfg.k).map("mh_" + _).mkString(", ")}) AS mhs",
+      s"stack(${cfg.bands}, $stackArgs) AS (band, sig)")
   }
 
   /** Band rows of the MinHash-LSH stage over a shingled frame — exposed so

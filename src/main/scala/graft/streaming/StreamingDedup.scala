@@ -39,6 +39,13 @@ object StreamingDedup {
     */
   final case class Candidate(doc_id: Long, anchor: Long, band: Int)
 
+  /** A band collision with an in-stream similarity estimate: the fraction
+    * of the two documents' `k` minhash components that agree — an unbiased
+    * estimator of their shingle Jaccard.
+    */
+  final case class VerifiedCandidate(doc_id: Long, anchor: Long, band: Int,
+                                     est_jaccard: Double)
+
   /** Flag band collisions against the earliest-seen document per bucket.
     * Works on a streaming OR static frame with (doc_id, text, ...): the
     * stateful path needs a stream, the spec runs the same logic both ways.
@@ -69,6 +76,43 @@ object StreamingDedup {
             if (id < anchor) anchor = id
           }
           if (anchor != Long.MaxValue) state.update(anchor)
+          out.result().iterator
+      }
+  }
+
+  /** [[minhashCandidates]] with in-stream verification: each bucket's state
+    * also keeps the anchor's FULL minhash signature (k longs — still
+    * constant-size, no text retained), and every collision carries the
+    * matching-component fraction as an estimated Jaccard. Candidates under
+    * `minEstJaccard` are suppressed in-stream — the latency-friendly
+    * quality filter; the exact-Jaccard batch join downstream remains the
+    * precise path (the estimator's variance is 1/sqrt(k)).
+    */
+  def minhashVerifiedCandidates(docs: DataFrame,
+                                cfg: MinHashConfig = MinHashConfig(),
+                                minEstJaccard: Double = 0.0): Dataset[VerifiedCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    DedupQueries.bandRowsStatelessWithSig(docs, cfg)
+      .selectExpr("doc_id", "band", "sig", "mhs")
+      .as[(Long, Int, String, Array[Long])]
+      .groupByKey { case (_, band, sig, _) => (band, sig) }
+      .flatMapGroupsWithState[(Long, Array[Long]), VerifiedCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state: GroupState[(Long, Array[Long])]) =>
+          val sorted = rows.toArray.sortBy(_._1)
+          var (anchor, anchorSig) =
+            state.getOption.getOrElse((Long.MaxValue, Array.empty[Long]))
+          val out = Array.newBuilder[VerifiedCandidate]
+          sorted.foreach { case (id, _, _, mhs) =>
+            if (anchor != Long.MaxValue && id != anchor) {
+              val matches = mhs.iterator.zip(anchorSig.iterator).count(p => p._1 == p._2)
+              val est = matches.toDouble / cfg.k
+              if (est >= minEstJaccard) out += VerifiedCandidate(id, anchor, band, est)
+            }
+            if (id < anchor) { anchor = id; anchorSig = mhs }
+          }
+          if (anchor != Long.MaxValue) state.update((anchor, anchorSig))
           out.result().iterator
       }
   }

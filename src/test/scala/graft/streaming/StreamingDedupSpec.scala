@@ -98,4 +98,64 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.map(_._1) == expectedFlagged,
       s"streaming flagged ${pairs.map(_._1)}, static expects $expectedFlagged")
   }
+
+  test("in-stream verification: matching-minhash estimate, threshold suppression, no text in state") {
+    import graft.ops.DedupQueries.MinHashConfig
+    val tmp = Files.createTempDirectory("graft-sverify").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textA2 = "alpha beta gamma delta epsilon zeta eta iota" // near-dup of A
+    // batch 0: the original; batch 1: an exact copy and a near-copy
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b0.jsonl"),
+      s"""{"doc_id": 1, "text": "$textA"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b1.jsonl"), Seq(
+      s"""{"doc_id": 4, "text": "$textA"}""",
+      s"""{"doc_id": 9, "text": "$textA2"}""").mkString("\n"))
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .json(s"$tmp/in")
+    val q = StreamingDedup.minhashVerifiedCandidates(stream).toDF()
+      .writeStream.format("memory").queryName("sverify").outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("sverify")
+      .select(col("doc_id"), col("anchor"), col("est_jaccard")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact copy: every minhash component agrees
+    assert(got((4L, 1L)) == 1.0, s"exact copy must estimate 1.0: $got")
+    // near-copy: the estimate equals the statically-computed matching
+    // fraction of the two signature arrays (collision implies > 0)
+    import spark.implicits._
+    val static = Seq((1L, textA), (9L, textA2)).toDF("doc_id", "text")
+    val sigs = graft.ops.DedupQueries.bandRowsStatelessWithSig(static)
+      .select(col("doc_id"), col("mhs")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val k = MinHashConfig().k
+    val expected = sigs(1L).zip(sigs(9L)).count(p => p._1 == p._2).toDouble / k
+    assert(got.contains((9L, 1L)) && got((9L, 1L)) == expected,
+      s"near-dup estimate ${got.get((9L, 1L))}, static expects $expected")
+    assert(expected > 0.0 && expected < 1.0,
+      "the near-dup fixture should land strictly between 0 and 1")
+
+    // threshold suppression: rerun demanding more similarity than the
+    // near-dup has — only the exact copy survives
+    val tmp2 = Files.createTempDirectory("graft-sverify2").toString
+    val q2 = StreamingDedup.minhashVerifiedCandidates(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(s"$tmp/in"),
+      minEstJaccard = (expected + 1.0) / 2)
+      .toDF()
+      .writeStream.format("memory").queryName("sverify2").outputMode("append")
+      .option("checkpointLocation", s"$tmp2/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val kept = spark.table("sverify2")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L), s"threshold should keep only the exact copy: $kept")
+  }
 }
