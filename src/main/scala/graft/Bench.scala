@@ -19,7 +19,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "rel_flat", "rel_explode", "rel_choice",
     "q_filter_project", "q_agg_pricing", "q_agg_stats",
-    "q_join_big", "q_join_star", "q_left_join",
+    "q_join_big", "q_join_star", "q_left_join", "q_full_outer", "q_theta_join",
+    "q_merge_upsert", "q_histogram",
     "q_window_running", "q_window_rank", "q_sessionize", "q_pivot",
     "q_approx_distinct", "q_sketch_union", "q_approx_quantile",
     "q_asof_join", "q_range_join",

@@ -134,6 +134,93 @@ object RelationalQueries {
       .agg(count(col("l_orderkey")).as("n_lines"))
   }
 
+  /** Full outer: customers and orders keyed by custkey — both null sides
+    * survive (customers without orders AND the join-side aggregation keeps
+    * exact counts of each).
+    */
+  def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_cust_rows"))
+    val orders = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    cust.join(orders, col("c_custkey") === col("o_custkey"), "full_outer")
+      .selectExpr(
+        "coalesce(c_custkey, o_custkey) AS custkey",
+        "CAST(coalesce(n_cust_rows, 0) AS BIGINT) AS n_cust_rows",
+        "CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders",
+        """CASE WHEN c_custkey IS NULL THEN 'order_only'
+          |     WHEN o_custkey IS NULL THEN 'customer_only'
+          |     ELSE 'both' END AS presence""".stripMargin)
+  }
+
+  /** Theta (non-equi) join against a TINY side: classify every lineitem
+    * price into bands via `bmin <= price < bmax`. The correct plan when one
+    * side is a handful of rows is a broadcast nested-loop — the predicate
+    * never becomes a shuffle key, and the big side streams map-side. (When
+    * BOTH sides are large, bucketize instead — that is `q_range_join`.)
+    */
+  def thetaJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = Tables(s, dir, "lineitem").sparkSession.range(5).selectExpr(
+      "CAST(id AS INT) AS band",
+      "CAST(id * 12000 AS DOUBLE) AS bmin",
+      "CAST(IF(id = 4, 1000000000, (id + 1) * 12000) AS DOUBLE) AS bmax")
+    Tables(s, dir, "lineitem")
+      .select(col("l_extendedprice").cast("double").as("price"))
+      .join(broadcast(bands), col("price") >= col("bmin") && col("price") < col("bmax"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_lines"))
+  }
+
+  /** Changelog merge (SCD-1 upsert): fold a stream of keyed change events
+    * into a base snapshot — the incremental-maintenance primitive of every
+    * warehouse pipeline (MERGE INTO latest-wins). The scalable shape: the
+    * changelog collapses to one row per key FIRST via a partial+final
+    * `max_by` aggregation (no window sort — max_by carries only the current
+    * winner through the map side), then ONE equi-join against the base.
+    * Never join the raw changelog (it multiplies base rows), never window
+    * it (full sort per key when an agg suffices).
+    *
+    * Base = even-keyed customers (scale-independent split so all three merge
+    * actions occur); changelog = events keyed by user_id; latest = greatest
+    * (ts, event_id) — event_id is the unique tiebreaker.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "customer")
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"))
+    val latest = Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id").as("key"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"))
+    base.join(latest, Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        coalesce(col("segment"), lit("unknown")).as("segment"),
+        coalesce(col("last_event_type"), lit("none")).as("last_event_type"),
+        coalesce(col("last_value"), lit(0.0)).as("last_value"),
+        when(col("segment").isNull, "insert")
+          .when(col("last_event_type").isNull, "keep")
+          .otherwise("update").as("action"))
+  }
+
+  /** Fixed-bound histogram: bucket assignment is a pure per-row projection
+    * (map-side), so the only shuffle is the 10-group final aggregate —
+    * at 100 TB this is a full scan with kilobytes of shuffle.
+    * Bounds are literals, not data-derived min/max (which would cost an
+    * extra pass and make the layout data-dependent).
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(
+        least(floor(col("o_totalprice") / lit(50000.0)), lit(9)).cast("int").as("bucket"),
+        dec(col("o_totalprice")).as("p"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("p")).cast("double").as("sum_price"))
+
   // --- subqueries -------------------------------------------------------
 
   def inSubquery(s: SparkSession, dir: String): DataFrame = {
@@ -535,6 +622,10 @@ object RelationalQueries {
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_left_join" -> leftOuterJoin,
+    "q_full_outer" -> fullOuterJoin,
+    "q_theta_join" -> thetaJoin,
+    "q_merge_upsert" -> mergeUpsert,
+    "q_histogram" -> histogram,
     "q_in_subquery" -> inSubquery,
     "q_scalar_subquery" -> scalarSubquery,
     "q_exists" -> existsCorrelated,
@@ -663,6 +754,51 @@ object RelationalQueries {
       """SELECT o_orderkey, COUNT(l_orderkey) AS n_lines
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey""".stripMargin,
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_custkey, CAST(count(1) AS BIGINT) AS n_cust_rows
+        |           FROM customer GROUP BY 1),
+        |o AS (SELECT o_custkey, CAST(count(1) AS BIGINT) AS n_orders
+        |      FROM orders GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  CAST(coalesce(n_cust_rows, 0) AS BIGINT) AS n_cust_rows,
+        |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+        |  CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |       WHEN o_custkey IS NULL THEN 'customer_only'
+        |       ELSE 'both' END AS presence
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin,
+    "q_theta_join" ->
+      """WITH bands AS (
+        |  SELECT CAST(id AS INT) AS band,
+        |    CAST(id * 12000 AS DOUBLE) AS bmin,
+        |    CAST(CASE WHEN id = 4 THEN 1000000000 ELSE (id + 1) * 12000 END AS DOUBLE) AS bmax
+        |  FROM (SELECT unnest(range(0, 5)) AS id) t)
+        |SELECT band, CAST(count(1) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN bands
+        |  ON CAST(l_extendedprice AS DOUBLE) >= bmin AND CAST(l_extendedprice AS DOUBLE) < bmax
+        |GROUP BY band""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key, c_mktsegment AS segment
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |latest AS (
+        |  SELECT user_id AS key, event_type AS last_event_type, value AS last_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) t
+        |  WHERE rn = 1)
+        |SELECT coalesce(b.key, l.key) AS key,
+        |  coalesce(b.segment, 'unknown') AS segment,
+        |  coalesce(l.last_event_type, 'none') AS last_event_type,
+        |  coalesce(l.last_value, 0.0) AS last_value,
+        |  CASE WHEN b.segment IS NULL THEN 'insert'
+        |       WHEN l.last_event_type IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM base b FULL OUTER JOIN latest l ON b.key = l.key""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INT) AS bucket,
+        |  COUNT(1) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_in_subquery" ->
       """SELECT o_orderstatus, COUNT(1) AS cnt FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')

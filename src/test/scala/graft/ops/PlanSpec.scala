@@ -61,6 +61,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(anti.contains("LeftAnti"), s"no anti join in:\n$anti")
   }
 
+  test("theta join broadcasts the tiny band side as a nested loop; full outer stays a shuffle join") {
+    // non-equi predicate against a 5-row side: the right plan is a broadcast
+    // nested-loop (big side streams map-side; the predicate never becomes a
+    // shuffle key). Both-sides-large non-equi is q_range_join (bucketized).
+    val theta = planString(RelationalQueries.thetaJoin(spark, dir))
+    assert(theta.contains("BroadcastNestedLoopJoin"), s"theta join not broadcast-NLJ:\n$theta")
+    assert(!theta.contains("CartesianProduct"), s"theta join fell to cartesian:\n$theta")
+    // full outer over two large pre-aggregated sides: shuffle join on the key
+    val fo = planString(RelationalQueries.fullOuterJoin(spark, dir))
+    assert(fo.contains("FullOuter"), s"no full-outer join in:\n$fo")
+    assert(fo.contains("SortMergeJoin") || fo.contains("ShuffledHashJoin"),
+      s"full outer should shuffle-join both aggregated sides:\n$fo")
+  }
+
+  test("merge-upsert collapses the changelog with a partial max_by, not a window sort") {
+    val p = planString(RelationalQueries.mergeUpsert(spark, dir))
+    assert(p.contains("partial_max_by"), s"changelog not partial-aggregated map-side:\n$p")
+    assert(!p.contains("Window"), s"latest-wins must be an agg, not a window sort:\n$p")
+    assert(p.contains("FullOuter"), s"merge lost its full-outer join:\n$p")
+  }
+
   test("top-k plans as TakeOrderedAndProject, not global sort") {
     val p = planString(RelationalQueries.topK(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), s"top-k not optimized:\n$p")
