@@ -221,6 +221,61 @@ object RelationalQueries {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_orders"), sum(col("p")).cast("double").as("sum_price"))
 
+  /** TPC-H Q3 shape (shipping priority): selective dim filter → two-table
+    * equi-join chain → grouped revenue → top-10. Filters sit on each scan
+    * (pushed to parquet), the filtered customer side joins as a broadcast at
+    * small scale (Catalyst's call — at 100 TB a 1/5-selectivity customer
+    * table is NOT broadcastable and the same plan degrades gracefully to a
+    * shuffle join), and the top-10 runs as TakeOrderedAndProject with
+    * `l_orderkey` as the deterministic tiebreaker.
+    */
+  def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1996-03-15 00:00:00"))
+    val cust = Tables(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val orders = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val line = Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    line.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local-supplier volume): the 6-table join with the
+    * non-FK `c_nationkey = s_nationkey` condition folded into the supplier
+    * join. Nation and region are genuinely bounded (25 / 5 rows at ANY
+    * scale) so those joins are explicitly broadcast; the fact-side chain
+    * stays shuffle equi-joins with the date filter pushed to the orders
+    * scan.
+    */
+  def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val line = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    line.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, dir, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
   // --- subqueries -------------------------------------------------------
 
   def inSubquery(s: SparkSession, dir: String): DataFrame = {
@@ -626,6 +681,8 @@ object RelationalQueries {
     "q_theta_join" -> thetaJoin,
     "q_merge_upsert" -> mergeUpsert,
     "q_histogram" -> histogram,
+    "q_tpch_q3" -> tpchQ3,
+    "q_tpch_q5" -> tpchQ5,
     "q_in_subquery" -> inSubquery,
     "q_scalar_subquery" -> scalarSubquery,
     "q_exists" -> existsCorrelated,
@@ -799,6 +856,31 @@ object RelationalQueries {
         |  COUNT(1) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-03-15'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
     "q_in_subquery" ->
       """SELECT o_orderstatus, COUNT(1) AS cnt FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')

@@ -115,6 +115,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TPC-H shapes: Q3 pushes date filters and takes top-10 without a global sort; Q5 broadcasts only the bounded dims") {
+    val q3 = planString(RelationalQueries.tpchQ3(spark, dir))
+    assert(q3.contains("TakeOrderedAndProject"), s"Q3 top-10 not TakeOrdered:\n$q3")
+    assert(q3.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      q3.contains("GreaterThan(l_shipdate"), s"Q3 lineitem date filter not pushed:\n$q3")
+    val q5 = planString(RelationalQueries.tpchQ5(spark, dir))
+    assert(q5.contains("BroadcastHashJoin"), s"Q5 dims not broadcast:\n$q5")
+    assert(!q5.contains("CartesianProduct"), s"Q5 fell to cartesian:\n$q5")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions.col
+    // At 100 TB a selective dim filter should cut the FACT side's shuffle,
+    // not just the dim's: Spark's runtime row-level filtering builds a bloom
+    // filter from the filtered creation side and injects might_contain on
+    // the application side BELOW its shuffle. Local thresholds scaled down
+    // (the application-side scan must look "big enough" to be worth it).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // SMJ path
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    try {
+      val sel = Tables(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = Tables(spark, dir, "lineitem")
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      val p = planString(joined)
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter injected on the fact side:\n$p")
+      assert(joined.collect().nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("sketch aggregates: estimates inside tolerance; sketch-only plan avoids the distinct Expand") {
     import org.apache.spark.sql.functions._
     // the gating flags really are computed from live estimates (not constants):

@@ -381,6 +381,55 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming sessions $got != batch $expected")
   }
 
+  test("stream-stream interval join with watermarks equals the batch join") {
+    // The attribution shape: clicks join impressions on user within
+    // [imp_ts, imp_ts + 10 min]. Both sides watermarked so the join state
+    // is BOUNDED — Spark evicts an impression once the click watermark
+    // passes imp_ts + 10 min (without the time bound + watermarks the state
+    // grows without limit, the stream-stream scale failure mode).
+    val tmp = Files.createTempDirectory("graft-ssjoin").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/imp"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/clk"))
+    val imps = (0 until 20).map { i =>
+      f"""{"user_id": ${i % 4}, "imp_id": $i, "imp_ts": "2024-01-01T00:${i % 30}%02d:00.000Z"}"""
+    }
+    val clks = (0 until 15).map { i =>
+      f"""{"user_id": ${i % 4}, "clk_id": $i, "clk_ts": "2024-01-01T00:${(i * 2) % 45}%02d:30.000Z"}"""
+    }
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/imp/a.jsonl"), imps.mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/clk/a.jsonl"), clks.mkString("\n"))
+
+    val impSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("imp_id", LongType), StructField("imp_ts", TimestampType)))
+    val clkSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("clk_id", LongType), StructField("clk_ts", TimestampType)))
+    def joined(imp: org.apache.spark.sql.DataFrame, clk: org.apache.spark.sql.DataFrame) =
+      imp.withWatermark("imp_ts", "10 minutes")
+        .join(clk.withWatermark("clk_ts", "10 minutes"),
+          imp("user_id") === clk("user_id") &&
+            col("clk_ts") >= col("imp_ts") &&
+            col("clk_ts") <= col("imp_ts") + expr("interval 10 minutes"))
+        .select(imp("user_id"), col("imp_id"), col("clk_id"))
+
+    val q = joined(
+      spark.readStream.schema(impSchema).json(s"$tmp/imp"),
+      spark.readStream.schema(clkSchema).json(s"$tmp/clk"))
+      .writeStream.format("memory").queryName("attrib").outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val got = spark.table("attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = joined(
+      spark.read.schema(impSchema).json(s"$tmp/imp"),
+      spark.read.schema(clkSchema).json(s"$tmp/clk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected && got.nonEmpty,
+      s"stream-stream join ${got.size} rows != batch ${expected.size}")
+  }
+
   test("gzip JSONL sink round-trip (K3)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-gz").toString
