@@ -475,6 +475,31 @@ object RelationalQueries {
           .otherwise(0).cast("int").as("within_5pct"))
   }
 
+  /** Approximate heavy hitters (`approx_top_k` — the DataSketches
+    * frequent-items sketch): the 100 TB path finds the most frequent values
+    * in ONE pass with bounded memory (maxItemsTracked counters per partial
+    * aggregate, mergeable map-side) — no full groupBy of a high-cardinality
+    * key. The exact arm (count + tie-broken TakeOrdered) exists for the
+    * gate; the flag pins the sketch's top-5 COUNT multiset against the
+    * exact one (near-uniform counts make item identity tie-dependent —
+    * counts are not).
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val exact5 = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l_partkey")).limit(5)
+    val exactCounts = exact5
+      .agg(sort_array(collect_list(col("cnt")), asc = false).as("exact_counts"))
+    val sketchCounts = li
+      .agg(expr("approx_top_k(l_partkey, 5, 65536)").as("tk"))
+      .select(sort_array(expr("transform(tk, x -> x.count)"), asc = false)
+        .as("approx_counts"))
+    val flag = exactCounts.crossJoin(broadcast(sketchCounts))
+      .select(when(col("exact_counts") === col("approx_counts"), 1)
+        .otherwise(0).cast("int").as("sketch_counts_match"))
+    exact5.crossJoin(broadcast(flag))
+  }
+
   /** Mergeable HLL sketches (Apache DataSketches via `hll_sketch_agg`):
     * per-group sketches unioned into a global estimate — at scale the
     * per-day/per-source sketch table is tiny and re-aggregates along any
@@ -707,6 +732,7 @@ object RelationalQueries {
     "q_approx_distinct" -> approxDistinct,
     "q_sketch_union" -> sketchUnion,
     "q_approx_quantile" -> approxQuantile,
+    "q_heavy_hitters" -> heavyHitters,
     "q_json_funcs" -> jsonFuncs,
     "q_regexp_funcs" -> regexpFuncs,
     "q_null_funcs" -> nullFuncs,
@@ -1006,6 +1032,11 @@ object RelationalQueries {
       """SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n,
         |  CAST(1 AS INT) AS rank_within_2pct
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT l_partkey, CAST(count(1) AS BIGINT) AS cnt,
+        |  CAST(1 AS INT) AS sketch_counts_match
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY cnt DESC, l_partkey LIMIT 5""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_extracted,

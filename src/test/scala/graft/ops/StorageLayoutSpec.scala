@@ -82,4 +82,41 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = Tables(spark, dir, "events").filter("event_type = 'click'").count()
     assert(df.count() == expected)
   }
+
+  test("range-clustered write produces disjoint per-file key ranges") {
+    import org.apache.spark.sql.functions.{col, min, max, input_file_name}
+    // The time-series layout at 100 TB: repartitionByRange + sortWithinPartitions
+    // at write time clusters each file on the key, so parquet min/max stats
+    // (and any table format's file-level stats) can skip files for a range
+    // predicate. Without it every file spans the whole key range and a
+    // "last hour" query scans the entire table.
+    val out = Files.createTempDirectory("graft-range").toString + "/orders"
+    Tables(spark, dir, "orders")
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.mode("overwrite").parquet(out)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_orderdate").cast("timestamp").cast("long")).as("lo"),
+        max(col("o_orderdate").cast("timestamp").cast("long")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length >= 3, s"expected >=3 range files, got ${ranges.length}")
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"file key ranges overlap: hi=$hi > next lo=$lo2 in ${ranges.toSeq}")
+    }
+    // a contrast control: the unclustered write's files all span ~the whole
+    // range (every file's min is below every file's max-of-mins)
+    val flat = Files.createTempDirectory("graft-flat").toString + "/orders"
+    Tables(spark, dir, "orders").repartition(4)
+      .write.mode("overwrite").parquet(flat)
+    val flatRanges = spark.read.parquet(flat)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_orderdate").cast("timestamp").cast("long")).as("lo"),
+        max(col("o_orderdate").cast("timestamp").cast("long")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val overlaps = flatRanges.sortBy(_._1).sliding(2)
+      .count { case Array((_, hi), (lo2, _)) => hi > lo2 }
+    assert(overlaps > 0, "control failed: hash-partitioned files came out disjoint")
+  }
 }
