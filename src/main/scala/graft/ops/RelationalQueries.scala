@@ -346,6 +346,24 @@ object RelationalQueries {
         count(lit(1)).over(w).as("n_in_frame"))
   }
 
+  /** Time-based RANGE frame (the "last 10 minutes per key" sliding
+    * aggregate): frame membership is defined by the ORDER-BY VALUE range,
+    * not row offsets — ties share a frame, so no tiebreaker is needed for
+    * determinism. Ordering on integer epoch-seconds keeps the frame
+    * arithmetic exact and engine-portable (timestamp→long truncation is
+    * floor-of-microseconds on both engines).
+    */
+  def windowRange(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("ts").cast("long").as("tsec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+      .rangeBetween(-600, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"),
+      sum(dec(col("value"))).over(w).cast("double").as("sum_10min"),
+      count(lit(1)).over(w).as("n_10min"))
+  }
+
   // --- sort / limit / top-k --------------------------------------------
 
   def topK(s: SparkSession, dir: String): DataFrame =
@@ -715,6 +733,7 @@ object RelationalQueries {
     "q_window_running" -> windowRunning,
     "q_window_lag" -> windowLag,
     "q_window_frame" -> windowFrame,
+    "q_window_range" -> windowRange,
     "q_topk" -> topK,
     "q_union" -> unionAll,
     "q_intersect" -> intersectKeys,
@@ -936,6 +955,13 @@ object RelationalQueries {
         |  LEAD(o_totalprice, 1) OVER w AS next_price,
         |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10min,
+        |  COUNT(1) OVER w AS n_10min
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_window_frame" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS moving_sum,

@@ -65,4 +65,41 @@ class SketchTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(globalEst - globalExact) * 20 <= globalExact,
       s"global estimate $globalEst vs exact $globalExact")
   }
+
+  test("incremental rollup maintenance: merging a new batch's partials equals the full recompute") {
+    // The exact-aggregate twin of the sketch table: a rollup table keyed at
+    // the update grain holds decomposable partials (count, decimal sum).
+    // Appending a batch touches ONLY the batch's partials, and the merged
+    // table answers the same queries as a full fact-table recompute — the
+    // pattern that replaces 100 TB rescans with per-batch upkeep. (Works
+    // for any commutative-monoid aggregate; avg = merged sum/count; exact
+    // distinct does NOT decompose — that is what the HLL sketch table is
+    // for.)
+    val orders = Tables(spark, dir, "orders")
+    val old = orders.filter(col("o_orderkey") % 10 =!= 0)
+    val batch = orders.filter(col("o_orderkey") % 10 === 0)
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("s"))
+    val path = Files.createTempDirectory("graft-rollup").toString
+    partials(old).write.mode("overwrite").parquet(s"$path/base")
+    partials(batch).write.mode("overwrite").parquet(s"$path/b1")
+    // merge = re-aggregate the UNION OF PARTIALS (rollup-table-sized, not
+    // fact-sized); the fact table is never rescanned
+    val merged = spark.read.parquet(s"$path/base").union(spark.read.parquet(s"$path/b1"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    val full = partials(orders)
+    val diff = merged.exceptAll(full).count() + full.exceptAll(merged).count()
+    assert(diff == 0, s"merged rollup differs from full recompute by $diff rows")
+    // the coarser rollup (status only) also answers from the rollup table
+    val coarseMerged = merged.groupBy(col("o_orderstatus"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).cast("double").as("s"))
+    val coarseFull = orders.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
+    assert(coarseMerged.exceptAll(coarseFull).isEmpty &&
+      coarseFull.exceptAll(coarseMerged).isEmpty)
+  }
 }
