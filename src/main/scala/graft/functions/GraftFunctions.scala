@@ -56,6 +56,26 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_barrier", c)
   def vecDot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("vec_dot", a, b)
+
+  /** 32-bit Z-order (Morton) key over two 16-bit dimensions: bit-interleaves
+    * `a` (odd bit positions) and `b` (even positions) so sorting by the key
+    * clusters rows that are close in BOTH dimensions — the multi-column
+    * write layout that keeps per-file min/max ranges tight on either column
+    * (1-D range clustering constrains only its own column). Inputs clamp to
+    * [0, 65535]; built from shift/mask ops on built-in expressions only, so
+    * it stays inside whole-stage codegen — no UDF, no custom Expression.
+    */
+  def zorderKey(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{greatest, least, lit, shiftleft}
+    def spread(c: Column): Column = {
+      val x0 = greatest(lit(0L), least(c.cast("long"), lit(65535L)))
+      val x1 = shiftleft(x0, 8).bitwiseOR(x0).bitwiseAND(lit(0x00FF00FFL))
+      val x2 = shiftleft(x1, 4).bitwiseOR(x1).bitwiseAND(lit(0x0F0F0F0FL))
+      val x3 = shiftleft(x2, 2).bitwiseOR(x2).bitwiseAND(lit(0x33333333L))
+      shiftleft(x3, 1).bitwiseOR(x3).bitwiseAND(lit(0x55555555L))
+    }
+    shiftleft(spread(a), 1).bitwiseOR(spread(b))
+  }
 }
 
 /** Identity wrapper that reports itself non-deterministic so the optimizer

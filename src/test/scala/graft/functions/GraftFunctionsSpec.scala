@@ -112,6 +112,29 @@ class GraftFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.toLowerCase.contains("vec_dot"))
   }
 
+  test("zorderKey matches a reference Morton interleave and preserves locality") {
+    import spark.implicits._
+    def mortonRef(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16)
+        z |= (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+      z
+    }
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (255L, 256L), (32768L, 1L), (70000L, -5L)) // clamped
+    val got = samples.toDF("a", "b")
+      .select(GraftFunctions.zorderKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    val want = samples.map { case (a, b) =>
+      mortonRef(math.min(math.max(a, 0L), 65535L), math.min(math.max(b, 0L), 65535L))
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+    // locality: points in the same quadrant sort together — the top two
+    // interleaved bits ARE the quadrant id
+    val q = ((x: Long, y: Long) => mortonRef(x, y) >> 30)
+    assert(q(1000L, 2000L) == 0 && q(40000L, 50000L) == 3)
+  }
+
   test("relationalize generator: null input yields no rows") {
     import spark.implicits._
     Seq[Option[String]](None, Some("""{"k": 1}""")).toDF("doc")

@@ -119,4 +119,47 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count { case Array((_, hi), (lo2, _)) => hi > lo2 }
     assert(overlaps > 0, "control failed: hash-partitioned files came out disjoint")
   }
+
+  test("z-order clustering keeps per-file ranges tight on BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    // Two uniform 16-bit dimensions; cluster by the Morton key. Each of the
+    // 4 z-range files then covers ~a quadrant — tight min/max on BOTH
+    // columns, so file skipping works for predicates on either. The 1-D
+    // control (range-cluster on x alone) leaves y unconstrained per file.
+    val dims = Tables(spark, dir, "orders")
+      .select(pmod(hash(col("o_orderkey")), lit(65536)).cast("long").as("x"),
+        pmod(hash(col("o_orderkey") * 31 + 7), lit(65536)).cast("long").as("y"))
+    def spans(path: String): Array[(Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(((max("x") - min("x")) / 65535.0).as("xs"),
+          ((max("y") - min("y")) / 65535.0).as("ys"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+
+    val zout = Files.createTempDirectory("graft-z").toString + "/d"
+    val zkey = graft.functions.GraftFunctions.zorderKey(
+      org.apache.spark.sql.functions.col("x"), org.apache.spark.sql.functions.col("y"))
+    dims.withColumn("z", zkey)
+      .repartitionByRange(8, col("z")).sortWithinPartitions("z").drop("z")
+      .write.mode("overwrite").parquet(zout)
+    val zs = spans(zout)
+    assert(zs.length >= 6, s"expected >=6 z files, got ${zs.length}")
+    // Range cut points come from sampling, so a file can straddle a quadrant
+    // boundary and span one dim fully — judge the LAYOUT by the average
+    // worst-dimension span per file, which z-ordering keeps well under the
+    // full square while 1-D clustering cannot.
+    def avgMaxSpan(sp: Array[(Double, Double)]): Double =
+      sp.map { case (xs, ys) => math.max(xs, ys) }.sum / sp.length
+    val zAvg = avgMaxSpan(zs)
+    assert(zAvg <= 0.75, s"z layout avg worst-dim span $zAvg — not clustered: ${zs.toSeq}")
+
+    val xout = Files.createTempDirectory("graft-x").toString + "/d"
+    dims.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xout)
+    val xspans = spans(xout)
+    val xAvg = avgMaxSpan(xspans)
+    // control: x-clustering leaves y near-full per file
+    assert(xAvg >= 0.9, s"x control avg worst-dim span $xAvg: ${xspans.toSeq}")
+    assert(zAvg < xAvg, s"z layout ($zAvg) must beat 1-D clustering ($xAvg)")
+  }
 }
