@@ -25,7 +25,7 @@ object Bench {
     "q_approx_distinct", "q_sketch_union", "q_approx_quantile", "q_heavy_hitters",
     "q_asof_join", "q_range_join",
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
-    "ann_bruteforce", "ann_ivf", "ann_recall",
+    "ann_bruteforce", "ann_ivf", "ann_recall", "ann_pq",
     "text_quality", "text_langid", "text_repetition", "text_tfidf",
     "text_decontaminate", "text_ngram_dup", "text_quality_model",
     "doc_pack", "doc_sample_stratified", "doc_mix_report",

@@ -217,6 +217,100 @@ object SimilarityQueries {
     Lifecycle.released(profile, emb, centroids)
   }
 
+  // --- product quantization (ADC) --------------------------------------
+
+  /** Product-quantization ANN (IVF-PQ's compression half): split each
+    * 64-dim vector into 8 subspaces of 8 dims, learn 16 codewords per
+    * subspace (one quantized-Lloyd round over the exact-int sub-vectors),
+    * and store the corpus as 8 small codes per vector — a 32x memory
+    * compression that is what actually fits a 100 TB corpus' index in
+    * executor memory. Search is asymmetric distance computation: the query
+    * precomputes a (subspace x codeword) term table — queries x 8 x 16 rows,
+    * broadcast — and every corpus vector's score is the sum of 8 table
+    * lookups; the full vectors are never touched after encoding.
+    *
+    * Determinism: sub-dots are exact int64 (quantized components), each
+    * term does ONE IEEE division, and the 8 terms fold in subspace order
+    * (`aggregate(sort_array(...))` here, `list_reduce(list(... ORDER BY
+    * sub))` in the oracle) — bit-identical across engines, so the PQ top-5
+    * itself is hash-gated, not just a recall bound. Recall on THIS corpus
+    * is the documented PQ worst case (uniform random vectors have no
+    * cluster structure for the codebook to exploit); [[annPqRecall]]
+    * reports it per query, exactly.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val (subs, cb, top) = pqTop(s, dir)
+    Lifecycle.released(top, subs, cb)
+  }
+
+  /** Per-query hits of the PQ top-5 against the exact brute-force top-5 —
+    * exact values, oracle-reproduced (no threshold: random vectors are the
+    * PQ worst case and the honest number IS the report).
+    */
+  def annPqRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val (subs, cb, top) = pqTop(s, dir)
+    val emb = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$toDouble AS v")
+      .selectExpr("vec_id", "v", s"${norm("v")} AS nv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = bruteForceFrom(emb).select(col("query_id"), col("neighbor_id"))
+    val hits = bf.join(top.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val recall = bf.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .selectExpr("query_id", "CAST(coalesce(hits, 0) AS BIGINT) AS hits",
+        "CAST(coalesce(hits, 0) AS DOUBLE) / 5.0 AS recall")
+    Lifecycle.released(recall, subs, cb, emb)
+  }
+
+  /** Build the PQ index and run the ADC search; returns the persisted
+    * barriers (sub-vectors, codebook) with the lazy top-5 frame so callers
+    * control release. Kept `private[ops]` lazy for plan inspection.
+    */
+  private[ops] def pqTop(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val subs = Tables(s, dir, "embeddings")
+      .selectExpr("vec_id", s"$qExpr AS q")
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), j -> named_struct('sub', j, 'qs', slice(q, j*8+1, 8)))")).as("sj"))
+      .selectExpr("vec_id", "sj.sub AS sub", "sj.qs AS qs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one quantized-Lloyd round from the first-16 seed, per subspace
+    val cb0 = subs.filter(col("vec_id") < 16)
+      .selectExpr("sub", "vec_id AS code", "qs AS s", "CAST(1 AS BIGINT) AS cnt")
+    def assign(cb: DataFrame): DataFrame =
+      subs.join(broadcast(cb), Seq("sub"))
+        .selectExpr("vec_id", "sub", "qs", "code",
+          s"CAST(${idot("qs", "s")} AS DOUBLE) / cnt AS score")
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(first(col("qs")).as("qs"),
+          expr("max_by(code, named_struct('score', score, 'negcode', -code))").as("code"))
+    val cb1 = assign(cb0)
+      .select(col("sub"), col("code"), posexplode(col("qs")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(sum(col("col")).as("sm"), count(lit(1)).as("cnt"))
+      .groupBy(col("sub"), col("code"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("sm")))).as("ps"),
+        min(col("cnt")).as("cnt"))
+      .selectExpr("sub", "code", "transform(ps, p -> p.sm) AS s", "cnt")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val encoded = assign(cb1).select(col("vec_id"), col("sub"), col("code"))
+    val qtab = subs.filter(col("vec_id") < 10).join(broadcast(cb1), Seq("sub"))
+      .selectExpr("vec_id AS query_id", "sub", "code",
+        s"CAST(${idot("qs", "s")} AS DOUBLE) / cnt AS term")
+    val adc = encoded.join(broadcast(qtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(expr("aggregate(sort_array(collect_list(named_struct('sub', sub, 'term', term)))," +
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    val top = adc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk").cast("int").as("rk"))
+    (subs, cb1, top)
+  }
+
   /** Array-column surface: dimension, element extraction, label. */
   def embStats(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings").selectExpr(
@@ -236,6 +330,8 @@ object SimilarityQueries {
     "ann_recall_alt" -> ((s, dir) => annRecall(s, dir, AltConfig)),
     "emb_kmeans" -> ((s, dir) => embKmeans(s, dir)),
     "emb_stats" -> embStats,
+    "ann_pq" -> annPq,
+    "ann_pq_recall" -> annPqRecall,
   )
 
   private val duckV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -317,7 +413,74 @@ object SimilarityQueries {
        |FROM (SELECT DISTINCT query_id FROM bf_top) q
        |LEFT JOIN hit_counts h ON h.query_id = q.query_id""".stripMargin
 
+  /** 8-dim sub-vector dot for the PQ oracle. */
+  private def duckDot8(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 9), i -> $a[i] * $b[i]))"
+
+  /** Shared CTE chain for the PQ oracles: exact-int sub-vectors, seeded
+    * per-subspace codebooks, one Lloyd round, encoding, the query term
+    * table, and the ADC top-5 (terms folded in subspace order via
+    * list_reduce — the same left fold as the Spark aggregate()).
+    */
+  private val duckPqCtes: String =
+    s"""e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q,
+       |  $duckV AS v
+       |  FROM embeddings),
+       |subs AS (SELECT vec_id, j AS sub, q[j*8+1 : j*8+8] AS qs
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+       |cb0 AS (SELECT sub, vec_id AS code, qs AS s, CAST(1 AS BIGINT) AS cnt
+       |  FROM subs WHERE vec_id < 16),
+       |a1 AS (SELECT vec_id, sub, qs, code FROM (
+       |  SELECT s.vec_id, s.sub, s.qs, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |      ORDER BY CAST(${duckDot8("s.qs", "c.s")} AS DOUBLE) / c.cnt DESC, c.code ASC) AS rk
+       |  FROM subs s JOIN cb0 c ON c.sub = s.sub) t WHERE rk = 1),
+       |cb1 AS (SELECT sub, code, list(sm ORDER BY i) AS s, min(cn) AS cnt FROM (
+       |  SELECT sub, code, i, sum(qs[i]) AS sm, count(1) AS cn
+       |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 9)) AS i) GROUP BY 1, 2, 3) t GROUP BY 1, 2),
+       |encoded AS (SELECT vec_id, sub, code FROM (
+       |  SELECT s.vec_id, s.sub, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |      ORDER BY CAST(${duckDot8("s.qs", "c.s")} AS DOUBLE) / c.cnt DESC, c.code ASC) AS rk
+       |  FROM subs s JOIN cb1 c ON c.sub = s.sub) t WHERE rk = 1),
+       |qtab AS (SELECT s.vec_id AS query_id, s.sub, c.code,
+       |    CAST(${duckDot8("s.qs", "c.s")} AS DOUBLE) / c.cnt AS term
+       |  FROM subs s JOIN cb1 c ON c.sub = s.sub WHERE s.vec_id < 10),
+       |adc AS (SELECT t.query_id, en.vec_id AS neighbor_id,
+       |    list_reduce(list(t.term ORDER BY t.sub), (acc, x) -> acc + x) AS score
+       |  FROM encoded en JOIN qtab t ON t.sub = en.sub AND t.code = en.code
+       |  WHERE en.vec_id <> t.query_id GROUP BY 1, 2),
+       |pq_top AS (SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS INT) AS rk
+       |  FROM adc) t WHERE rk <= 5)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ann_pq" ->
+      s"""WITH $duckPqCtes
+         |SELECT query_id, neighbor_id, rk FROM pq_top""".stripMargin,
+    "ann_pq_recall" ->
+      s"""WITH $duckPqCtes,
+         |bf_sims AS (
+         |  SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+         |    ${duckDot("q.v", "e2.v")} / (sqrt(${duckDot("q.v", "q.v")}) * sqrt(${duckDot("e2.v", "e2.v")})) AS sim
+         |  FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id WHERE q.vec_id < 10),
+         |bf_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |    FROM bf_sims) t WHERE rk <= 5),
+         |hit_counts AS (
+         |  SELECT b.query_id, count(1) AS hits
+         |  FROM bf_top b JOIN pq_top p
+         |    ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM bf_top) q
+         |LEFT JOIN hit_counts h ON h.query_id = q.query_id""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, $duckV AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

@@ -125,6 +125,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!q5.contains("CartesianProduct"), s"Q5 fell to cartesian:\n$q5")
   }
 
+  test("AQE switches a sort-merge join to broadcast when the filtered side turns out small at runtime") {
+    import org.apache.spark.sql.functions.col
+    // Static stats can't see through a selective filter; at 100 TB the
+    // planner conservatively picks SMJ. AQE measures the ACTUAL post-filter
+    // size at the shuffle boundary and re-plans the join as broadcast —
+    // pin that the final plan switched while the initial plan had not.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // static: never
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1MB") // runtime: allow
+    try {
+      val sel = Tables(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val joined = Tables(spark, dir, "lineitem")
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      joined.collect()
+      val full = joined.queryExecution.executedPlan.toString
+      val Array(finalPlan, initialPlan) = full.split("== Initial Plan ==")
+      assert(initialPlan.contains("SortMergeJoin"),
+        s"control failed — static plan already broadcast:\n$initialPlan")
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"AQE did not switch the join to broadcast:\n$finalPlan")
+      assert(joined.queryExecution.executedPlan.toString.contains("AQEShuffleRead") ||
+        finalPlan.contains("BroadcastQueryStage"), s"no AQE runtime stage in:\n$finalPlan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions.col
     // At 100 TB a selective dim filter should cut the FACT side's shuffle,
