@@ -364,6 +364,32 @@ object RelationalQueries {
       count(lit(1)).over(w).as("n_10min"))
   }
 
+  /** Funnel progression per user (view → click → purchase in event order):
+    * the per-entity sequence-analytics shape. ONE shuffle groups each
+    * user's events; a deterministic ordered fold walks the sequence with an
+    * integer state machine — per-user state is one int, the event list
+    * stays inside the executor row (bounded by events/user, the same dial
+    * as sessionization), and the final stage histogram is
+    * cardinality-bounded. Ordering ties break on the unique event_id;
+    * epoch-seconds truncation matches the oracle's integer division.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .filter(col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-04 00:00:00")))
+      .select(col("user_id"), col("ts").cast("long").as("tsec"),
+        col("event_id"), col("event_type"))
+    ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("tsec"), col("event_id"), col("event_type"))))
+        .as("evs"))
+      .selectExpr("user_id",
+        """aggregate(transform(evs, e -> e.event_type), 0, (acc, x) -> CASE
+          |  WHEN acc = 0 AND x = 'view' THEN 1
+          |  WHEN acc = 1 AND x = 'click' THEN 2
+          |  WHEN acc = 2 AND x = 'purchase' THEN 3
+          |  ELSE acc END) AS stage""".stripMargin)
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+  }
+
   // --- sort / limit / top-k --------------------------------------------
 
   def topK(s: SparkSession, dir: String): DataFrame =
@@ -734,6 +760,7 @@ object RelationalQueries {
     "q_window_lag" -> windowLag,
     "q_window_frame" -> windowFrame,
     "q_window_range" -> windowRange,
+    "q_funnel" -> funnel,
     "q_topk" -> topK,
     "q_union" -> unionAll,
     "q_intersect" -> intersectKeys,
@@ -955,6 +982,20 @@ object RelationalQueries {
         |  LEAD(o_totalprice, 1) OVER w AS next_price,
         |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_funnel" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    list(event_type ORDER BY epoch_us(ts) // 1000000, event_id) AS types
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-04' GROUP BY 1),
+        |st AS (
+        |  SELECT user_id,
+        |    CAST(list_reduce(list_prepend('0', types), (acc, x) -> CASE
+        |      WHEN acc = '0' AND x = 'view' THEN '1'
+        |      WHEN acc = '1' AND x = 'click' THEN '2'
+        |      WHEN acc = '2' AND x = 'purchase' THEN '3'
+        |      ELSE acc END) AS INT) AS stage
+        |  FROM seq)
+        |SELECT stage, COUNT(1) AS n_users FROM st GROUP BY 1""".stripMargin,
     "q_window_range" ->
       """SELECT event_id, user_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10min,

@@ -381,6 +381,35 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming sessions $got != batch $expected")
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    import spark.implicits._
+    // The dimension-enrichment shape: each micro-batch joins the stream
+    // against a STATIC dim table — no state, no watermark needed; the dim
+    // broadcasts per batch (at scale: the same broadcast-small-dims rule as
+    // the batch star join).
+    val tmp = Files.createTempDirectory("graft-ssenrich").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/a.jsonl"),
+      (0 until 30).map(i => s"""{"user_id": ${i % 5}, "event_id": $i}""").mkString("\n"))
+    val dim = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold"))
+      .toDF("user_id", "tier")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType)))
+    val q = spark.readStream.schema(schema).json(s"$tmp/in")
+      .join(dim, Seq("user_id")) // inner: unknown users drop
+      .writeStream.format("memory").queryName("enriched").outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("enriched").select("user_id", "event_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expected = spark.read.schema(schema).json(s"$tmp/in")
+      .join(dim, Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expected && got.size == 18, s"stream-static $got != batch $expected")
+  }
+
   test("stream-stream interval join with watermarks equals the batch join") {
     // The attribution shape: clicks join impressions on user within
     // [imp_ts, imp_ts + 10 min]. Both sides watermarked so the join state
