@@ -145,6 +145,11 @@ object GrowthCurve {
       }
       val (ivfOut, ivfSec) = timed(SimilarityQueries.annIvf(spark, dir).count())
       rows += (("ann_ivf", tag, n, -1L, ivfOut, ivfSec))
+      // PQ has no candidate stage either: codebook Lloyd is bounded
+      // (subspaces x codes), encode is map-side, and ADC scans the encoded
+      // corpus once per query batch — wall-clock growth IS its story
+      val (pqOut, pqSec) = timed(SimilarityQueries.annPq(spark, dir).count())
+      rows += (("ann_pq", tag, n, -1L, pqOut, pqSec))
     }
 
     println("| path | scale | rows | candidate pairs | output pairs | sec |")
