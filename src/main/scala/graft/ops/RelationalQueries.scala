@@ -390,6 +390,26 @@ object RelationalQueries {
       .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort retention (weekly): per cohort week, how many of its users are
+    * still active k weeks later — the other canonical events-at-scale
+    * report. Distinct (user, week) activity first (partial-aggregable, one
+    * shuffle), cohort = each user's first week, then one equi-join and a
+    * cardinality-bounded (cohort x offset) aggregate; after the distinct,
+    * count(1) IS the distinct-user count — no Expand rewrite. Week indexing
+    * is pure integer arithmetic off a literal epoch (non-negative, so
+    * truncation and floor division agree across engines).
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val wk = Tables(s, dir, "events")
+      .selectExpr("user_id",
+        "CAST((CAST(ts AS LONG) - 1704067200) DIV 604800 AS INT) AS week")
+      .distinct()
+    val cohort = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    wk.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   // --- sort / limit / top-k --------------------------------------------
 
   def topK(s: SparkSession, dir: String): DataFrame =
@@ -761,6 +781,7 @@ object RelationalQueries {
     "q_window_frame" -> windowFrame,
     "q_window_range" -> windowRange,
     "q_funnel" -> funnel,
+    "q_retention" -> retention,
     "q_topk" -> topK,
     "q_union" -> unionAll,
     "q_intersect" -> intersectKeys,
@@ -982,6 +1003,15 @@ object RelationalQueries {
         |  LEAD(o_totalprice, 1) OVER w AS next_price,
         |  CAST(ROW_NUMBER() OVER w AS INT) AS rn
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST((epoch_us(ts) // 1000000 - 1704067200) // 604800 AS INT) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort FROM wk GROUP BY 1)
+        |SELECT c.cohort, wk.week - c.cohort AS week_offset, COUNT(1) AS n_users
+        |FROM wk JOIN c ON wk.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH seq AS (
         |  SELECT user_id,
