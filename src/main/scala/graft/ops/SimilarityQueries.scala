@@ -238,8 +238,8 @@ object SimilarityQueries {
     * cluster structure for the codebook to exploit); [[annPqRecall]]
     * reports it per query, exactly.
     */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
-    val (subs, cb, top) = pqTop(s, dir)
+  def annPq(s: SparkSession, dir: String, cfg: PqConfig = PqConfig()): DataFrame = {
+    val (subs, cb, top) = pqTop(s, dir, cfg)
     Lifecycle.released(top, subs, cb)
   }
 
@@ -247,9 +247,9 @@ object SimilarityQueries {
     * exact values, oracle-reproduced (no threshold: random vectors are the
     * PQ worst case and the honest number IS the report).
     */
-  def annPqRecall(s: SparkSession, dir: String): DataFrame = {
+  def annPqRecall(s: SparkSession, dir: String, cfg: PqConfig = PqConfig()): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    val (subs, cb, top) = pqTop(s, dir)
+    val (subs, cb, top) = pqTop(s, dir, cfg)
     val emb = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$toDouble AS v")
       .selectExpr("vec_id", "v", s"${norm("v")} AS nv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -268,16 +268,29 @@ object SimilarityQueries {
     * barriers (sub-vectors, codebook) with the lazy top-5 frame so callers
     * control release. Kept `private[ops]` lazy for plan inspection.
     */
-  private[ops] def pqTop(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  /** PQ configuration: subspace count x codebook size is the
+    * compression/recall dial (memory per vector = m codes; finer subspaces
+    * or more codewords raise recall and cost). Subspace width is derived
+    * from the fixed 64-dim corpus; defaults pin the catalog oracle.
+    */
+  final case class PqConfig(m: Int = 8, codes: Int = 16) {
+    require(m > 0 && 64 % m == 0, "subspace count must divide the dimension")
+    require(codes > 0)
+    val subDim: Int = 64 / m
+  }
+
+  private[ops] def pqTop(s: SparkSession, dir: String,
+      cfg: PqConfig = PqConfig()): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(s)
     val subs = Tables(s, dir, "embeddings")
       .selectExpr("vec_id", s"$qExpr AS q")
       .select(col("vec_id"), explode(expr(
-        "transform(sequence(0, 7), j -> named_struct('sub', j, 'qs', slice(q, j*8+1, 8)))")).as("sj"))
+        s"transform(sequence(0, ${cfg.m - 1}), j -> named_struct('sub', j, " +
+          s"'qs', slice(q, j*${cfg.subDim}+1, ${cfg.subDim})))")).as("sj"))
       .selectExpr("vec_id", "sj.sub AS sub", "sj.qs AS qs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one quantized-Lloyd round from the first-16 seed, per subspace
-    val cb0 = subs.filter(col("vec_id") < 16)
+    // one quantized-Lloyd round from the first-`codes` seed, per subspace
+    val cb0 = subs.filter(col("vec_id") < cfg.codes)
       .selectExpr("sub", "vec_id AS code", "qs AS s", "CAST(1 AS BIGINT) AS cnt")
     def assign(cb: DataFrame): DataFrame =
       subs.join(broadcast(cb), Seq("sub"))
@@ -330,8 +343,8 @@ object SimilarityQueries {
     "ann_recall_alt" -> ((s, dir) => annRecall(s, dir, AltConfig)),
     "emb_kmeans" -> ((s, dir) => embKmeans(s, dir)),
     "emb_stats" -> embStats,
-    "ann_pq" -> annPq,
-    "ann_pq_recall" -> annPqRecall,
+    "ann_pq" -> ((s, dir) => annPq(s, dir)),
+    "ann_pq_recall" -> ((s, dir) => annPqRecall(s, dir)),
   )
 
   private val duckV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"

@@ -42,4 +42,21 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(avg(col("recall"))).head().getDouble(0)
     assert(exhaustive == 1.0, s"probing every bucket must be exact, got $exhaustive")
   }
+
+  test("parameterized PQ: non-default subspace/codebook configs run deterministically") {
+    import SimilarityQueries.PqConfig
+    val dir = "/root/testdata/sf0.001"
+    // coarser (4 x 16-dim subspaces, 8 codewords) and finer (16 x 4-dim)
+    // than the pinned default — every row set must be exactly repeatable
+    // (the ADC fold is deterministic by construction, not by luck)
+    for (cfg <- Seq(PqConfig(m = 4, codes = 8), PqConfig(m = 16, codes = 16))) {
+      val a = SimilarityQueries.annPq(spark, dir, cfg).collect().toSet
+      val b = SimilarityQueries.annPq(spark, dir, cfg).collect().toSet
+      assert(a == b, s"PQ at $cfg not deterministic")
+      assert(a.groupBy(_.getLong(0)).forall(_._2.size == 5),
+        s"expected exactly 5 neighbors per query at $cfg")
+    }
+    // a non-divisor subspace count is rejected up front
+    intercept[IllegalArgumentException](PqConfig(m = 5))
+  }
 }

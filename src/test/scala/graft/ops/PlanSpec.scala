@@ -184,6 +184,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PQ search plan: codebook and term table broadcast, never a cartesian") {
+    // the ADC join must be (encoded corpus) x (broadcast term table) on
+    // (sub, code) — a map-side broadcast join; any CartesianProduct or
+    // shuffled join of the corpus against the per-query table would be the
+    // all-pairs shape PQ exists to avoid
+    val (subs, cb, top) = SimilarityQueries.pqTop(spark, dir)
+    try {
+      val p = planString(top)
+      assert(p.contains("BroadcastHashJoin"), s"ADC join not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"PQ fell to cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"corpus shuffled against the term table:\n$p")
+    } finally { subs.unpersist(); cb.unpersist() }
+  }
+
   test("sketch aggregates: estimates inside tolerance; sketch-only plan avoids the distinct Expand") {
     import org.apache.spark.sql.functions._
     // the gating flags really are computed from live estimates (not constants):
