@@ -277,7 +277,40 @@ object CurationQueries {
       .selectExpr("lang", "source", "n_docs", "n_tokens",
         "CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share")
 
+  /** Context-window chunking — the other half of sequence assembly next to
+    * [[packSequences]]: packing concatenates SHORT docs up to the context
+    * budget; chunking splits LONG docs into overlapping training windows
+    * (chunk k = tokens [k·stride, k·stride + chunkTokens)), the standard
+    * sliding-window pass before tokenized-example emission. Overlap =
+    * chunkTokens − stride tokens carries context across window boundaries.
+    *
+    * Scale shape: a pure per-row generator expression — no shuffle, no
+    * window, no state; embarrassingly parallel at 100 TB and the output
+    * inherits the input partitioning. The final short chunk is emitted
+    * as-is (never padded, never silently dropped).
+    */
+  val ChunkTokens = 50
+  val ChunkStride = 40
+  def docChunk(s: SparkSession, dir: String,
+               chunkTokens: Int = ChunkTokens, stride: Int = ChunkStride): DataFrame =
+    docChunkFrom(Tables(s, dir, "documents"), chunkTokens, stride)
+
+  /** The chunking kernel over any frame with (doc_id, text). */
+  def docChunkFrom(docs: DataFrame,
+                   chunkTokens: Int = ChunkTokens, stride: Int = ChunkStride): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      "need chunkTokens >= stride >= 1 (gaps would silently drop tokens)")
+    docs.selectExpr(
+      "doc_id",
+      s"posexplode(transform(" +
+        s"sequence(0, CAST(ceil(size($toks) / CAST($stride AS DOUBLE)) AS INT) - 1), " +
+        s"i -> array_join(slice($toks, i * $stride + 1, $chunkTokens), ' '))) AS (chunk_idx, chunk)")
+      .selectExpr("doc_id", "chunk_idx", "chunk",
+        "size(split(chunk, ' ')) AS n_tokens")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunk" -> ((s, dir) => docChunk(s, dir)),
     "doc_sample_stratified" -> sampleStratified,
     "doc_pack" -> ((s, dir) => packSequences(s, dir)),
     "doc_pack_sharded" -> ((s, dir) => packSequencesSharded(s, dir)),
@@ -290,6 +323,16 @@ object CurationQueries {
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracleSql: Map[String, String] = Map(
+    "doc_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(unnest(range(0, CAST(ceil(len(t) / 40.0) AS INT))) AS INT) AS chunk_idx,
+        |  unnest(list_transform(range(0, CAST(ceil(len(t) / 40.0) AS INT)),
+        |    i -> array_to_string(t[i * 40 + 1 : i * 40 + 50], ' '))) AS chunk,
+        |  CAST(unnest(list_transform(range(0, CAST(ceil(len(t) / 40.0) AS INT)),
+        |    i -> len(t[i * 40 + 1 : i * 40 + 50]))) AS INT) AS n_tokens
+        |FROM tok""".stripMargin,
     "doc_sample_stratified" ->
       s"""SELECT doc_id, lang, source, CAST(h AS INT) AS h FROM (
          |  SELECT doc_id, lang, source,

@@ -57,6 +57,86 @@ object DedupQueries {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
 
+  // --- segment-level (paragraph) exact dedup ----------------------------
+
+  /** Segment-level exact dedup — the CCNet/RefinedWeb "paragraph dedup"
+    * pass: split every document into consecutive [[SegWords]]-word
+    * segments, drop each segment whose text appeared earlier in the corpus
+    * (first occurrence by (doc_id, seg_idx) wins — the same keep-first rule
+    * as [[dedupExact]]), and reassemble the surviving text in order.
+    * The testdata corpus has no newlines, so "paragraph" = fixed word
+    * window; on real corpora the splitter expression is the only line that
+    * changes. (Reference scope: tulip/relationalize has no curation ops —
+    * this extends the dedup family per the build brief.)
+    *
+    * Scale shape: one hash-groupBy on the segment string — the keep-first
+    * winner falls out of the same partial-aggregated `min(struct)`, so
+    * there is NO join back to the corpus and NO window over it — then one
+    * groupBy on doc_id to reassemble. Documents whose every segment was
+    * seen earlier vanish (fully-duplicated docs), which is exactly the
+    * boilerplate-removal semantics the pass exists for.
+    */
+  val SegWords = 10
+  def dedupParagraph(s: SparkSession, dir: String, segWords: Int = SegWords): DataFrame =
+    dedupParagraphFrom(Tables(s, dir, "documents"), segWords)
+
+  /** The segment-dedup kernel over any frame with (doc_id, text). */
+  def dedupParagraphFrom(docs: DataFrame, segWords: Int = SegWords): DataFrame = {
+    require(segWords >= 1, "segWords must be >= 1")
+    val segs = docs.selectExpr(
+      "doc_id",
+      s"posexplode(transform(" +
+        s"sequence(0, CAST(ceil(size($toks) / CAST($segWords AS DOUBLE)) AS INT) - 1), " +
+        s"i -> array_join(slice($toks, i * $segWords + 1, $segWords), ' '))) AS (seg_idx, seg)")
+    segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.seg_idx").as("seg_idx"), col("seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg), ' ')")
+          .as("text_kept"))
+  }
+
+  // --- incremental (delta-vs-base) exact dedup ---------------------------
+
+  /** Incremental exact dedup — the shape a continuously-ingesting corpus
+    * actually runs: dedup a NEW batch (the delta) against an
+    * already-deduplicated base without rescanning the base's text. The base
+    * is touched only through its fingerprint column (in production, a
+    * materialized fingerprint store); here base = `source = 'src0'`, delta
+    * = everything else, on the same [[dedupExact]] fingerprint.
+    *
+    * Each delta doc is classified: `dup_base` (fingerprint already in the
+    * base — survivor is the base keeper), `new` (first occurrence of its
+    * fingerprint within the delta), or `dup_delta` (a later within-delta
+    * copy — survivor is the delta's first). Scale shape: the delta is
+    * shuffled ONCE on the fingerprint — the within-delta keep-first window
+    * and the left join against the base reuse the same hash partitioning
+    * (PlanSpec pins one Exchange on the delta side) — and the base side
+    * moves only (fp, keeper) pairs, never text.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    dedupIncrementalFrom(Tables(s, dir, "documents"), baseSource = "src0")
+
+  /** The incremental-dedup kernel over any frame with (doc_id, source, text). */
+  def dedupIncrementalFrom(docs: DataFrame, baseSource: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = docs.selectExpr(
+      "doc_id", "source",
+      "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp")
+    val base = fp.filter(col("source") === baseSource)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("base_keeper"))
+    fp.filter(col("source") =!= baseSource)
+      .withColumn("first_in_delta", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .join(base, Seq("fp"), "left")
+      .selectExpr(
+        "doc_id", "fp",
+        """CASE WHEN base_keeper IS NOT NULL THEN 'dup_base'
+          |     WHEN doc_id = first_in_delta THEN 'new'
+          |     ELSE 'dup_delta' END AS status""".stripMargin,
+        "coalesce(base_keeper, first_in_delta) AS keeper")
+  }
+
   // --- exact n-gram Jaccard --------------------------------------------
 
   /** Unigram-Jaccard near-dup pairs within a language block.
@@ -667,6 +747,8 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
     "dedup_exact" -> dedupExact,
+    "dedup_paragraph" -> ((s, dir) => dedupParagraph(s, dir)),
+    "dedup_incremental" -> dedupIncremental,
     "dedup_minhash_sig" -> minhashSignatures,
     "dedup_minhash_lsh" -> ((s, dir) => minhashLsh(s, dir)),
     "dedup_simhash" -> simhash,
@@ -721,6 +803,40 @@ object DedupQueries {
        |WHERE len(list_intersect(pa.shs, pb.shs)) * 5 >= len(list_distinct(list_concat(pa.shs, pb.shs)))""".stripMargin
 
   private val allOracleSql: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |base AS (
+        |  SELECT fp, min(doc_id) AS base_keeper FROM f WHERE source = 'src0' GROUP BY 1),
+        |delta AS (
+        |  SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS first_in_delta
+        |  FROM f WHERE source <> 'src0')
+        |SELECT d.doc_id, d.fp,
+        |  CASE WHEN b.base_keeper IS NOT NULL THEN 'dup_base'
+        |       WHEN d.doc_id = d.first_in_delta THEN 'new'
+        |       ELSE 'dup_delta' END AS status,
+        |  coalesce(b.base_keeper, d.first_in_delta) AS keeper
+        |FROM delta d LEFT JOIN base b USING (fp)""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |segs AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(ceil(len(t) / 10.0) AS INT))) AS seg_idx,
+        |    unnest(list_transform(range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+        |      i -> array_to_string(t[i * 10 + 1 : i * 10 + 10], ' '))) AS seg
+        |  FROM tok),
+        |kept AS (
+        |  SELECT doc_id, seg_idx, seg FROM (
+        |    SELECT doc_id, seg_idx, seg,
+        |      row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |    FROM segs) z
+        |  WHERE rn = 1)
+        |SELECT doc_id, CAST(count(1) AS BIGINT) AS n_kept,
+        |  string_agg(seg, ' ' ORDER BY seg_idx) AS text_kept
+        |FROM kept GROUP BY 1""".stripMargin,
     // components via a recursive CTE: reach(node, r) holds every label r
     // reachable from node over the symmetric near-dup edge set; min(r) per
     // node is the component min — exactly the propagation fixpoint

@@ -276,6 +276,33 @@ object RelationalQueries {
         .cast("double").as("revenue"))
   }
 
+  /** TPC-H Q18 shape (large-volume customer): the HAVING-filtered
+    * aggregate feeding a fact chain. The qualifying-order set comes from a
+    * partial-aggregated groupBy over lineitem (decimal-exact quantity sum)
+    * and carries its `sum_qty` into the join, so lineitem is scanned ONCE —
+    * no re-join + re-group of the classic formulation. At 100 TB the
+    * HAVING threshold keeps only the tail, so AQE converts the join-back
+    * into a broadcast at runtime; top-100 runs as TakeOrderedAndProject
+    * with o_orderkey as the deterministic tiebreaker.
+    */
+  def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > lit(250))
+    big.join(Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("sum_qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   // --- subqueries -------------------------------------------------------
 
   def inSubquery(s: SparkSession, dir: String): DataFrame = {
@@ -772,6 +799,7 @@ object RelationalQueries {
     "q_histogram" -> histogram,
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,
+    "q_tpch_q18" -> tpchQ18,
     "q_in_subquery" -> inSubquery,
     "q_scalar_subquery" -> scalarSubquery,
     "q_exists" -> existsCorrelated,
@@ -961,6 +989,16 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1996-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS total_qty
+        |FROM (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) b
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -274,7 +274,32 @@ object TextQueries {
         "CASE WHEN score_raw >= 0 THEN 'keep' ELSE 'drop' END AS label")
   }
 
+  /** Corpus bigram-frequency LM score — the shape of a perplexity filter
+    * (CCNet-style) with the KenLM stand-in being the corpus's own bigram
+    * table: each document is scored by how frequent its bigrams are across
+    * the whole corpus (rare-bigram docs ≈ high perplexity ≈ drop
+    * candidates). Training and scoring fuse into ONE shuffle: the corpus
+    * counts come from a window `count` over the exploded bigrams
+    * (partition key = the bigram itself), not a groupBy + join back, so at
+    * 100 TB the corpus shuffles once on the bigram key and is never
+    * re-joined against its own aggregate. The score stays exact-integer
+    * until one final IEEE division of the same two integers in both
+    * engines — bit-identical, the house determinism rule.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(expr(s"size($toks) >= 2")) // sequence(1, n) DESCENDS for n < 1
+      .selectExpr("doc_id",
+        s"explode(transform(sequence(1, size($toks) - 1), " +
+          s"i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1)))) AS bg")
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("bg"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))
+      .selectExpr("doc_id", "n_bigrams", "freq_sum",
+        "CAST(freq_sum AS DOUBLE) / n_bigrams AS lm_score")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> lmScore,
     "text_tfidf" -> tfidf,
     "text_decontaminate" -> ((s, dir) => decontaminate(s, dir)),
     "text_tokens" -> tokenStats,
@@ -297,6 +322,18 @@ object TextQueries {
   private[ops] val duckNTokensSql: String = s"CAST(len($duckToks) AS INT)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM tok WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, count(1) OVER (PARTITION BY bg) AS cnt FROM grams)
+        |SELECT doc_id, CAST(count(1) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(cnt) AS BIGINT) AS freq_sum,
+        |  CAST(sum(cnt) AS DOUBLE) / count(1) AS lm_score
+        |FROM c GROUP BY 1""".stripMargin,
     "text_ngram_dup" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t

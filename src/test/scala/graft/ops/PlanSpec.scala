@@ -125,6 +125,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!q5.contains("CartesianProduct"), s"Q5 fell to cartesian:\n$q5")
   }
 
+  test("TPC-H Q18: lineitem scanned once (agg-before-join, no re-join + re-group) and top-100 as TakeOrdered") {
+    val df = RelationalQueries.tpchQ18(spark, dir)
+    val p = planString(df).split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"), s"Q18 top-100 not TakeOrdered:\n$p")
+    val lineScans = p.split("\n").count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(lineScans == 1, s"Q18 should scan lineitem exactly once, saw $lineScans:\n$p")
+  }
+
   test("AQE switches a sort-merge join to broadcast when the filtered side turns out small at runtime") {
     import org.apache.spark.sql.functions.col
     // Static stats can't see through a selective filter; at 100 TB the
