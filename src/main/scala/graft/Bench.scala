@@ -20,15 +20,16 @@ object Bench {
     "rel_flat", "rel_explode", "rel_choice",
     "q_filter_project", "q_agg_pricing", "q_agg_stats",
     "q_join_big", "q_join_star", "q_left_join", "q_full_outer", "q_theta_join",
-    "q_merge_upsert", "q_histogram", "q_tpch_q3", "q_tpch_q5",
+    "q_merge_upsert", "q_histogram", "q_tpch_q3", "q_tpch_q5", "q_tpch_q18",
     "q_window_running", "q_window_rank", "q_window_range", "q_sessionize", "q_funnel", "q_retention", "q_pivot",
     "q_approx_distinct", "q_sketch_union", "q_approx_quantile", "q_heavy_hitters",
     "q_asof_join", "q_range_join",
-    "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
+    "dedup_exact", "dedup_paragraph", "dedup_incremental",
+    "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "ann_bruteforce", "ann_ivf", "ann_recall", "ann_pq",
     "text_quality", "text_langid", "text_repetition", "text_tfidf",
-    "text_decontaminate", "text_ngram_dup", "text_quality_model",
-    "doc_pack", "doc_sample_stratified", "doc_mix_report",
+    "text_decontaminate", "text_ngram_dup", "text_quality_model", "text_lm_score",
+    "doc_pack", "doc_chunk", "doc_sample_stratified", "doc_mix_report",
     "doc_upsample", "doc_shuffle_split", "doc_curate",
     "emb_kmeans", "mm_features")
 

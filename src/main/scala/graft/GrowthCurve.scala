@@ -128,6 +128,14 @@ object GrowthCurve {
       // not rows^2; "candidate pairs" has no analog here
       val (ngOut, ngSec) = timed(graft.ops.TextQueries.ngramDup(spark, dir).count())
       rows += (("text_ngram_dup", tag, n, -1L, ngOut, ngSec))
+
+      // paragraph dedup and bigram LM scoring: pure groupBy/window shuffles
+      // keyed on segment/bigram strings — no candidate stage, so wall-clock
+      // must track rows, not rows^2
+      val (pgOut, pgSec) = timed(DedupQueries.dedupParagraph(spark, dir).count())
+      rows += (("dedup_paragraph", tag, n, -1L, pgOut, pgSec))
+      val (lmOut, lmSec) = timed(graft.ops.TextQueries.lmScore(spark, dir).count())
+      rows += (("text_lm_score", tag, n, -1L, lmOut, lmSec))
     }
 
     embScales.foreach { case (tag, n) =>

@@ -58,28 +58,21 @@ class ParagraphAndLmSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, 2L, "a b c d")))
   }
 
-  test("lm_score window formulation equals the groupBy + join-back formulation") {
+  test("lm_score groupBy + join-back formulation equals the window-count anchor") {
     val fast = TextQueries.lmScore(spark, dir)
-    // the naive two-shuffle reference: corpus bigram counts, joined back
-    val toks = "split(trim(text), '\\\\s+')"
-    val grams = Tables(spark, dir, "documents")
-      .filter(expr(s"size($toks) >= 2"))
-      .selectExpr("doc_id",
-        s"explode(transform(sequence(1, size($toks) - 1), " +
-          s"i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1)))) AS bg")
-    val counts = grams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-    val slow = grams.join(counts, "bg")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))
-      .selectExpr("doc_id", "n_bigrams", "freq_sum",
-        "CAST(freq_sum AS DOUBLE) / n_bigrams AS lm_score")
+    val anchor = TextQueries.lmScoreWindowed(spark, dir)
     val a = fast.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
-    val b = slow.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    val b = anchor.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
     assert(a == b, s"missing=${b -- a}, extra=${a -- b}")
   }
 
-  test("lm_score shuffles the bigrams once: no join in the optimized plan") {
-    val plan = TextQueries.lmScore(spark, dir).queryExecution.optimizedPlan.toString
-    assert(!plan.toLowerCase.contains("join"), s"unexpected join:\n$plan")
+  test("lm_score broadcasts the vocabulary-sized count table; the corpus bigrams never shuffle on bg") {
+    val plan = TextQueries.lmScore(spark, dir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"count table not broadcast:\n$plan")
+    // exactly one Exchange on bg — the partial-aggregated counts side; the
+    // occurrence-level grams must reach the join unshuffled
+    val bgExchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning(bg"))
+    assert(bgExchanges <= 1, s"grams shuffled on bg:\n$plan")
   }
 }
