@@ -2,23 +2,29 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Scratch diagnostic main (not part of the driver contract). */
 object DebugLm {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    val df = graft.ops.TextQueries.lmScore(spark, dir)
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    println(s"[debug] lmScore: ${(System.nanoTime() - t0) / 1e9} s")
-    println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
-    val n = spark.sql(s"SELECT sum(size(split(trim(text), '\\\\s+'))) FROM parquet.`$dir/documents.parquet`").head()
-    println(s"[debug] total tokens: $n")
+    val dir = "/root/testdata/sf0.001"
+    println("[debug] direct events read:")
+    try {
+      val df = graft.ops.Tables(spark, dir, "events")
+      println(s"[debug] schema=${df.schema.simpleString.take(200)}")
+      println(s"[debug] rows=${df.count()}")
+    } catch { case e: Throwable => println(s"[debug] FAILED: ${e.getMessage.take(300)}") }
+    println("[debug] now after a documents read:")
+    graft.ops.Tables(spark, dir, "documents").count()
+    try {
+      val df = graft.ops.Tables(spark, dir, "events")
+      println(s"[debug] schema=${df.schema.simpleString.take(200)}")
+    } catch { case e: Throwable => println(s"[debug] FAILED: ${e.getMessage.take(300)}") }
     spark.stop()
   }
 }

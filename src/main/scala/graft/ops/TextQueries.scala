@@ -287,29 +287,52 @@ object TextQueries {
     * sort every bigram OCCURRENCE). The score stays exact-integer until
     * one final IEEE division of the same two integers in both engines —
     * bit-identical, the house determinism rule.
+    *
+    * The tokenized docs sit behind a persist barrier for the same reason as
+    * [[DedupQueries]]' shingles: CollapseProject inlines the `split` alias
+    * into BOTH `element_at` calls of the bigram lambda, re-running the regex
+    * split per element — O(tokens^2) work per document — and the gram stream
+    * feeds two consumers (the count build and the probe). Reading tokens
+    * from a materialized attribute makes gram construction O(tokens)
+    * (measured at sf0.1: 9.1 s -> 0.5 s median).
     */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
-    val grams = lmGrams(s, dir)
+    val (out, tks) = lmScorePlan(s, dir)
+    Lifecycle.released(out, tks)
+  }
+
+  /** Lazy twin of [[lmScore]] for plan inspection (the public entry returns
+    * a checkpointed LogicalRDD): (result, persisted tokens barrier — the
+    * caller releases it).
+    */
+  private[graft] def lmScorePlan(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tks = lmToks(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // barrier: tokenize once, not per element
+    val grams = lmGramsFrom(tks)
     val counts = grams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-    grams.join(counts, "bg")
+    val out = grams.join(counts, "bg")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))
       .selectExpr("doc_id", "n_bigrams", "freq_sum",
         "CAST(freq_sum AS DOUBLE) / n_bigrams AS lm_score")
+    (out, tks)
   }
 
-  private def lmGrams(s: SparkSession, dir: String): DataFrame =
+  private def lmToks(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
-      .filter(expr(s"size($toks) >= 2")) // sequence(1, n) DESCENDS for n < 1
-      .selectExpr("doc_id",
-        s"explode(transform(sequence(1, size($toks) - 1), " +
-          s"i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1)))) AS bg")
+      .selectExpr("doc_id", s"$toks AS tks")
+      .filter("size(tks) >= 2") // sequence(1, n) DESCENDS for n < 1
+
+  private def lmGramsFrom(tks: DataFrame): DataFrame =
+    tks.selectExpr("doc_id",
+      "explode(transform(sequence(1, size(tks) - 1), " +
+        "i -> concat(element_at(tks, i), ' ', element_at(tks, i + 1)))) AS bg")
 
   /** The window-count formulation — shuffles and sorts every bigram
     * occurrence; kept as the spec's equivalence anchor for [[lmScore]].
     */
   private[ops] def lmScoreWindowed(s: SparkSession, dir: String): DataFrame =
-    lmGrams(s, dir)
+    lmGramsFrom(lmToks(s, dir))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("bg"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))

@@ -67,12 +67,17 @@ class ParagraphAndLmSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("lm_score broadcasts the vocabulary-sized count table; the corpus bigrams never shuffle on bg") {
-    val plan = TextQueries.lmScore(spark, dir)
-      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(plan.contains("BroadcastHashJoin"), s"count table not broadcast:\n$plan")
-    // exactly one Exchange on bg — the partial-aggregated counts side; the
-    // occurrence-level grams must reach the join unshuffled
-    val bgExchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning(bg"))
-    assert(bgExchanges <= 1, s"grams shuffled on bg:\n$plan")
+    val (out, tks) = TextQueries.lmScorePlan(spark, dir)
+    try {
+      val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("BroadcastHashJoin"), s"count table not broadcast:\n$plan")
+      // exactly one Exchange on bg — the partial-aggregated counts side; the
+      // occurrence-level grams must reach the join unshuffled
+      val bgExchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning(bg"))
+      assert(bgExchanges <= 1, s"grams shuffled on bg:\n$plan")
+      // the tokenize barrier must hold: the gram lambda reads a materialized
+      // attribute, never an inlined re-split of the raw text
+      assert(!plan.contains("element_at(split("), s"split inlined into the gram lambda:\n$plan")
+    } finally tks.unpersist()
   }
 }
