@@ -12,19 +12,26 @@ object DebugLm {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.registerAll(spark)
     val dir = "/root/testdata/sf0.001"
-    println("[debug] direct events read:")
-    try {
-      val df = graft.ops.Tables(spark, dir, "events")
-      println(s"[debug] schema=${df.schema.simpleString.take(200)}")
-      println(s"[debug] rows=${df.count()}")
-    } catch { case e: Throwable => println(s"[debug] FAILED: ${e.getMessage.take(300)}") }
-    println("[debug] now after a documents read:")
-    graft.ops.Tables(spark, dir, "documents").count()
-    try {
-      val df = graft.ops.Tables(spark, dir, "events")
-      println(s"[debug] schema=${df.schema.simpleString.take(200)}")
-    } catch { case e: Throwable => println(s"[debug] FAILED: ${e.getMessage.take(300)}") }
+    val plain = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "split(trim(lower(text)), '\\\\s+') AS t")
+      .filter("size(t) >= 4")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))) AS g")
+    val barriered = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "graft_barrier(split(trim(lower(text)), '\\\\s+')) AS t")
+      .filter("size(t) >= 4")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))) AS g")
+    for ((name, df) <- Seq("plain" -> plain, "barriered" -> barriered)) {
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val nsplit = "split\\(".r.findAllIn(p).length
+      println(s"[debug] $name: split() occurrences in plan = $nsplit")
+      println(p.linesIterator.filter(l => l.contains("Generate") || l.contains("Project")).take(4).mkString("\n").take(600))
+      val n = df.count()
+      println(s"[debug] $name rows=$n")
+    }
     spark.stop()
   }
 }

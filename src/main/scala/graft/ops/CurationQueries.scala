@@ -300,11 +300,16 @@ object CurationQueries {
                    chunkTokens: Int = ChunkTokens, stride: Int = ChunkStride): DataFrame = {
     require(stride >= 1 && chunkTokens >= stride,
       "need chunkTokens >= stride >= 1 (gaps would silently drop tokens)")
-    docs.selectExpr(
-      "doc_id",
-      s"posexplode(transform(" +
-        s"sequence(0, CAST(ceil(size($toks) / CAST($stride AS DOUBLE)) AS INT) - 1), " +
-        s"i -> array_join(slice($toks, i * $stride + 1, $chunkTokens), ' '))) AS (chunk_idx, chunk)")
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    // tokens behind an expression barrier: textually-inlined split inside
+    // the slice lambda re-runs per chunk (interpreted HOF, no codegen CSE)
+    docs
+      .selectExpr("doc_id", s"graft_barrier($toks) AS tks")
+      .selectExpr(
+        "doc_id",
+        s"posexplode(transform(" +
+          s"sequence(0, CAST(ceil(size(tks) / CAST($stride AS DOUBLE)) AS INT) - 1), " +
+          s"i -> array_join(slice(tks, i * $stride + 1, $chunkTokens), ' '))) AS (chunk_idx, chunk)")
       .selectExpr("doc_id", "chunk_idx", "chunk",
         "size(split(chunk, ' ')) AS n_tokens")
   }

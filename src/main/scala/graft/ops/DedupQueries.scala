@@ -38,13 +38,16 @@ object DedupQueries {
   private def bCoef(i: Int): Long = 10007L * (i + 1)
 
   private val toks = "split(trim(text), '\\\\s+')"
-  /** Word 3-shingles, distinct. (Guard: Spark's sequence(1, n) DESCENDS when
-    * n < 1, so short docs must short-circuit to an empty array.)
+  /** Word 3-shingles, distinct, from a materialized `tks` token-array
+    * attribute — never from a textual split, which would land inside the
+    * element_at lambda and re-run per shingle (interpreted HOF, no codegen
+    * CSE). (Guard: Spark's sequence(1, n) DESCENDS when n < 1, so short
+    * docs must short-circuit to an empty array.)
     */
-  private val shingles =
-    s"CASE WHEN size($toks) < 3 THEN CAST(array() AS ARRAY<STRING>) ELSE " +
-      s"array_distinct(transform(sequence(1, size($toks) - 2), " +
-      s"i -> concat_ws(' ', element_at($toks, i), element_at($toks, i + 1), element_at($toks, i + 2)))) END"
+  private val shinglesFromTks =
+    "CASE WHEN size(tks) < 3 THEN CAST(array() AS ARRAY<STRING>) ELSE " +
+      "array_distinct(transform(sequence(1, size(tks) - 2), " +
+      "i -> concat_ws(' ', element_at(tks, i), element_at(tks, i + 1), element_at(tks, i + 2)))) END"
 
   // --- exact ------------------------------------------------------------
 
@@ -83,11 +86,17 @@ object DedupQueries {
   /** The segment-dedup kernel over any frame with (doc_id, text). */
   def dedupParagraphFrom(docs: DataFrame, segWords: Int = SegWords): DataFrame = {
     require(segWords >= 1, "segWords must be >= 1")
-    val segs = docs.selectExpr(
-      "doc_id",
-      s"posexplode(transform(" +
-        s"sequence(0, CAST(ceil(size($toks) / CAST($segWords AS DOUBLE)) AS INT) - 1), " +
-        s"i -> array_join(slice($toks, i * $segWords + 1, $segWords), ' '))) AS (seg_idx, seg)")
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    // tokens behind an expression barrier: written textually, the split
+    // lands INSIDE the slice lambda and re-runs per segment (interpreted
+    // HOF — no codegen CSE); the barrier pins one split per row
+    val segs = docs
+      .selectExpr("doc_id", s"graft_barrier($toks) AS tks")
+      .selectExpr(
+        "doc_id",
+        s"posexplode(transform(" +
+          s"sequence(0, CAST(ceil(size(tks) / CAST($segWords AS DOUBLE)) AS INT) - 1), " +
+          s"i -> array_join(slice(tks, i * $segWords + 1, $segWords), ' '))) AS (seg_idx, seg)")
     segs.groupBy(col("seg"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.seg_idx").as("seg_idx"), col("seg"))
@@ -175,14 +184,10 @@ object DedupQueries {
     * [[Lifecycle]] release).
     */
   private def shingled(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val shsFromTks =
-      "CASE WHEN size(tks) < 3 THEN CAST(array() AS ARRAY<STRING>) ELSE " +
-        "array_distinct(transform(sequence(1, size(tks) - 2), " +
-        "i -> concat_ws(' ', element_at(tks, i), element_at(tks, i + 1), element_at(tks, i + 2)))) END"
     val tks = Tables(s, dir, "documents")
       .selectExpr("doc_id", s"$toks AS tks")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (tks.selectExpr("doc_id", s"$shsFromTks AS shs"), tks)
+    (tks.selectExpr("doc_id", s"$shinglesFromTks AS shs"), tks)
   }
 
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
@@ -284,7 +289,10 @@ object DedupQueries {
       s"array_min(transform(hs, x -> pmod(${aCoef(i)}L * x + ${bCoef(i)}L, ${P}L))) AS mh_$i"
     }
     docs
-      .selectExpr("doc_id", s"$shingles AS shs")
+      // stateless (streaming-safe) twin of [[shingled]]: no persist allowed,
+      // so the one-split-per-row guarantee comes from the expression barrier
+      .selectExpr("doc_id", s"graft_barrier($toks) AS tks")
+      .selectExpr("doc_id", s"$shinglesFromTks AS shs")
       .filter("size(shs) > 0")
       .selectExpr("doc_id", s"transform(shs, sh -> pmod(${h("sh")}, ${P}L)) AS hs")
       .selectExpr("doc_id" +: sigCols: _*)
