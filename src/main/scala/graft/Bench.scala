@@ -26,7 +26,7 @@ object Bench {
     "q_asof_join", "q_range_join",
     "dedup_exact", "dedup_paragraph", "dedup_incremental",
     "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
-    "ann_bruteforce", "ann_ivf", "ann_recall", "ann_pq",
+    "ann_bruteforce", "ann_ivf", "ann_ivf_incremental", "ann_recall", "ann_pq",
     "text_quality", "text_langid", "text_repetition", "text_tfidf",
     "text_decontaminate", "text_ngram_dup", "text_quality_model", "text_lm_score",
     "doc_pack", "doc_chunk", "doc_sample_stratified", "doc_mix_report",

@@ -157,6 +157,46 @@ object SimilarityQueries {
     Lifecycle.released(ivfFrom(emb, centroids, cfg), emb, centroids)
   }
 
+  /** Incremental IVF index maintenance — the continuously-ingesting shape
+    * next to [[DedupQueries.dedupIncremental]]: the coarse quantizer is
+    * built (seeded + Lloyd-refined) on the BASE corpus only, then each
+    * arriving DELTA vector is assigned to its nearest frozen centroid with
+    * one broadcast map-side pass. The delta path touches nothing but the
+    * delta rows and the k x dim centroid table: no Lloyd re-run, no base
+    * re-scan, no shuffle of anything corpus-sized — at 100 TB the stored
+    * index state a production system keeps IS that bounded centroid table,
+    * and this entry is the per-batch maintenance job that consumes it
+    * (periodic re-clustering stays an offline [[annIvf]]-shaped rebuild).
+    * Here the base split is `vec_id % deltaMod != deltaMod - 1` so the same
+    * rule holds at every scale factor; the assignment score is the exact
+    * int64 dot with ONE IEEE division (the house determinism rule), so the
+    * per-vector (bucket, score) pair is hash-gated against DuckDB.
+    */
+  val DeltaMod = 5
+  def annIvfIncremental(s: SparkSession, dir: String,
+                        cfg: IvfConfig = IvfConfig(), deltaMod: Int = DeltaMod): DataFrame = {
+    require(deltaMod >= 2, "deltaMod must be >= 2 (deltaMod - 1 selects the delta stratum)")
+    graft.functions.GraftFunctions.registerAll(s)
+    val emb = Tables(s, dir, "embeddings")
+      .selectExpr("vec_id", s"$toDouble AS v", s"$qExpr AS q")
+      .selectExpr("vec_id", "v", "q", s"${norm("v")} AS nv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = emb.filter(col("vec_id") % deltaMod =!= (deltaMod - 1))
+    var centroids = base.filter(col("vec_id") < cfg.k)
+      .selectExpr("vec_id AS cid", "q AS s", "CAST(1 AS BIGINT) AS cnt")
+    for (_ <- 1 to cfg.iters)
+      centroids = recomputeCentroids(assignBuckets(base, centroids))
+    val frozen = centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = emb.filter(col("vec_id") % deltaMod === (deltaMod - 1))
+      .crossJoin(broadcast(frozen))
+      .selectExpr("vec_id", "cid", s"CAST(${idot("q", "s")} AS DOUBLE) / cnt AS score")
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cid, named_struct('score', score, 'negcid', -cid))").as("bucket"),
+        max(col("score")).as("score"))
+      .selectExpr("vec_id", "CAST(bucket AS BIGINT) AS bucket", "score")
+    Lifecycle.released(out, emb, frozen)
+  }
+
   /** The multi-probe search over an already-built index. */
   private def ivfFrom(emb: DataFrame, centroids: DataFrame, cfg: IvfConfig): DataFrame = {
     val assigned = assignBuckets(emb, centroids)
@@ -345,6 +385,7 @@ object SimilarityQueries {
     "emb_stats" -> embStats,
     "ann_pq" -> ((s, dir) => annPq(s, dir)),
     "ann_pq_recall" -> ((s, dir) => annPqRecall(s, dir)),
+    "ann_ivf_incremental" -> ((s, dir) => annIvfIncremental(s, dir)),
   )
 
   private val duckV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -354,13 +395,13 @@ object SimilarityQueries {
   /** One DuckDB Lloyd step: assign by mean-dot (exact int dot cast DOUBLE /
     * count, cid-asc ties), then component sums + counts per bucket.
     */
-  private def duckLloyd(prev: String, a: String, c: String): String =
+  private def duckLloyd(prev: String, a: String, c: String, src: String = "e"): String =
     s"""$a AS (
        |  SELECT vec_id, v, q, bucket FROM (
        |    SELECT e.vec_id, e.v, e.q, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY CAST(${duckDot("e.q", "c.s")} AS DOUBLE) / c.cnt DESC, c.cid ASC) AS rk
-       |    FROM e CROSS JOIN $prev c) t WHERE rk = 1),
+       |    FROM $src e CROSS JOIN $prev c) t WHERE rk = 1),
        |$c AS (
        |  SELECT bucket AS cid, list(sm ORDER BY i) AS s, min(cn) AS cnt FROM (
        |    SELECT bucket, i, sum(q[i]) AS sm, count(1) AS cn
@@ -425,6 +466,28 @@ object SimilarityQueries {
        |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
        |FROM (SELECT DISTINCT query_id FROM bf_top) q
        |LEFT JOIN hit_counts h ON h.query_id = q.query_id""".stripMargin
+
+  /** The incremental-maintenance oracle: quantizer trained on the base
+    * stratum only (seeds + Lloyd over `b`), delta vectors assigned to the
+    * frozen final centroids.
+    */
+  private def duckIvfIncrementalSql(cfg: IvfConfig, deltaMod: Int): String = {
+    val lloyds = (1 to cfg.iters)
+      .map(i => duckLloyd(s"c${i - 1}", s"a$i", s"c$i", src = "b") + ",\n").mkString
+    val cFinal = s"c${cfg.iters}"
+    s"""WITH e AS (SELECT vec_id, $duckV AS v,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |b AS (SELECT * FROM e WHERE vec_id % $deltaMod <> ${deltaMod - 1}),
+       |c0 AS (SELECT vec_id AS cid, q AS s, CAST(1 AS BIGINT) AS cnt FROM b WHERE vec_id < ${cfg.k}),
+       |${lloyds}scored AS (
+       |  SELECT d.vec_id, c.cid, CAST(${duckDot("d.q", "c.s")} AS DOUBLE) / c.cnt AS score
+       |  FROM e d CROSS JOIN $cFinal c WHERE d.vec_id % $deltaMod = ${deltaMod - 1})
+       |SELECT vec_id, CAST(cid AS BIGINT) AS bucket, score FROM (
+       |  SELECT vec_id, cid, score,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rk
+       |  FROM scored) t WHERE rk = 1""".stripMargin
+  }
 
   /** 8-dim sub-vector dot for the PQ oracle. */
   private def duckDot8(a: String, b: String): String =
@@ -511,6 +574,7 @@ object SimilarityQueries {
          |FROM ivf_top""".stripMargin,
     "ann_recall" -> duckRecallSql(IvfConfig()),
     "ann_recall_alt" -> duckRecallSql(AltConfig),
+    "ann_ivf_incremental" -> duckIvfIncrementalSql(IvfConfig(), DeltaMod),
     "emb_kmeans" ->
       s"""WITH ${duckIvfCtes(IvfConfig())}
          |SELECT CAST(bucket AS BIGINT) AS bucket, count(1) AS n_members,

@@ -113,6 +113,38 @@ object Sinks {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Small-files compaction — the table-maintenance job every long-running
+    * ingestion needs at scale: streaming sinks and over-parallel writers
+    * leave directories of kilobyte files whose per-file open/footer cost
+    * eventually dominates every scan. Rewrites the dataset into
+    * ~`targetRecordsPerFile`-sized files; with `clusterCols` the rewrite
+    * also range-clusters (repartitionByRange + sortWithinPartitions), so
+    * compaction doubles as the stats-tightening pass that makes file-level
+    * min/max skipping work (see StorageLayoutSpec's range-clustered pin).
+    * `maxRecordsPerFile` guards the target even when the range partitioner
+    * lands skewed key runs in one partition. The extra `count()` is one
+    * metadata-cheap scan — the standard price of record-count-targeted
+    * compaction (file-size-targeted variants read footers instead).
+    * Returns (rows, filesWritten).
+    */
+  def compactParquet(df: DataFrame, path: String, targetRecordsPerFile: Long,
+                     clusterCols: Seq[String] = Nil): (Long, Long) = {
+    require(targetRecordsPerFile > 0)
+    val rows = df.count()
+    val nParts = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val arranged =
+      if (clusterCols.nonEmpty)
+        df.repartitionByRange(nParts, clusterCols.map(col): _*)
+          .sortWithinPartitions(clusterCols.map(col): _*)
+      else df.repartition(nParts)
+    arranged.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(path)
+    val files = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    (rows, files.toLong)
+  }
+
   /** K6: warehouse load via JDBC — DROP/CREATE (from the choice-schema DDL)
     * then batched insert, the Spark shape of the reference's
     * DROP -> CREATE -> COPY pipeline. Untested here (no JDBC driver in the

@@ -83,6 +83,44 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == expected)
   }
 
+  test("compaction rewrites a small-files directory into target-sized clustered files") {
+    import org.apache.spark.sql.functions.{col, input_file_name, min, max}
+    val tiny = Files.createTempDirectory("graft-tiny").toString + "/events"
+    Tables(spark, dir, "events").repartition(32)
+      .write.mode("overwrite").parquet(tiny) // the streaming-sink pathology
+    val smallFiles = new java.io.File(tiny).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(smallFiles >= 16, s"setup: expected many small files, got $smallFiles")
+
+    val compacted = Files.createTempDirectory("graft-compact").toString + "/events"
+    val src = spark.read.parquet(tiny)
+    val (rows, files) = graft.sources.Sinks.compactParquet(
+      src, compacted, targetRecordsPerFile = 500L, clusterCols = Seq("ts"))
+    val out = spark.read.parquet(compacted)
+    // file count lands near ceil(rows/target) — range boundaries are sampled,
+    // so an uneven split can spill one extra file per partition (the
+    // maxRecordsPerFile guard), but never anywhere near the input's count
+    assert(rows == out.count())
+    val ideal = (rows + 499) / 500
+    assert(files >= ideal && files <= 2 * ideal,
+      s"$files files for $rows rows at target 500 (ideal $ideal)")
+    assert(files < smallFiles / 4, s"compaction barely reduced files: $smallFiles -> $files")
+    // no file exceeds the record target
+    val perFile = out.groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 500L), s"file over target: ${perFile.mkString(",")}")
+    // and the rewrite range-clustered on ts: per-file ranges are disjoint
+    val ranges = out.groupBy(input_file_name().as("f"))
+      .agg(min(col("ts").cast("long")).as("lo"), max(col("ts").cast("long")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"compacted file ranges overlap: ${ranges.toSeq}")
+      case _ => ()
+    }
+    // contents survive bit-exactly (same multiset of rows)
+    assert(src.exceptAll(out).isEmpty && out.exceptAll(src).isEmpty)
+  }
+
   test("range-clustered write produces disjoint per-file key ranges") {
     import org.apache.spark.sql.functions.{col, min, max, input_file_name}
     // The time-series layout at 100 TB: repartitionByRange + sortWithinPartitions
