@@ -22,6 +22,7 @@ object Bench {
     "q_join_big", "q_join_star", "q_left_join", "q_full_outer", "q_theta_join",
     "q_merge_upsert", "q_histogram", "q_tpch_q3", "q_tpch_q5", "q_tpch_q18",
     "q_window_running", "q_window_rank", "q_window_range", "q_sessionize", "q_funnel", "q_retention", "q_pivot",
+    "q_scd2", "q_gapfill",
     "q_approx_distinct", "q_sketch_union", "q_approx_quantile", "q_heavy_hitters",
     "q_asof_join", "q_range_join",
     "dedup_exact", "dedup_paragraph", "dedup_incremental",

@@ -674,6 +674,59 @@ object RelationalQueries {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Slowly-changing-dimension (type 2) build from an event changelog: per
+    * entity, consecutive runs of the same attribute value collapse to one
+    * version row with [eff_from, eff_to) validity (NULL eff_to = current
+    * version) — the standard warehouse history-table build. One shuffle on
+    * the entity key; the change-detect lag, interval-closing lead, and
+    * version row_number all share the same (partition, ordering), so the
+    * plan carries a single Exchange and the sort is reused through the
+    * intervening Filter. Ordering is (ts, event_id) — unique, the house
+    * tiebreak rule. At 100 TB the history table is entity-partitioned,
+    * which is exactly this shuffle; no corpus-wide window exists.
+    */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("attr"))
+      .withColumn("prev_attr", lag(col("attr"), 1).over(w))
+      .filter(col("prev_attr").isNull || col("attr") =!= col("prev_attr"))
+      .withColumn("eff_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("user_id"), col("attr"), col("ts").as("eff_from"),
+        col("eff_to"), col("version"))
+  }
+
+  /** Time-spine gap filling: per-user hourly activity counts joined against
+    * the dense hour spine between that user's first and last active hour,
+    * missing hours filled with an explicit zero + gap flag and a
+    * forward-filled `last_active_h` (the observation-carried-forward shape
+    * sensor/metric pipelines run before any windowed model). The spine is a
+    * per-row generator off the cardinality-bounded (user, min, max)
+    * aggregate — never a cross join against a calendar table — and the
+    * spine join reuses the hourly aggregate's (user_id, h) partitioning.
+    * All values are exact integers (hour index, counts), so the fill is
+    * bit-identical across engines.
+    */
+  def gapFill(s: SparkSession, dir: String, maxUser: Int = 30): DataFrame = {
+    val hourly = Tables(s, dir, "events")
+      .filter(col("user_id") < maxUser)
+      .selectExpr("user_id", "CAST(ts AS LONG) div 3600 AS h")
+      .groupBy(col("user_id"), col("h")).agg(count(lit(1)).as("n_events"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .selectExpr("user_id", "explode(sequence(h0, h1)) AS h")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("is_gap", when(col("n_events") === 0L, 1).otherwise(0))
+      .withColumn("last_active_h",
+        last(when(col("n_events") > 0L, col("h")), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("h"), col("n_events"), col("is_gap"),
+        col("last_active_h"))
+  }
+
   /** Unpivot (melt): wide numeric measures to (key, measure, value) rows via
     * `stack` — codegen'd row expansion, no shuffle, the inverse of pivot.
     */
@@ -822,6 +875,8 @@ object RelationalQueries {
     "q_case_expr" -> caseExpr,
     "q_pivot" -> pivotEvents,
     "q_sessionize" -> sessionize,
+    "q_scd2" -> scd2,
+    "q_gapfill" -> ((s, dir) => gapFill(s, dir)),
     "q_agg_variance" -> aggVariance,
     "q_percentiles" -> percentiles,
     "q_approx_distinct" -> approxDistinct,
@@ -1190,6 +1245,33 @@ object RelationalQueries {
         |  LEAST(c_acctbal, 1000.0) AS capped_bal,
         |  CAST(c_acctbal IS NULL AS INT) AS is_null
         |FROM customer""".stripMargin,
+    "q_scd2" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id, event_type AS attr,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+        |  FROM events),
+        |chg AS (SELECT user_id, ts, event_id, attr FROM base
+        |        WHERE prev_attr IS NULL OR attr <> prev_attr)
+        |SELECT user_id, attr, ts AS eff_from,
+        |  LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+        |FROM chg""".stripMargin,
+    "q_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 // 3600 AS h, COUNT(1) AS n_events
+        |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(range(h0, h1 + 1)) AS h
+        |  FROM (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1)),
+        |j AS (
+        |  SELECT s.user_id, s.h, COALESCE(hh.n_events, 0) AS n_events
+        |  FROM spine s LEFT JOIN hourly hh ON hh.user_id = s.user_id AND hh.h = s.h)
+        |SELECT user_id, CAST(h AS BIGINT) AS h, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN n_events = 0 THEN 1 ELSE 0 END AS INT) AS is_gap,
+        |  CAST(last_value(CASE WHEN n_events > 0 THEN h END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS last_active_h
+        |FROM j""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(1) AS n_events FROM (
         |  SELECT user_id,

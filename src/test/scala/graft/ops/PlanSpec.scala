@@ -386,6 +386,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a join in the ngram-dup plan:\n$png")
   }
 
+  test("scd2 runs all three windows off one entity shuffle; gapfill spine never cross-joins") {
+    // scd2: lag (change detect), lead (interval close), and row_number
+    // (version) share (partition, ordering) — one Exchange on user_id, the
+    // sort reused through the intervening Filter
+    val sc = RelationalQueries.scd2(spark, dir)
+    sc.collect()
+    val ps = sc.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(ps.split("Exchange hashpartitioning\\(user_id").length - 1 == 1,
+      s"scd2 must shuffle the changelog exactly once:\n$ps")
+    // gapfill: the dense spine comes from a per-row generator over the
+    // bounded (user, min, max) aggregate — never a cartesian/calendar join
+    val gf = RelationalQueries.gapFill(spark, dir)
+    gf.collect()
+    val pg = gf.queryExecution.executedPlan.toString
+    assert(!pg.contains("CartesianProduct") && !pg.contains("BroadcastNestedLoopJoin"),
+      s"gapfill spine must not cross-join:\n$pg")
+    assert(pg.contains("Generate explode"), s"expected the sequence generator:\n$pg")
+  }
+
   test("window consumers get parse pruning transitively (below-window projection)") {
     // The rule never treats Window itself as a consumer (see the retype
     // hazard below), and does not need to: Spark's ExtractWindowExpressions
