@@ -31,6 +31,21 @@ object GraftFunctions {
       "graft_barrier", exprs => OptimizationBarrier(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    // Spark's own runtime-filter bloom sketch, exposed in SQL: the aggregate
+    // builds the filter as one BINARY value (mergeable partials — no row
+    // shuffle, only sketch bytes move), and the probe side consumes it via a
+    // scalar subquery (BloomFilterMightContain requires a foldable/subquery
+    // bloom, exactly the shape InjectRuntimeFilter generates). Keys are
+    // BIGINT — pair with hash60 for string membership.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
     // parse-schema pruning through the barrier (idempotent registration):
     // runs after the main operator-optimization batch, where ColumnPruning
     // has already narrowed consumer projections

@@ -146,6 +146,49 @@ object DedupQueries {
         "coalesce(base_keeper, first_in_delta) AS keeper")
   }
 
+  // --- bloom-filter (delta-vs-base) membership dedup ----------------------
+
+  /** Bloom-gated incremental dedup — the 100 TB variant of
+    * [[dedupIncremental]]: instead of shuffling the whole delta against the
+    * base fingerprint store, the base is collapsed into ONE bloom sketch
+    * (Spark's own `BloomFilterAggregate` — mergeable partials, so only
+    * sketch bytes cross the wire, never base rows) and every delta row is
+    * probed MAP-SIDE via a scalar subquery. Rows the bloom rejects are
+    * definitively new (no false negatives) and never enter any join; only
+    * the probable hits — the true dups plus the bloom's false-positive
+    * sliver — are confirmed with an exact equi-join against the base
+    * fingerprints. On a fresh crawl where most documents are new, the join
+    * input collapses from |delta| to |dups| + epsilon.
+    *
+    * The output is EXACT (false positives are eliminated by the confirm
+    * join), so the DuckDB oracle is a plain membership test with no bloom at
+    * all. Bloom keys are `hash60(fp)` (the probe side only accepts BIGINT);
+    * a 60-bit key collision could only ever ADD a false positive, which the
+    * confirm join removes.
+    */
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val fp = Tables(s, dir, "documents").selectExpr(
+      "doc_id", "source",
+      "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp")
+    fp.createOrReplaceTempView("graft_bloom_fp")
+    s.sql(
+      """WITH base AS (
+        |  SELECT DISTINCT fp FROM graft_bloom_fp WHERE source = 'src0'),
+        |probed AS (
+        |  SELECT doc_id, fp,
+        |    graft_might_contain(
+        |      (SELECT graft_bloom_agg(hash60(fp), 1000000L, 8000000L) FROM base),
+        |      hash60(fp)) AS maybe
+        |  FROM graft_bloom_fp WHERE source <> 'src0')
+        |SELECT doc_id, fp, 'new' AS status FROM probed WHERE NOT maybe
+        |UNION ALL
+        |SELECT p.doc_id, p.fp,
+        |  CASE WHEN b.fp IS NOT NULL THEN 'dup_base' ELSE 'new' END AS status
+        |FROM (SELECT doc_id, fp FROM probed WHERE maybe) p
+        |LEFT JOIN base b ON p.fp = b.fp""".stripMargin)
+  }
+
   // --- exact n-gram Jaccard --------------------------------------------
 
   /** Unigram-Jaccard near-dup pairs within a language block.
@@ -757,6 +800,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExact,
     "dedup_paragraph" -> ((s, dir) => dedupParagraph(s, dir)),
     "dedup_incremental" -> dedupIncremental,
+    "dedup_bloom" -> dedupBloom,
     "dedup_minhash_sig" -> minhashSignatures,
     "dedup_minhash_lsh" -> ((s, dir) => minhashLsh(s, dir)),
     "dedup_simhash" -> simhash,
@@ -827,6 +871,16 @@ object DedupQueries {
         |       ELSE 'dup_delta' END AS status,
         |  coalesce(b.base_keeper, d.first_in_delta) AS keeper
         |FROM delta d LEFT JOIN base b USING (fp)""".stripMargin,
+    "dedup_bloom" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |base AS (SELECT DISTINCT fp FROM f WHERE source = 'src0')
+        |SELECT d.doc_id, d.fp,
+        |  CASE WHEN b.fp IS NOT NULL THEN 'dup_base' ELSE 'new' END AS status
+        |FROM f d LEFT JOIN base b USING (fp)
+        |WHERE d.source <> 'src0'""".stripMargin,
     "dedup_paragraph" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),

@@ -437,6 +437,106 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Merge overlapping per-user activity intervals (gaps-and-islands): each
+    * event opens the interval [s, s + 60 + floor(|value|*60)]; a new island
+    * starts when an interval begins strictly after every earlier interval's
+    * end (running max over preceding ends). The coalesce step behind
+    * availability windows, outage merging, and session repair. ONE shuffle
+    * on the entity key — both windows and the final per-island aggregate
+    * reuse the same partitioning. floor() before the long cast keeps the
+    * double conversion identical across engines (Spark truncates toward
+    * zero, DuckDB rounds half-even).
+    */
+  def intervalMerge(s: SparkSession, dir: String): DataFrame =
+    intervalMergeFrom(Tables(s, dir, "events")
+      .selectExpr("user_id", "event_id", "CAST(ts AS LONG) AS s0",
+        "CAST(ts AS LONG) + 60 + CAST(floor(abs(value) * 60) AS LONG) AS e0"))
+
+  /** The islands kernel over any frame with (user_id, event_id, s0, e0):
+    * touching intervals (next start == previous end) merge; a strictly
+    * later start opens a new island.
+    */
+  def intervalMergeFrom(iv: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("s0"), col("event_id"))
+    iv.withColumn("max_e_prev",
+        max(col("e0")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        (col("max_e_prev").isNull || col("s0") > col("max_e_prev")).cast("int"))
+      .withColumn("island", sum(col("is_new")).over(ord))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s0")).as("start_s"), max(col("e0")).as("end_s"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Daily new users + running distinct-user count — the growth dashboard.
+    * A distinct count over an expanding window is not directly computable
+    * at scale (no distinct window aggregates); the scalable identity is
+    * first-seen aggregation (hourly grain): cumulative distinct users at hour h = count of
+    * users whose FIRST hour <= h. One user-keyed partial+final aggregate,
+    * one cardinality-bounded (days) table, and the running sum's
+    * unpartitioned window only ever sees that bounded table — never the
+    * fact stream.
+    */
+  def cumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables(s, dir, "events")
+      .selectExpr("user_id", "CAST(ts AS LONG) DIV 3600 AS hour")
+      .groupBy(col("user_id")).agg(min(col("hour")).as("first_hour"))
+    firstDay.groupBy(col("first_hour").as("hour"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Ordered string aggregation (LISTAGG ... WITHIN GROUP): the report-
+    * formatting aggregate. Spark 4's native `listagg` is a partial-
+    * aggregable Collect — order is imposed at the final merge, so the
+    * per-group result is deterministic without a window sort. The dimension
+    * join is broadcast (25-row nation).
+    */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(expr("listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name)").as("suppliers"),
+        count(lit(1)).as("n_suppliers"))
+
+  /** Exact per-group mode with a deterministic tiebreak (highest count,
+    * then smallest value). Two bounded aggregations: the (group, value)
+    * count table is partial-aggregated on the first shuffle, and the winner
+    * row_number window runs over that cardinality-bounded table — never
+    * over the fact table.
+    */
+  def modeAgg(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("mode_qty"),
+        col("cnt").as("mode_n"))
+  }
+
+  /** Correlated LATERAL subquery with LIMIT — top-2 lineitems per order
+    * expressed as the SQL-standard lateral join; Catalyst decorrelates the
+    * per-row LIMIT into a window rewrite (no nested-loop execution), which
+    * is exactly the plan a hand-written row_number query produces.
+    */
+  def lateralTopN(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("lat_orders")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lat_lineitem")
+    s.sql(
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM (SELECT o_orderkey FROM lat_orders WHERE o_orderkey <= 400) o,
+        |LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM lat_lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 2) l""".stripMargin)
+  }
+
   // --- sort / limit / top-k --------------------------------------------
 
   def topK(s: SparkSession, dir: String): DataFrame =
@@ -863,6 +963,11 @@ object RelationalQueries {
     "q_window_range" -> windowRange,
     "q_funnel" -> funnel,
     "q_retention" -> retention,
+    "q_interval_merge" -> intervalMerge,
+    "q_cumulative_distinct" -> cumulativeDistinct,
+    "q_string_agg" -> stringAgg,
+    "q_mode" -> modeAgg,
+    "q_lateral_topn" -> lateralTopN,
     "q_topk" -> topK,
     "q_union" -> unionAll,
     "q_intersect" -> intersectKeys,
@@ -889,6 +994,56 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s0,
+        |    epoch_us(ts) // 1000000 + 60 + CAST(floor(abs(value) * 60) AS BIGINT) AS e0
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, s0, e0,
+        |    CASE WHEN mep IS NULL OR s0 > mep THEN 1 ELSE 0 END AS is_new
+        |  FROM (
+        |    SELECT *, max(e0) OVER (PARTITION BY user_id ORDER BY s0, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mep
+        |    FROM iv) z),
+        |g AS (
+        |  SELECT user_id, s0, e0,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY s0, event_id) AS BIGINT) AS island
+        |  FROM f)
+        |SELECT user_id, island, min(s0) AS start_s, max(e0) AS end_s,
+        |  CAST(count(1) AS BIGINT) AS n_events
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    "q_cumulative_distinct" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(epoch_us(ts) // 1000000 // 3600) AS first_hour
+        |  FROM events GROUP BY 1),
+        |nd AS (
+        |  SELECT first_hour AS hour, CAST(count(1) AS BIGINT) AS new_users
+        |  FROM fd GROUP BY 1)
+        |SELECT hour, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM nd""".stripMargin,
+    "q_string_agg" ->
+      """SELECT n_name, string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+        |  CAST(count(1) AS BIGINT) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(1) AS cnt FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS mode_qty,
+        |  CAST(cnt AS BIGINT) AS mode_n
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY cnt DESC, l_quantity ASC) AS rn FROM c) z
+        |WHERE rn = 1""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM (SELECT o_orderkey FROM orders WHERE o_orderkey <= 400) o,
+        |LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 2) l""".stripMargin,
     "q_unpivot" ->
       """SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
         |UNION ALL

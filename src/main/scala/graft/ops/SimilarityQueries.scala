@@ -371,6 +371,43 @@ object SimilarityQueries {
       "element_at(embedding, 1) AS e1", "element_at(embedding, 64) AS e64",
       "label")
 
+  /** Exact covariance matrix of the embedding corpus — the one-pass
+    * statistic behind PCA/whitening-based dimensionality reduction (the
+    * standard preprocessing before IVF/PQ at corpus scale). Emits the upper
+    * triangle (i <= j, dim*(dim+1)/2 cells) of the CENTERED covariance.
+    *
+    * Scale shape: each row explodes to its triangle cells, but partial
+    * aggregation collapses them to (cells-per-partition) before the single
+    * bounded shuffle — the classic map-side-combined moment accumulation; no
+    * driver-side matrix, no second pass for the mean (centering uses the
+    * n*Spp - Si*Sj identity). Determinism: components are quantized to
+    * exact int64 (floor(x*10000), the same grid as the IVF quantizer), all
+    * sums stay integral (|q| <= 1e4+1, so n*Spp < 2^63 up to ~10^10 rows),
+    * and the only IEEE arithmetic is the final left-to-right division
+    * chain — bit-identical in DuckDB. The quantized array sits behind a
+    * graft_barrier: inlined into the cell lambda, the transform would
+    * re-run per cell (64x work, the CollapseProject hazard).
+    */
+  def embCovariance(s: SparkSession, dir: String): DataFrame =
+    embCovarianceFrom(Tables(s, dir, "embeddings"))
+
+  /** The covariance kernel over any frame with an `embedding` array column. */
+  def embCovarianceFrom(emb: DataFrame, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(emb.sparkSession)
+    emb
+      .selectExpr(
+        "graft_barrier(transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))) AS q")
+      .selectExpr(
+        s"explode(flatten(transform(sequence(1, $dim), i -> transform(sequence(i, $dim), j -> " +
+          "struct(i AS i, j AS j, element_at(q, i) AS qi, element_at(q, j) AS qj))))) AS c")
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.qi").as("qi"), col("c.qj").as("qj"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(expr("qi * qj")).as("spp"), sum(col("qi")).as("si"),
+        sum(col("qj")).as("sj"), count(lit(1)).as("n"))
+      .selectExpr("i", "j", "n",
+        "CAST(n * spp - si * sj AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1e8 AS cov")
+  }
+
   /** Non-default exercise config for the parameterized surface: fewer,
     * larger buckets, one Lloyd round, 2 probes.
     */
@@ -386,6 +423,7 @@ object SimilarityQueries {
     "ann_pq" -> ((s, dir) => annPq(s, dir)),
     "ann_pq_recall" -> ((s, dir) => annPqRecall(s, dir)),
     "ann_ivf_incremental" -> ((s, dir) => annIvfIncremental(s, dir)),
+    "emb_covariance" -> embCovariance,
   )
 
   private val duckV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -585,5 +623,23 @@ object SimilarityQueries {
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         |  embedding[1] AS e1, embedding[64] AS e64, label
         |FROM embeddings""".stripMargin,
+    "emb_covariance" ->
+      """WITH e AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |cells AS (
+        |  SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+        |    sum(q[p.i] * q[p.j]) AS spp, sum(q[p.i]) AS si, sum(q[p.j]) AS sj,
+        |    count(1) AS n
+        |  FROM e CROSS JOIN (
+        |    SELECT a.i, b.j FROM (SELECT unnest(range(1, 65)) AS i) a,
+        |                         (SELECT unnest(range(1, 65)) AS j) b
+        |    WHERE a.i <= b.j) p
+        |  GROUP BY 1, 2)
+        |SELECT i, j, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(n AS BIGINT) * spp - si * sj AS DOUBLE)
+        |    / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1e8 AS cov
+        |FROM cells""".stripMargin,
   )
 }
