@@ -21,18 +21,19 @@ object Bench {
     "q_filter_project", "q_agg_pricing", "q_agg_stats",
     "q_join_big", "q_join_star", "q_left_join", "q_full_outer", "q_theta_join",
     "q_merge_upsert", "q_histogram", "q_tpch_q3", "q_tpch_q5", "q_tpch_q18",
+    "q_tpch_q17", "q_tpch_q21", "q_string_agg", "q_mode", "q_lateral_topn",
     "q_window_running", "q_window_rank", "q_window_range", "q_sessionize", "q_funnel", "q_retention", "q_pivot",
-    "q_scd2", "q_gapfill",
+    "q_scd2", "q_gapfill", "q_interval_merge", "q_cumulative_distinct",
     "q_approx_distinct", "q_sketch_union", "q_approx_quantile", "q_heavy_hitters",
     "q_asof_join", "q_range_join",
-    "dedup_exact", "dedup_paragraph", "dedup_incremental",
+    "dedup_exact", "dedup_paragraph", "dedup_incremental", "dedup_bloom",
     "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "ann_bruteforce", "ann_ivf", "ann_ivf_incremental", "ann_recall", "ann_pq",
     "text_quality", "text_langid", "text_repetition", "text_tfidf",
     "text_decontaminate", "text_ngram_dup", "text_quality_model", "text_lm_score",
     "doc_pack", "doc_chunk", "doc_sample_stratified", "doc_mix_report",
     "doc_upsample", "doc_shuffle_split", "doc_curate",
-    "emb_kmeans", "mm_features")
+    "emb_kmeans", "emb_covariance", "mm_features", "mm_ahash", "mm_ahash_dedup")
 
   /** Timed runs per query; the reported time is the median, so one GC pause /
     * noisy-neighbor stall in the sandbox no longer poisons the recorded

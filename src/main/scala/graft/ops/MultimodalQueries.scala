@@ -123,8 +123,91 @@ object MultimodalQueries {
     Lifecycle.released(stats, bytes)
   }
 
+  /** Perceptual near-dup over the binary media column — the image-dedup
+    * shape (aHash): sample 60 evenly-spaced "pixels" (bytes) from the
+    * payload, set bit k when pixel k is above the sample mean (exact
+    * integer compare: 60*px > sum — no IEEE mean), yielding a 60-bit
+    * signature whose hamming distance tracks perceptual similarity. Pairs
+    * within hamming <= 3 are found with the same pigeonhole banding as
+    * SimHash: 4 disjoint 15-bit bands — a pair differing in <= 3 bits
+    * leaves at least one band untouched, so the banded equi-join is
+    * LOSSLESS; candidates are verified by exact bit_count. On a real image
+    * corpus only the pixel-sampling line changes (decode + luma grid);
+    * signature, banding, and verification are payload-agnostic.
+    *
+    * Scale shape: signatures are one map-side pass (hex + two bounded
+    * folds behind barriers), the join input is (band, key) pairs — 4 rows
+    * per document, never all-pairs.
+    */
+  /** The aHash signature kernel over any frame with (doc_id, media BINARY):
+    * one map-side projection, no shuffle, no state.
+    */
+  def ahashSigsFrom(media: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(media.sparkSession)
+    val hexChars = "'0123456789ABCDEF'"
+    // pixel p(k) = byte value at offset floor(k*n/60), parsed from hex pairs
+    media
+      .selectExpr("doc_id", "octet_length(media) AS n", "hex(media) AS hx")
+      .selectExpr("doc_id",
+        "graft_barrier(transform(sequence(0, 59), k -> " +
+          "(instr(" + hexChars + ", substring(hx, 2 * CAST(floor(k * n / 60) AS INT) + 1, 1)) - 1) * 16 + " +
+          "instr(" + hexChars + ", substring(hx, 2 * CAST(floor(k * n / 60) AS INT) + 2, 1)) - 1)) AS px")
+      .selectExpr("doc_id", "px",
+        "aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x) AS total")
+      .selectExpr("doc_id",
+        "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (a, k) -> " +
+          "a + IF(60 * element_at(px, k + 1) > total, shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT))) AS sig")
+  }
+
+  /** Per-document aHash signatures as a catalog entry: hash-compared against
+    * the DuckDB re-derivation, so ANY arithmetic divergence in the signature
+    * pipeline fails the gate even when the corpus has no near-dup pairs (the
+    * synthetic docs' variants differ in enough sampled bytes that the pair
+    * query below is legitimately empty at hamming <= 3 — its positive
+    * coverage is spec-pinned on constructed payloads instead).
+    */
+  def ahashSigs(s: SparkSession, dir: String): DataFrame =
+    ahashSigsFrom(Tables(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS media"))
+
+  def ahashDedup(s: SparkSession, dir: String, hammingMax: Int = 3): DataFrame = {
+    val (out, sigs) = ahashDedupFrom(Tables(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS media"), hammingMax)
+    Lifecycle.released(out, sigs)
+  }
+
+  /** Lazy pair kernel over any (doc_id, media BINARY) frame: (result,
+    * persisted signature barrier) — callers release the barrier themselves.
+    */
+  def ahashDedupFrom(media: DataFrame, hammingMax: Int = 3)
+      : (DataFrame, DataFrame) = {
+    require(hammingMax >= 0 && hammingMax < 4,
+      "4x15 banding is lossless only for hamming <= 3")
+    val sigs = ahashSigsFrom(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.selectExpr("doc_id",
+      "explode(transform(sequence(0, 3), b -> " +
+        "struct(b AS band, shiftright(sig, 15 * b) & 32767 AS bkey))) AS c")
+      .select(col("doc_id"), col("c.band").as("band"), col("c.bkey").as("bkey"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val out = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b", "CAST(bit_count(sig_a ^ sig_b) AS INT) AS hamming")
+      .filter(col("hamming") <= hammingMax)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    (out, sigs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mediaMeta,
+    "mm_ahash" -> ahashSigs,
+    "mm_ahash_dedup" -> ((s, dir) => ahashDedup(s, dir)),
     "mm_features" -> mediaFeatures,
     "mm_frames" -> frameSample,
     "mm_resize" -> resizeStub,
@@ -132,6 +215,41 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mm_ahash" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 60), k ->
+        |      (instr('0123456789ABCDEF', substr(hex(encode(text)),
+        |         CAST(2 * (k * octet_length(encode(text)) // 60) + 1 AS INT), 1)) - 1) * 16 +
+        |      instr('0123456789ABCDEF', substr(hex(encode(text)),
+        |         CAST(2 * (k * octet_length(encode(text)) // 60) + 2 AS INT), 1)) - 1) AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 60), k ->
+        |    CASE WHEN 60 * p[CAST(k + 1 AS INT)] > list_sum(p)
+        |         THEN CAST(power(2, k) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sig
+        |FROM px""".stripMargin,
+    // all-pairs oracle: quadratic is fine at gate scale, and banding is
+    // lossless for hamming <= 3, so the row sets must match exactly
+    "mm_ahash_dedup" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 60), k ->
+        |      (instr('0123456789ABCDEF', substr(hex(encode(text)),
+        |         CAST(2 * (k * octet_length(encode(text)) // 60) + 1 AS INT), 1)) - 1) * 16 +
+        |      instr('0123456789ABCDEF', substr(hex(encode(text)),
+        |         CAST(2 * (k * octet_length(encode(text)) // 60) + 2 AS INT), 1)) - 1) AS p
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 60), k ->
+        |      CASE WHEN 60 * p[CAST(k + 1 AS INT)] > list_sum(p)
+        |           THEN CAST(power(2, k) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM px)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, source,
         |  CAST(length(text) AS INT) AS n_bytes,

@@ -303,6 +303,67 @@ object RelationalQueries {
       .limit(100)
   }
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * per-group aggregate subquery — lines with quantity below 20% of their
+    * part's average quantity. Decorrelated the scale-safe way: ONE per-part
+    * (sum, count) aggregate joins the fact once (never a re-scan per outer
+    * row), and the `qty < 0.2 * avg` predicate is cross-multiplied to an
+    * exact decimal comparison (5*qty*cnt < sum) so no engine evaluates an
+    * IEEE average inside the filter. The part dimension filter broadcasts.
+    */
+  def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val part = Tables(s, dir, "part").filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_brand"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(perPart, Seq("l_partkey"))
+      .filter(dec(col("l_quantity")) * 5 * col("cnt") < col("sum_qty"))
+      .groupBy(col("p_brand"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting), adapted to this
+    * schema (no commit/receipt dates): a line is LATE when it ships more
+    * than 60 days after its order date. Report suppliers with a late line
+    * on a finished multi-supplier order where every OTHER supplier was on
+    * time — the canonical EXISTS + NOT EXISTS double correlation. Both
+    * correlated predicates plan as equi-joins on the order key (left_semi /
+    * left_anti over the deduplicated (order, supplier) sets); nothing
+    * expands beyond the lineitem row count, and the non-equal supplier
+    * condition rides the join instead of becoming a filterless cross.
+    */
+  def tpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val ord = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // the date columns ship as TIMESTAMP_NTZ in some testdata generations —
+    // an NTZ cannot cast straight to LONG; go through TIMESTAMP (sessions
+    // pin UTC, so the wall clock is preserved exactly like DuckDB's read)
+    val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").cast("timestamp").cast("long") >
+        col("o_orderdate").cast("timestamp").cast("long") + 60L * 86400)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")).distinct()
+    val lateOthers = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    late
+      .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .join(Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   // --- subqueries -------------------------------------------------------
 
   def inSubquery(s: SparkSession, dir: String): DataFrame = {
@@ -953,6 +1014,8 @@ object RelationalQueries {
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,
     "q_tpch_q18" -> tpchQ18,
+    "q_tpch_q17" -> tpchQ17,
+    "q_tpch_q21" -> tpchQ21,
     "q_in_subquery" -> inSubquery,
     "q_scalar_subquery" -> scalarSubquery,
     "q_exists" -> existsCorrelated,
@@ -1013,6 +1076,41 @@ object RelationalQueries {
         |SELECT user_id, island, min(s0) AS start_s, max(e0) AS end_s,
         |  CAST(count(1) AS BIGINT) AS n_events
         |FROM g GROUP BY 1, 2""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    count(1) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  CAST(count(1) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_size <= 5
+        |JOIN pp USING (l_partkey)
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q21" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey, epoch_us(l_shipdate) // 1000000 AS sd
+        |  FROM lineitem),
+        |ord AS (
+        |  SELECT o_orderkey, epoch_us(o_orderdate) // 1000000 AS od
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM li JOIN ord ON l_orderkey = o_orderkey
+        |  WHERE sd > od + 60 * 86400),
+        |cand AS (
+        |  SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+        |  WHERE EXISTS (SELECT 1 FROM li l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey))
+        |SELECT n_name, s_name, CAST(count(1) AS BIGINT) AS numwait
+        |FROM cand
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
     "q_cumulative_distinct" ->
       """WITH fd AS (
         |  SELECT user_id, min(epoch_us(ts) // 1000000 // 3600) AS first_hour

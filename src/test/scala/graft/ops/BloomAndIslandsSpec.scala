@@ -119,6 +119,43 @@ class BloomAndIslandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (7L, 2L) -> (101L, 110L, 1L)))
   }
 
+  // --- aHash perceptual dedup -------------------------------------------
+
+  test("ahash finds perceptual near-dups on constructed payloads and rejects distant ones") {
+    import spark.implicits._
+    // doc 1 and 2: same byte pattern with one sampled byte nudged => small
+    // hamming; doc 3: alternating high/low bytes => far from both
+    val base = Array.tabulate(120)(i => ((i * 37) % 251 + 1).toByte)
+    val near = base.clone(); near(0) = ((base(0) + 120) % 251 + 1).toByte
+    val far = Array.tabulate(120)(i => if (i % 2 == 0) 1.toByte else 250.toByte)
+    val media = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "media")
+
+    val sigs = MultimodalQueries.ahashSigsFrom(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 3,
+      "one nudged byte flips at most its own bits")
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 3,
+      "alternating payload must be far from the smooth one")
+
+    val (pairs, barrier) = MultimodalQueries.ahashDedupFrom(media)
+    try {
+      val out = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((1L, 2L)), s"expected exactly the near pair, got $out")
+    } finally barrier.unpersist()
+  }
+
+  test("ahash identical payloads pair at hamming zero") {
+    import spark.implicits._
+    val b = "the same binary payload repeated enough to sample sixty pixels from it!"
+      .getBytes("UTF-8")
+    val media = Seq((10L, b), (11L, b)).toDF("doc_id", "media")
+    val (pairs, barrier) = MultimodalQueries.ahashDedupFrom(media)
+    try {
+      val out = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(out.toSeq == Seq((10L, 11L, 0)))
+    } finally barrier.unpersist()
+  }
+
   // --- lateral top-n ----------------------------------------------------
 
   test("lateral LIMIT decorrelates to WindowGroupLimit (no nested loop)") {

@@ -229,6 +229,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ps.contains("Expand"), s"sketch aggregation must not Expand:\n$ps")
   }
 
+  test("q17 decorrelates to one fact aggregate; q21 plans semi+anti equi-joins") {
+    val p17 = planString(RelationalQueries.tpchQ17(spark, dir))
+    assert(p17.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p17")
+    assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoopJoin"),
+      "per-part average must come from one aggregate, never a re-scan per row")
+
+    val p21 = planString(RelationalQueries.tpchQ21(spark, dir))
+    assert(p21.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p21")
+    assert(p21.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p21")
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
+      "the non-equal supplier condition must ride the order-key equi-join")
+  }
+
+  test("ahash dedup candidates come from the banded equi-join, never all-pairs") {
+    val (out, sigs) = MultimodalQueries.ahashDedupFrom(
+      Tables(spark, dir, "documents").selectExpr("doc_id", "CAST(text AS BINARY) AS media"))
+    try {
+      val p = planString(out)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"banding must make the pair join an equi-join:\n$p")
+    } finally sigs.unpersist()
+  }
+
   test("relationalize schema inference shuffles only aggregated schema maps") {
     import org.apache.spark.sql.functions.col
     val docs = Tables(spark, dir, "events")
