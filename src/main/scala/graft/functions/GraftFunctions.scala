@@ -31,6 +31,8 @@ object GraftFunctions {
       "graft_barrier", exprs => OptimizationBarrier(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ahash60", exprs => AHash60(exprs.head), "built-in")
     // Spark's own runtime-filter bloom sketch, exposed in SQL: the aggregate
     // builds the filter as one BINARY value (mergeable partials — no row
     // shuffle, only sketch bytes move), and the probe side consumes it via a
@@ -282,6 +284,63 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def prettyName: String = "vec_dot"
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd 60-bit average-hash over a BINARY payload: 60 evenly-sampled
+  * bytes (offset floor(k*n/60)), bit k set when 60*px[k] exceeds the sample
+  * sum — bit-identical to the portable SQL derivation the DuckDB oracle
+  * runs (hex-pair parse + integer compares), but one tight primitive loop
+  * instead of 60 interpreted substring/instr lambda evaluations per row
+  * (higher-order functions never enter whole-stage codegen). NULL for an
+  * empty payload (the SQL path is undefined there; callers filter empties).
+  */
+case class AHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ahash60 expects binary, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = AHash60Impl.hash(v.asInstanceOf[Array[Byte]])
+    if (r == AHash60Impl.EmptyInput) null else java.lang.Long.valueOf(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.AHash60Impl.hash($c);
+      |if (${ev.value} == java.lang.Long.MIN_VALUE) ${ev.isNull} = true;
+     """.stripMargin)
+
+  override def prettyName: String = "ahash60"
+  override protected def withNewChildInternal(newChild: Expression): AHash60 = copy(child = newChild)
+}
+
+object AHash60Impl {
+  /** Sentinel for a zero-length payload (no valid signature). */
+  val EmptyInput: Long = Long.MinValue
+
+  /** static entry shared by interpreted + generated code */
+  def hash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return EmptyInput
+    val px = new Array[Int](60)
+    var total = 0L
+    var k = 0
+    while (k < 60) {
+      px(k) = bytes(((k.toLong * n) / 60).toInt) & 0xff
+      total += px(k)
+      k += 1
+    }
+    var sig = 0L
+    k = 0
+    while (k < 60) {
+      if (60L * px(k) > total) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
 }
 
 /** Static hash helper in a standalone object (NOT the [[Hash60]] companion):

@@ -140,23 +140,15 @@ object MultimodalQueries {
     * per document, never all-pairs.
     */
   /** The aHash signature kernel over any frame with (doc_id, media BINARY):
-    * one map-side projection, no shuffle, no state.
+    * one map-side projection through the codegen'd [[graft.functions.AHash60]]
+    * expression (a tight primitive loop; the equivalent SQL higher-order
+    * chain evaluates 60 interpreted substring/instr lambdas per row — the
+    * expression-vs-SQL bit-equality is spec-pinned, and the DuckDB oracle
+    * still re-derives signatures from hex pairs).
     */
   def ahashSigsFrom(media: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(media.sparkSession)
-    val hexChars = "'0123456789ABCDEF'"
-    // pixel p(k) = byte value at offset floor(k*n/60), parsed from hex pairs
-    media
-      .selectExpr("doc_id", "octet_length(media) AS n", "hex(media) AS hx")
-      .selectExpr("doc_id",
-        "graft_barrier(transform(sequence(0, 59), k -> " +
-          "(instr(" + hexChars + ", substring(hx, 2 * CAST(floor(k * n / 60) AS INT) + 1, 1)) - 1) * 16 + " +
-          "instr(" + hexChars + ", substring(hx, 2 * CAST(floor(k * n / 60) AS INT) + 2, 1)) - 1)) AS px")
-      .selectExpr("doc_id", "px",
-        "aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x) AS total")
-      .selectExpr("doc_id",
-        "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (a, k) -> " +
-          "a + IF(60 * element_at(px, k + 1) > total, shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT))) AS sig")
+    media.selectExpr("doc_id", "ahash60(media) AS sig")
   }
 
   /** Per-document aHash signatures as a catalog entry: hash-compared against

@@ -333,9 +333,18 @@ object RelationalQueries {
     * correlated predicates plan as equi-joins on the order key (left_semi /
     * left_anti over the deduplicated (order, supplier) sets); nothing
     * expands beyond the lineitem row count, and the non-equal supplier
-    * condition rides the join instead of becoming a filterless cross.
+    * condition rides the join instead of becoming a filterless cross. The
+    * `late` set feeds BOTH correlations, so it is materialized once behind
+    * a persist barrier (Lifecycle-released) — without it the whole
+    * fact-fact join + distinct executes twice.
     */
   def tpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val (out, late) = tpchQ21Plan(s, dir)
+    Lifecycle.released(out, late)
+  }
+
+  /** Lazy twin for plan inspection: (result, persisted late-set barrier). */
+  def tpchQ21Plan(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
     val ord = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
@@ -347,9 +356,10 @@ object RelationalQueries {
       .filter(col("l_shipdate").cast("timestamp").cast("long") >
         col("o_orderdate").cast("timestamp").cast("long") + 60L * 86400)
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")).distinct()
     val lateOthers = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
-    late
+    val out = late
       .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
         "left_semi")
       .join(lateOthers, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
@@ -362,6 +372,7 @@ object RelationalQueries {
         col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("s_name"))
       .agg(count(lit(1)).as("numwait"))
+    (out, late)
   }
 
   // --- subqueries -------------------------------------------------------

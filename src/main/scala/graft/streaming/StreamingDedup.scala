@@ -80,6 +80,64 @@ object StreamingDedup {
       }
   }
 
+  /** A first-seen document that survived [[bloomDedup]]. */
+  final case class FirstSeen(doc_id: Long, fp: Long, shard: Int)
+
+  /** Bounded-state streaming EXACT dedup — the production fix for
+    * `dropDuplicates`' unbounded state (one state row per distinct key,
+    * forever, on an unbounded stream). Each of `shards` state keys holds one
+    * fixed-size bloom bit array of every fingerprint routed to it; a row
+    * whose shard bloom rejects its fingerprint is definitively first-seen
+    * (no false negatives — emitted), a probable hit is dropped. True
+    * duplicates are therefore ALWAYS dropped; a novel document is wrongly
+    * dropped only at the bloom's false-positive rate — the documented
+    * trade, dialed by `bitsPerShard` (state is `shards * bitsPerShard / 8`
+    * bytes TOTAL, independent of stream length; k=4 probe bits put the FP
+    * rate at ~(n_seen_per_shard * 4 / bits)^4).
+    *
+    * Works on a streaming OR static frame with (doc_id, text): the spec
+    * pins stream-vs-dropDuplicates equality at a sizing where no false
+    * positive occurs, and the false-positive behavior itself on a tiny
+    * filter. Within a batch, rows process in doc_id order (deterministic
+    * survivor, matching `dedup_exact`'s keep-smallest rule).
+    */
+  def bloomDedup(docs: DataFrame, shards: Int = 16,
+                 bitsPerShard: Int = 1 << 16): Dataset[FirstSeen] = {
+    require(Integer.bitCount(bitsPerShard) == 1, "bitsPerShard must be a power of two")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val mask = bitsPerShard - 1
+    docs
+      .selectExpr(
+        "doc_id",
+        "hash60(md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY))) AS fp",
+        s"CAST(pmod(hash60(md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY))), $shards) AS INT) AS shard")
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Array[Long], FirstSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (shard, rows, state: GroupState[Array[Long]]) =>
+          val bits = state.getOption.getOrElse(new Array[Long](bitsPerShard / 64))
+          // 4 probe positions from two independent 30-bit halves of the
+          // 60-bit fingerprint (classic double hashing: g_i = h1 + i*h2)
+          def probes(fp: Long): Seq[Int] = {
+            val h1 = (fp >>> 30).toInt; val h2 = (fp & ((1L << 30) - 1)).toInt | 1
+            (0 until 4).map(i => (h1 + i * h2) & mask)
+          }
+          val out = Array.newBuilder[FirstSeen]
+          rows.toArray.sortBy(_._1).foreach { case (id, fp, _) =>
+            val ps = probes(fp)
+            if (!ps.forall(p => (bits(p >> 6) & (1L << (p & 63))) != 0)) {
+              out += FirstSeen(id, fp, shard)
+              ps.foreach(p => bits(p >> 6) |= 1L << (p & 63))
+            }
+          }
+          state.update(bits)
+          out.result().iterator
+      }
+  }
+
   /** [[minhashCandidates]] with in-stream verification: each bucket's state
     * also keeps the anchor's FULL minhash signature (k longs — still
     * constant-size, no text retained), and every collision carries the

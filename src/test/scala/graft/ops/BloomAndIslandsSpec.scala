@@ -144,6 +144,29 @@ class BloomAndIslandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally barrier.unpersist()
   }
 
+  test("codegen'd ahash60 is bit-identical to the portable SQL derivation") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val media = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS media")
+    val hexChars = "'0123456789ABCDEF'"
+    val sqlSigs = media
+      .selectExpr("doc_id", "octet_length(media) AS n", "hex(media) AS hx")
+      .selectExpr("doc_id",
+        "graft_barrier(transform(sequence(0, 59), k -> " +
+          s"(instr($hexChars, substring(hx, 2 * CAST(floor(k * n / 60) AS INT) + 1, 1)) - 1) * 16 + " +
+          s"instr($hexChars, substring(hx, 2 * CAST(floor(k * n / 60) AS INT) + 2, 1)) - 1)) AS px")
+      .selectExpr("doc_id", "px",
+        "aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x) AS total")
+      .selectExpr("doc_id",
+        "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (a, k) -> " +
+          "a + IF(60 * element_at(px, k + 1) > total, shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT))) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exprSigs = MultimodalQueries.ahashSigsFrom(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exprSigs == sqlSigs, "expression and SQL signature paths diverged")
+    assert(exprSigs.nonEmpty)
+  }
+
   test("ahash identical payloads pair at hamming zero") {
     import spark.implicits._
     val b = "the same binary payload repeated enough to sample sixty pixels from it!"

@@ -235,11 +235,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoopJoin"),
       "per-part average must come from one aggregate, never a re-scan per row")
 
-    val p21 = planString(RelationalQueries.tpchQ21(spark, dir))
-    assert(p21.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p21")
-    assert(p21.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p21")
-    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
-      "the non-equal supplier condition must ride the order-key equi-join")
+    val (q21, late) = RelationalQueries.tpchQ21Plan(spark, dir)
+    try {
+      val p21 = planString(q21)
+      assert(p21.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p21")
+      assert(p21.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p21")
+      assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
+        "the non-equal supplier condition must ride the order-key equi-join")
+      assert(p21.contains("InMemoryTableScan"),
+        "the late set must be materialized once, not recomputed per correlation")
+    } finally late.unpersist()
   }
 
   test("ahash dedup candidates come from the banded equi-join, never all-pairs") {

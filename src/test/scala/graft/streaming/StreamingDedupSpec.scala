@@ -158,4 +158,56 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
     assert(kept == Set(4L), s"threshold should keep only the exact copy: $kept")
   }
+
+  test("bloom dedup equals exact first-seen dedup when the filter is sized right") {
+    // static frame: flatMapGroupsWithState runs in batch mode, one "batch"
+    val docs = Tables(spark, dir, "documents")
+    val accepted = StreamingDedup.bloomDedup(docs)
+      .collect().map(_.doc_id).toSet
+    val keepers = DedupQueries.dedupExact(spark, dir)
+      .collect().map(_.getLong(1)).toSet
+    assert(accepted == keepers,
+      "at 16x65536 bits vs a few hundred docs, FP ~ 0: bloom must equal exact")
+  }
+
+  test("bloom dedup drops cross-batch repeats; state is the fixed bit array") {
+    val tmp = Files.createTempDirectory("graft-sbloom").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b0.jsonl"), Seq(
+      """{"doc_id": 1, "text": "alpha beta gamma"}""",
+      """{"doc_id": 2, "text": "alpha beta gamma"}""",
+      """{"doc_id": 3, "text": "one two three"}""").mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b1.jsonl"), Seq(
+      """{"doc_id": 7, "text": "ALPHA   beta gamma"}""",
+      """{"doc_id": 8, "text": "novel words entirely"}""").mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = StreamingDedup.bloomDedup(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(s"$tmp/in"))
+      .toDF()
+      .writeStream.format("memory").queryName("sbloom").outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("sbloom").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    // 2 is a within-batch dup of 1; 7 is a cross-batch dup of 1 AFTER the
+    // same normalization dedup_exact applies (case + whitespace)
+    assert(got == Set(1L, 3L, 8L), s"expected first-seen {1, 3, 8}, got $got")
+  }
+
+  test("bloom dedup false positives only ever DROP novel docs, never pass dups") {
+    import spark.implicits._
+    // 200 distinct docs through one 64-bit shard: heavy saturation — many
+    // false positives, but every accepted doc must still be a first-seen
+    // distinct text, and repeats of ACCEPTED docs must still be dropped
+    val docs = (1 to 200).map(i => (i.toLong, s"unique document number $i"))
+    val dup = docs.take(10).map { case (id, t) => (id + 1000, t) }
+    val frame = (docs ++ dup).toDF("doc_id", "text")
+    val out = StreamingDedup.bloomDedup(frame, shards = 1, bitsPerShard = 64)
+      .collect().map(_.doc_id).toSet
+    assert(out.nonEmpty && out.size < 200, s"64 bits must saturate: ${out.size}")
+    assert(out.forall(_ <= 200), "a duplicate (id > 1000) must never be accepted")
+  }
 }
