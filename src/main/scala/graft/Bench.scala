@@ -97,7 +97,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // honesty field: totals recorded under external load are garbage (see
+    // ROADMAP's bench cautions) — record the 1-min load average at start and
+    // end so a polluted run is self-identifying in the archived JSON
+    val loadNow = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0)
+    } catch { case _: Exception => "-1" }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"loadavg_end":$loadNow%s,"sf":"$sfDir"}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(ckptDir.toFile)
   }

@@ -129,6 +129,16 @@ object GrowthCurve {
       val (ngOut, ngSec) = timed(graft.ops.TextQueries.ngramDup(spark, dir).count())
       rows += (("text_ngram_dup", tag, n, -1L, ngOut, ngSec))
 
+      // bloom incremental dedup: the "candidate" metric is the confirm
+      // join's input (bloom-probable delta rows). This corpus has NO exact
+      // cross-source duplicates (planted dups are near-dups), so probable
+      // hits are pure false positives — the count must stay ~0 at any
+      // scale while dedup_incremental's join input would be the whole delta
+      val probed = DedupQueries.bloomProbed(spark, dir)
+        .agg(count(lit(1)).as("delta"), sum(expr("IF(maybe, 1, 0)")).as("maybe")).head()
+      val (blOut, blSec) = timed(DedupQueries.dedupBloom(spark, dir).count())
+      rows += (("dedup_bloom", tag, probed.getLong(0), probed.getLong(1), blOut, blSec))
+
       // paragraph dedup and bigram LM scoring: pure groupBy/window shuffles
       // keyed on segment/bigram strings — no candidate stage, so wall-clock
       // must track rows, not rows^2

@@ -166,27 +166,43 @@ object DedupQueries {
     * a 60-bit key collision could only ever ADD a false positive, which the
     * confirm join removes.
     */
-  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+  private val bloomCte =
+    """WITH base AS (
+      |  SELECT DISTINCT fp FROM graft_bloom_fp WHERE source = 'src0'),
+      |probed AS (
+      |  SELECT doc_id, fp,
+      |    graft_might_contain(
+      |      (SELECT graft_bloom_agg(hash60(fp), 1000000L, 8000000L) FROM base),
+      |      hash60(fp)) AS maybe
+      |  FROM graft_bloom_fp WHERE source <> 'src0')
+      |""".stripMargin
+
+  private def bloomFpView(s: SparkSession, dir: String): Unit = {
     graft.functions.GraftFunctions.registerAll(s)
-    val fp = Tables(s, dir, "documents").selectExpr(
+    Tables(s, dir, "documents").selectExpr(
       "doc_id", "source",
       "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp")
-    fp.createOrReplaceTempView("graft_bloom_fp")
-    s.sql(
-      """WITH base AS (
-        |  SELECT DISTINCT fp FROM graft_bloom_fp WHERE source = 'src0'),
-        |probed AS (
-        |  SELECT doc_id, fp,
-        |    graft_might_contain(
-        |      (SELECT graft_bloom_agg(hash60(fp), 1000000L, 8000000L) FROM base),
-        |      hash60(fp)) AS maybe
-        |  FROM graft_bloom_fp WHERE source <> 'src0')
-        |SELECT doc_id, fp, 'new' AS status FROM probed WHERE NOT maybe
+      .createOrReplaceTempView("graft_bloom_fp")
+  }
+
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    bloomFpView(s, dir)
+    s.sql(bloomCte +
+      """SELECT doc_id, fp, 'new' AS status FROM probed WHERE NOT maybe
         |UNION ALL
         |SELECT p.doc_id, p.fp,
         |  CASE WHEN b.fp IS NOT NULL THEN 'dup_base' ELSE 'new' END AS status
         |FROM (SELECT doc_id, fp FROM probed WHERE maybe) p
         |LEFT JOIN base b ON p.fp = b.fp""".stripMargin)
+  }
+
+  /** Growth-harness instrumentation: the raw probed delta (doc_id, fp,
+    * maybe) — `sum(maybe)` is the confirm join's input size, the number that
+    * must track TRUE duplicates (+ the bloom's FP sliver), never delta size.
+    */
+  private[graft] def bloomProbed(s: SparkSession, dir: String): DataFrame = {
+    bloomFpView(s, dir)
+    s.sql(bloomCte + "SELECT doc_id, fp, maybe FROM probed")
   }
 
   // --- exact n-gram Jaccard --------------------------------------------
