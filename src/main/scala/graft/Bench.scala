@@ -33,7 +33,8 @@ object Bench {
     "text_decontaminate", "text_ngram_dup", "text_quality_model", "text_lm_score",
     "doc_pack", "doc_chunk", "doc_sample_stratified", "doc_mix_report",
     "doc_upsample", "doc_shuffle_split", "doc_curate",
-    "emb_kmeans", "emb_covariance", "mm_features", "mm_ahash", "mm_ahash_dedup")
+    "emb_kmeans", "emb_covariance", "emb_pca_power", "emb_pca_project",
+    "mm_features", "mm_ahash", "mm_ahash_dedup")
 
   /** Timed runs per query; the reported time is the median, so one GC pause /
     * noisy-neighbor stall in the sandbox no longer poisons the recorded

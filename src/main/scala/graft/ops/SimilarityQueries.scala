@@ -408,6 +408,85 @@ object SimilarityQueries {
         "CAST(n * spp - si * sj AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1e8 AS cov")
   }
 
+  /** Top principal component of the embedding corpus by power iteration —
+    * PCA solved ON the engine, no driver-side linear algebra. The corpus is
+    * touched exactly once ([[embCovarianceFrom]]'s single pass); the
+    * symmetrized 64x64 matrix is persisted (64 rows) and every iteration
+    * runs on bounded frames — the shape that holds at any corpus size.
+    *
+    * Determinism (the oracle re-runs the identical arithmetic): every
+    * matrix-vector component and every norm is a LEFT-TO-RIGHT fold in
+    * index order seeded with +0.0 (Spark `aggregate` init; DuckDB
+    * `list_reduce(list_prepend(0.0, ...))`), so the IEEE result is
+    * bit-identical regardless of convergence — the oracle does not need the
+    * iteration to have converged, only to be the same computation. Sign
+    * follows the fold deterministically (v0 = all-positive).
+    */
+  def embPcaPower(s: SparkSession, dir: String, iters: Int = 12): DataFrame = {
+    val (out, rowsM) = embPcaPowerPlan(s, dir, iters)
+    Lifecycle.released(out, rowsM)
+  }
+
+  /** Lazy twin: (result, persisted matrix barrier). */
+  def embPcaPowerPlan(s: SparkSession, dir: String, iters: Int = 12)
+      : (DataFrame, DataFrame) =
+    embPcaPowerFrom(Tables(s, dir, "embeddings"), iters)
+
+  /** The kernel over any frame with an `embedding` array column (64-dim). */
+  def embPcaPowerFrom(emb: DataFrame, iters: Int = 12): (DataFrame, DataFrame) = {
+    require(iters >= 1)
+    // one corpus pass -> upper triangle; symmetrize in the same projection
+    // (emitting (j, i) twins inline — the covariance subtree must not appear
+    // twice), then row-major ordered arrays, persisted: every iteration and
+    // the final Rayleigh read this 64-row cache, never the corpus
+    val cells = embCovarianceFrom(emb)
+    val rowsM = cells
+      .selectExpr(
+        """explode(CASE WHEN i = j THEN array(struct(i AS a, j AS b, cov))
+          |ELSE array(struct(i AS a, j AS b, cov), struct(j AS a, i AS b, cov)) END) AS c""".stripMargin)
+      .select(col("c.a").as("i"), col("c.b").as("j"), col("c.cov").as("m"))
+      .groupBy(col("i"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)").as("mr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mvFold =
+      "aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, k) -> acc + element_at(mr, k) * element_at(v, k))"
+    var v = emb.sparkSession.range(1)
+      .selectExpr("transform(sequence(1, 64), k -> 0.125D) AS v")
+    for (_ <- 1 to iters) {
+      val w = rowsM.crossJoin(broadcast(v)).selectExpr("i", s"$mvFold AS w")
+        .agg(expr("transform(array_sort(collect_list(struct(i, w))), x -> x.w)").as("w"))
+      v = w.selectExpr(
+        "transform(w, x -> x / sqrt(aggregate(w, CAST(0 AS DOUBLE), (acc, y) -> acc + y * y))) AS v")
+    }
+    val rayleigh = rowsM.crossJoin(broadcast(v)).selectExpr("i", s"$mvFold AS w", "v")
+      .agg(expr("transform(array_sort(collect_list(struct(i, w))), x -> x.w)").as("w"),
+        first(col("v")).as("v"))
+      .selectExpr(
+        "v", "aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, k) -> acc + element_at(w, k) * element_at(v, k)) AS eigenvalue")
+    val out = rayleigh.selectExpr("posexplode(v) AS (p, loading)", "eigenvalue")
+      .selectExpr("CAST(p + 1 AS INT) AS i", "loading", "eigenvalue")
+    (out, rowsM)
+  }
+
+  /** Dimensionality reduction applied to the corpus: every embedding
+    * projected onto the [[embPcaPower]] eigenvector — one broadcast of the
+    * 64-double component vector, one codegen'd `vec_dot` pass over the
+    * corpus (vec_dot accumulates left-to-right in index order, exactly the
+    * oracle's seeded fold). In production this is the first column of the
+    * PCA-reduced representation that shrinks downstream ANN/dedup state.
+    */
+  def embPcaProject(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val (pca, rowsM) = embPcaPowerPlan(s, dir)
+    val vRow = pca.groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(i, loading))), x -> x.loading)").as("pc"))
+    val out = Tables(s, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .crossJoin(broadcast(vRow))
+      .selectExpr("vec_id", "vec_dot(v, pc) AS pc1")
+    Lifecycle.released(out, rowsM)
+  }
+
   /** Non-default exercise config for the parameterized surface: fewer,
     * larger buckets, one Lloyd round, 2 probes.
     */
@@ -424,6 +503,8 @@ object SimilarityQueries {
     "ann_pq_recall" -> ((s, dir) => annPqRecall(s, dir)),
     "ann_ivf_incremental" -> ((s, dir) => annIvfIncremental(s, dir)),
     "emb_covariance" -> embCovariance,
+    "emb_pca_power" -> ((s, dir) => embPcaPower(s, dir)),
+    "emb_pca_project" -> embPcaProject,
   )
 
   private val duckV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -571,6 +652,70 @@ object SimilarityQueries {
        |      ORDER BY score DESC, neighbor_id ASC) AS INT) AS rk
        |  FROM adc) t WHERE rk <= 5)""".stripMargin
 
+  /** The covariance-cell derivation shared by the emb_covariance oracle and
+    * the PCA oracle's matrix CTE (one source of truth for the cell math).
+    */
+  private val covCellsSql: String =
+    """SELECT i, j, CAST(CAST(n AS BIGINT) * spp - si * sj AS DOUBLE)
+      |    / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1e8 AS cov
+      |FROM (
+      |  SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+      |    sum(q[p.i] * q[p.j]) AS spp, sum(q[p.i]) AS si, sum(q[p.j]) AS sj,
+      |    count(1) AS n
+      |  FROM (SELECT list_transform(embedding,
+      |          x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+      |        FROM embeddings) e
+      |  CROSS JOIN (
+      |    SELECT a.i, b.j FROM (SELECT unnest(range(1, 65)) AS i) a,
+      |                         (SELECT unnest(range(1, 65)) AS j) b
+      |    WHERE a.i <= b.j) p
+      |  GROUP BY 1, 2) z""".stripMargin
+
+  private def sumFold(terms: String) =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (a, b) -> a + b)"
+
+  /** The power-iteration CTE chain (through `ray(v, eigenvalue)`), shared by
+    * the PCA oracle and the projection oracle.
+    */
+  private def pcaCtes(iters: Int): String = {
+    val mv = (v: String) =>
+      s"""SELECT list(wi ORDER BY i) AS w FROM (
+         |  SELECT i, ${sumFold(s"list_transform(range(1, 65), k -> mr[k] * $v.v[k])")} AS wi
+         |  FROM mr, $v) t""".stripMargin
+    val steps = (1 to iters).map { t =>
+      val prev = s"v${t - 1}"
+      s"""w$t AS (${mv(prev)}),
+         |v$t AS (SELECT list_transform(w, x -> x /
+         |  sqrt(${sumFold("list_transform(w, y -> y * y)")})) AS v FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cells AS ($covCellsSql),
+       |m AS (SELECT i, j, cov FROM cells
+       |      UNION ALL SELECT j AS i, i AS j, cov FROM cells WHERE i <> j),
+       |mr AS (SELECT i, list(cov ORDER BY j) AS mr FROM m GROUP BY i),
+       |v0 AS (SELECT list_transform(range(1, 65), k -> CAST(0.125 AS DOUBLE)) AS v),
+       |$steps,
+       |wf AS (${mv(s"v$iters")}),
+       |ray AS (
+       |  SELECT v$iters.v AS v,
+       |    ${sumFold(s"list_transform(range(1, 65), k -> wf.w[k] * v$iters.v[k])")} AS eigenvalue
+       |  FROM wf, v$iters)""".stripMargin
+  }
+
+  /** DuckDB twin of [[embPcaPower]]: the same left-to-right +0.0-seeded
+    * folds, unrolled as `iters` chained CTEs.
+    */
+  private def pcaPowerOracle(iters: Int): String =
+    s"""${pcaCtes(iters)}
+       |SELECT CAST(k AS INT) AS i, v[k] AS loading, eigenvalue
+       |FROM ray, (SELECT unnest(range(1, 65)) AS k)""".stripMargin
+
+  /** DuckDB twin of [[embPcaProject]]. */
+  private def pcaProjectOracle(iters: Int): String =
+    s"""${pcaCtes(iters)}
+       |SELECT vec_id,
+       |  ${sumFold("list_transform(range(1, 65), k -> CAST(embedding[k] AS DOUBLE) * v[k])")} AS pc1
+       |FROM embeddings, ray""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "ann_pq" ->
       s"""WITH $duckPqCtes
@@ -623,6 +768,8 @@ object SimilarityQueries {
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         |  embedding[1] AS e1, embedding[64] AS e64, label
         |FROM embeddings""".stripMargin,
+    "emb_pca_power" -> pcaPowerOracle(12),
+    "emb_pca_project" -> pcaProjectOracle(12),
     "emb_covariance" ->
       """WITH e AS (
         |  SELECT list_transform(embedding,

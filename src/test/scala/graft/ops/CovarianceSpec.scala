@@ -50,6 +50,25 @@ class CovarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly one quantizing transform in the plan, found $nFloor")
   }
 
+  test("power iteration recovers a planted dominant direction") {
+    import spark.implicits._
+    // dim 1 swings ±1 (variance 1), every other dim is constant: the top
+    // eigenvector must be ±e1 and the eigenvalue the dim-1 variance
+    val emb = (1 to 40).map { r =>
+      Array.tabulate(64)(d => if (d == 0) (if (r % 2 == 0) 1.0f else -1.0f) else 0.25f)
+    }.map(v => Tuple1(v.toSeq)).toDF("embedding")
+    val (pca, rowsM) = SimilarityQueries.embPcaPowerFrom(emb)
+    try {
+      val rows = pca.collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val (l1, eig) = rows(1)
+      assert(math.abs(math.abs(l1) - 1.0) < 1e-9, s"loading on dim 1 was $l1")
+      rows.filter(_._1 != 1).foreach { case (i, (l, _)) =>
+        assert(math.abs(l) < 1e-9, s"dim $i leaked loading $l")
+      }
+      assert(math.abs(eig - 1.0) < 1e-9, s"eigenvalue was $eig, expected var=1")
+    } finally rowsM.unpersist()
+  }
+
   test("cumulative distinct equals brute-force expanding distinct count") {
     val out = RelationalQueries.cumulativeDistinct(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
