@@ -25,7 +25,7 @@ object Bench {
     "q_window_running", "q_window_rank", "q_window_range", "q_sessionize", "q_funnel", "q_retention", "q_pivot",
     "q_scd2", "q_gapfill", "q_interval_merge", "q_cumulative_distinct",
     "q_approx_distinct", "q_sketch_union", "q_approx_quantile", "q_heavy_hitters",
-    "q_asof_join", "q_range_join",
+    "q_asof_join", "q_asof_nearest", "q_range_join", "q_grouping_id",
     "dedup_exact", "dedup_paragraph", "dedup_incremental", "dedup_bloom",
     "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "ann_bruteforce", "ann_ivf", "ann_ivf_incremental", "ann_recall", "ann_pq",

@@ -76,6 +76,15 @@ object RelationalQueries {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
 
+  /** CUBE with GROUPING_ID: the aggregation-level discriminator a BI layer
+    * uses to route subtotal rows (first grouping column = most significant
+    * bit, per the SQL standard in both engines).
+    */
+  def groupingId(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().cast("int").as("gid"))
+
   def groupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "orders").createOrReplaceTempView("gs_orders")
     s.sql(
@@ -966,6 +975,53 @@ object RelationalQueries {
         "CAST(unix_micros(ts) - unix_micros(m.p_ts) AS BIGINT) AS lag_us")
   }
 
+  /** Nearest-in-time as-of join: each event matched to the temporally
+    * CLOSEST purchase in either direction — the sensor-alignment shape
+    * ("attach the nearest calibration reading"). Same join-free union-tag
+    * machinery as [[asofFrom]], but BOTH directional candidates come off
+    * one shuffle and ONE sort (two frames over the same window ordering:
+    * running last for at-or-before, running first for strictly-after), then
+    * a pure projection picks the smaller distance. Tie rules (spec-pinned):
+    * equal distance prefers the backward match; equal-timestamp purchases
+    * resolve to max event_id backward (as [[asofFrom]]) and min event_id
+    * forward (first in frame order).
+    */
+  def asofNearest(s: SparkSession, dir: String): DataFrame =
+    asofNearestFrom(Tables(s, dir, "events"))
+
+  /** The nearest-as-of kernel over any (event_id, user_id, event_type, ts,
+    * value) frame.
+    */
+  def asofNearestFrom(ev: DataFrame): DataFrame = {
+    val build = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("bigint").as("event_id"), lit(null).cast("string").as("event_type"),
+        struct(col("ts").as("p_ts"), col("event_id").as("p_event_id"),
+          col("value").as("p_value")).as("pl"))
+    val probe = ev.select(col("user_id"), col("ts"), lit(1).as("side"),
+      col("event_id"), col("event_type"),
+      lit(null).cast("struct<p_ts:timestamp,p_event_id:bigint,p_value:double>").as("pl"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc, col("pl.p_event_id").asc_nulls_last)
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    build.unionByName(probe)
+      // both frames in ONE projection: the window extraction then shares a
+      // single ordering attribute, so the two Window operators stack on one
+      // sort (two withColumns each extract their own `_w0` — two sorts)
+      .select(col("*"),
+        last(col("pl"), ignoreNulls = true).over(wB).as("mb"),
+        first(col("pl"), ignoreNulls = true).over(wF).as("mf"))
+      .filter(col("side") === 1)
+      .selectExpr("event_id", "user_id", "event_type", "ts",
+        "unix_micros(ts) - unix_micros(mb.p_ts) AS lag_b",
+        "unix_micros(mf.p_ts) - unix_micros(ts) AS lag_f", "mb", "mf")
+      .selectExpr("event_id", "user_id", "event_type",
+        "CASE WHEN mb IS NOT NULL AND (mf IS NULL OR lag_b <= lag_f) THEN mb.p_event_id ELSE mf.p_event_id END AS p_event_id",
+        "CASE WHEN mb IS NOT NULL AND (mf IS NULL OR lag_b <= lag_f) THEN mb.p_value ELSE mf.p_value END AS p_value",
+        "CAST(CASE WHEN mb IS NOT NULL AND (mf IS NULL OR lag_b <= lag_f) THEN lag_b ELSE -lag_f END AS BIGINT) AS lag_us")
+  }
+
   /** Range (interval) join: purchases within 4 h after a click by the same
     * user, aggregated per click.
     *
@@ -1013,6 +1069,8 @@ object RelationalQueries {
     "q_rollup" -> rollupAgg,
     "q_cube" -> cubeAgg,
     "q_grouping_sets" -> groupingSets,
+    "q_grouping_id" -> groupingId,
+    "q_asof_nearest" -> asofNearest,
     "q_join_star" -> joinStar,
     "q_join_big" -> joinBig,
     "q_semi_join" -> semiJoin,
@@ -1068,6 +1126,32 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(1) AS BIGINT) AS cnt,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_asof_nearest" ->
+      // nearest purchase in either direction via a correlated LATERAL
+      // top-1: distance asc, backward preferred on ties, then the pinned
+      // id rule per direction (max id backward, min id forward)
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus, value
+        |  FROM events),
+        |purch AS (SELECT user_id, event_id, tus, value FROM ev
+        |          WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |  n.p_event_id, n.p_value, n.lag_us
+        |FROM ev e LEFT JOIN LATERAL (
+        |  SELECT p.event_id AS p_event_id, p.value AS p_value,
+        |    CAST(e.tus - p.tus AS BIGINT) AS lag_us
+        |  FROM purch p
+        |  WHERE p.user_id = e.user_id
+        |  ORDER BY
+        |    CASE WHEN p.tus <= e.tus THEN e.tus - p.tus ELSE p.tus - e.tus END ASC,
+        |    (p.tus > e.tus) ASC,
+        |    CASE WHEN p.tus <= e.tus THEN -p.event_id ELSE p.event_id END ASC
+        |  LIMIT 1) n ON true""".stripMargin,
     "q_interval_merge" ->
       """WITH iv AS (
         |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS s0,

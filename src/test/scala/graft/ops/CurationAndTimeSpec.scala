@@ -78,6 +78,41 @@ class CurationAndTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "purchase rows self-match the tie winner (inclusive, max id)")
   }
 
+  test("nearest asof: direction choice, backward tie preference, per-direction id rules") {
+    import spark.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      (2L, 7L, "purchase", t(10), 20.0),
+      (3L, 7L, "purchase", t(10), 30.0),
+      (5L, 7L, "purchase", t(20), 50.0),
+      (10L, 7L, "click", t(5), 0.0),   // no backward: forward to t=10, MIN id 2
+      (11L, 7L, "click", t(10), 0.0),  // at-tie backward: MAX id 3, lag 0
+      (12L, 7L, "click", t(14), 0.0),  // backward nearer (4 < 6): id 3
+      (13L, 7L, "click", t(15), 0.0),  // equidistant: backward preferred, id 3
+      (14L, 7L, "click", t(16), 0.0),  // forward nearer (4 < 6): id 5, lag -4s
+      (20L, 8L, "click", t(50), 0.0)   // user with no purchases: null match
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = RelationalQueries.asofNearestFrom(ev).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(5))))).toMap
+    assert(out(10L).contains((2L, -5000000L)), s"forward min-id: ${out(10L)}")
+    assert(out(11L).contains((3L, 0L)), s"at-tie backward max-id: ${out(11L)}")
+    assert(out(12L).contains((3L, 4000000L)), s"backward nearer: ${out(12L)}")
+    assert(out(13L).contains((3L, 5000000L)), s"equidistant backward: ${out(13L)}")
+    assert(out(14L).contains((5L, -4000000L)), s"forward nearer: ${out(14L)}")
+    assert(out(20L).isEmpty, "no purchases at all: null match")
+  }
+
+  test("nearest asof plans join-free with ONE sort for both directions") {
+    val df = RelationalQueries.asofNearest(spark, dir)
+    val p = planString(df)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"nearest as-of must not plan as a join:\n$p")
+    val finalPlan = p.split("== Initial Plan ==").head
+    val nSorts = "\\bSort \\[".r.findAllIn(finalPlan).length
+    assert(nSorts <= 1, s"both window frames must share one sort, saw $nSorts:\n$finalPlan")
+  }
+
   test("asof join plans join-free: one windowed pass, no join operator") {
     val p = planString(RelationalQueries.asofJoin(spark, dir))
     assert(p.contains("Window"), s"expected a window pass:\n$p")
