@@ -76,6 +76,21 @@ object RelationalQueries {
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
 
+  /** FILTER-clause aggregates: several differently-conditioned aggregates
+    * out of ONE pass over the group (the pre-SQL:2003 alternative was one
+    * scan per condition or CASE-wrapped inputs) — all partial-aggregable.
+    */
+  def aggFilter(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        expr("count(1) FILTER (WHERE o_orderpriority = '1-URGENT')").as("n_urgent"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) " +
+          "FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)").as("urgent_price"),
+        expr("CAST(max(o_totalprice) FILTER (WHERE o_orderpriority <> '1-URGENT') AS DOUBLE)")
+          .as("other_max"))
+
   /** CUBE with GROUPING_ID: the aggregation-level discriminator a BI layer
     * uses to route subtotal rows (first grouping column = most significant
     * bit, per the SQL standard in both engines).
@@ -1070,6 +1085,7 @@ object RelationalQueries {
     "q_cube" -> cubeAgg,
     "q_grouping_sets" -> groupingSets,
     "q_grouping_id" -> groupingId,
+    "q_agg_filter" -> aggFilter,
     "q_asof_nearest" -> asofNearest,
     "q_join_star" -> joinStar,
     "q_join_big" -> joinBig,
@@ -1126,6 +1142,14 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_filter" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(1) AS BIGINT) AS n_all,
+        |  CAST(count(1) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_price,
+        |  CAST(max(o_totalprice) FILTER (WHERE o_orderpriority <> '1-URGENT') AS DOUBLE) AS other_max
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_grouping_id" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(1) AS BIGINT) AS cnt,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid

@@ -339,7 +339,29 @@ object TextQueries {
       .selectExpr("doc_id", "n_bigrams", "freq_sum",
         "CAST(freq_sum AS DOUBLE) / n_bigrams AS lm_score")
 
+  /** Corpus vocabulary profile: top-50 tokens by total frequency with
+    * document frequency and corpus share — the Zipf-curve / stopword
+    * dashboard a curation pipeline reads before choosing filters. One
+    * partial-aggregated groupBy on the token (term frequency AND document
+    * frequency from the same shuffle via a per-doc distinct explode), the
+    * corpus total from a broadcast 1-row aggregate, and a tie-broken
+    * TakeOrdered top-50 — never a full sort of the vocabulary.
+    */
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val perDoc = docs.selectExpr("doc_id", s"explode($toks) AS tok")
+    val counts = perDoc.groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val total = counts.agg(sum(col("tf")).as("corpus_toks"))
+    counts.crossJoin(broadcast(total))
+      .select(col("tok"), col("tf"), col("df"),
+        (col("tf").cast("double") / col("corpus_toks")).as("share"))
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab" -> vocab,
     "text_lm_score" -> lmScore,
     "text_tfidf" -> tfidf,
     "text_decontaminate" -> ((s, dir) => decontaminate(s, dir)),
@@ -363,6 +385,16 @@ object TextQueries {
   private[ops] val duckNTokensSql: String = s"CAST(len($duckToks) AS INT)"
 
   val oracleSql: Map[String, String] = Map(
+    "text_vocab" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+         |c AS (
+         |  SELECT tok, CAST(count(1) AS BIGINT) AS tf,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tk GROUP BY 1),
+         |t AS (SELECT CAST(sum(tf) AS BIGINT) AS corpus_toks FROM c)
+         |SELECT tok, tf, df, CAST(tf AS DOUBLE) / corpus_toks AS share
+         |FROM c, t
+         |ORDER BY tf DESC, tok ASC LIMIT 50""".stripMargin,
     "text_lm_score" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
