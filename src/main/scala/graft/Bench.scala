@@ -29,7 +29,8 @@ object Bench {
     "dedup_exact", "dedup_paragraph", "dedup_incremental", "dedup_bloom",
     "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "ann_bruteforce", "ann_ivf", "ann_ivf_incremental", "ann_recall", "ann_pq",
-    "q_agg_filter",
+    "ann_ivfpq",
+    "q_agg_filter", "q_profile", "q_dq_report", "q_salted_join", "q_hierarchy",
     "text_quality", "text_langid", "text_repetition", "text_tfidf", "text_vocab",
     "text_decontaminate", "text_ngram_dup", "text_quality_model", "text_lm_score",
     "doc_pack", "doc_chunk", "doc_sample_stratified", "doc_mix_report",

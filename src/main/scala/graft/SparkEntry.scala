@@ -27,7 +27,9 @@ object SparkEntry {
       ops.TextQueries.queries ++
       ops.CurationQueries.queries ++
       ops.SimilarityQueries.queries ++
-      ops.MultimodalQueries.queries
+      ops.MultimodalQueries.queries ++
+      ops.ProfileQueries.queries ++
+      ops.IterativeQueries.queries
 
   /** Test-only quadratic baselines (`oracle_` prefix), fenced out of
     * [[queries]] so a user cannot accidentally run an all-pairs join at
@@ -47,7 +49,9 @@ object SparkEntry {
       ops.TextQueries.oracleSql ++
       ops.CurationQueries.oracleSql ++
       ops.SimilarityQueries.oracleSql ++
-      ops.MultimodalQueries.oracleSql
+      ops.MultimodalQueries.oracleSql ++
+      ops.ProfileQueries.oracleSql ++
+      ops.IterativeQueries.oracleSql
 
   /** Oracles for [[oracleBaselines]], key-for-key. */
   def baselineOracleSql: Map[String, String] =

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterate-to-fixpoint query surface: the recursive-CTE workloads
+  * (hierarchy resolution, transitive reachability) a warehouse answers with
+  * `WITH RECURSIVE`, re-expressed as bounded-round distributed loops.
+  *
+  * The reference delegates recursion to the downstream warehouse (its DDL
+  * targets Postgres/DuckDB, both recursive-CTE engines); Spark has no
+  * recursive CTE, so the engine provides the standard substitute: pointer
+  * doubling (path halving). Each round composes the ancestor pointer with
+  * itself — `anc'(v) = anc(anc(v))`, `depth'(v) = depth(v) + depth(anc(v))`
+  * — so a node at depth d resolves to its root in ceil(log2(d)) rounds, not
+  * d rounds. At 100 TB that is the difference between ~40 shuffle rounds
+  * for a billion-deep pathology and an unrunnable walk: every round is ONE
+  * self-equi-join on the node id (shuffle on a long key), state is three
+  * longs per vertex, and loop control reads only a 0/1 changed flag — no
+  * driver-side data. Same lineage-truncation discipline as
+  * [[DedupQueries.connectedComponentsWithRounds]]: the self-join embeds the
+  * previous generation's plan twice, so the frame is rebuilt from the
+  * materialized RDD every [[JumpCheckpointInterval]] rounds to keep logical
+  * plan growth bounded.
+  */
+object IterativeQueries {
+
+  private val JumpCheckpointInterval = 3
+
+  /** Resolve every node to its tree root via pointer doubling.
+    *
+    * @param nodes (node: long, parent: long) — a forest: `parent == node`
+    *              marks a root. Parents must themselves appear as nodes
+    *              (a dangling parent freezes its children at the dangling
+    *              id, like a recursive CTE that stops finding rows).
+    * @return ((node, root, depth), rounds) — depth = edges walked to the
+    *         root; rounds = doubling iterations to fixpoint, the observable
+    *         the O(log depth) convergence spec pins.
+    */
+  private[graft] def resolveRootsWithRounds(nodes: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = nodes.sparkSession
+    // generation 0: roots point at themselves with depth 0 (composing with
+    // a root's state is the identity, so fixpoint needs no special-casing)
+    var state = nodes.select(
+        col("node"),
+        col("parent").as("anc"),
+        when(col("parent") === col("node"), lit(0L)).otherwise(lit(1L)).as("depth"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var backing = state
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      // anc'(v) = anc(anc(v)); depth adds the jumped segment's length.
+      // Left join + coalesce keeps rows whose ancestor id has no state row
+      // (dangling parent) frozen instead of dropping them.
+      val next = state.as("x")
+        .join(state.select(col("node").as("pnode"), col("anc").as("panc"),
+            col("depth").as("pdepth")).as("p"),
+          col("x.anc") === col("p.pnode"), "left")
+        .select(col("x.node"),
+          coalesce(col("p.panc"), col("x.anc")).as("anc"),
+          (col("x.depth") + coalesce(col("p.pdepth"), lit(0L))).as("depth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n").join(state.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.depth") =!= col("o.depth")).limit(1).count()
+      backing.unpersist()
+      backing = next
+      state =
+        if (rounds % JumpCheckpointInterval == 0)
+          spark.createDataFrame(next.rdd, next.schema)
+        else next
+    }
+    val result = Lifecycle.released(
+      state.select(col("node"), col("anc").as("root"),
+        col("depth").cast("int").as("depth")),
+      backing)
+    (result, rounds)
+  }
+
+  def resolveRoots(nodes: DataFrame): DataFrame = resolveRootsWithRounds(nodes)._1
+
+  /** Catalog entry: resolve the part catalog's implicit binary hierarchy
+    * (parent(k) = (k-1)/2 — a category tree keyed by arithmetic, so the
+    * edge list is derived deterministically from testdata) to a FOREST cut
+    * at the 8 top categories (p_partkey < 8): every part gets its
+    * top-category root and its depth under it. The DuckDB oracle walks the
+    * same chains with `WITH RECURSIVE` — the warehouse formulation this
+    * operator replaces on Spark.
+    */
+  def hierarchy(s: SparkSession, dir: String): DataFrame =
+    resolveRoots(
+      Tables(s, dir, "part").select(
+        col("p_partkey").as("node"),
+        when(col("p_partkey") < 8, col("p_partkey"))
+          .otherwise(expr("(p_partkey - 1) div 2")).as("parent")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hierarchy" -> hierarchy,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_hierarchy" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT p_partkey AS node, p_partkey AS anc, 0 AS d FROM part
+        |  UNION ALL
+        |  SELECT node, (anc - 1) // 2, d + 1 FROM walk WHERE anc >= 8
+        |)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(anc AS BIGINT) AS root,
+        |  CAST(d AS INT) AS depth
+        |FROM walk WHERE anc < 8""".stripMargin,
+  )
+}

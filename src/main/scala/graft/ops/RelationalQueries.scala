@@ -136,6 +136,33 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Manually salted equi-join — the skew mitigation for when AQE's runtime
+    * skew split can't fire (skewed side feeding an aggregate in the same
+    * stage, pre-AQE engines, or a hot key known AT AUTHOR TIME). The fact
+    * side gets a per-row salt in [0, SaltBuckets); the dim side is
+    * replicated once per salt value (`explode(sequence(...))` — map-side,
+    * no shuffle), and the join key becomes (key, salt), spreading a hot
+    * orderkey over SaltBuckets reducers. Cost: the dim shuffle grows
+    * SaltBuckets-fold — the dial trades dim replication for fact balance,
+    * so it belongs on joins where the fact side dwarfs the dim side. The
+    * salt derives from non-key columns (any per-row spread works; salt
+    * values never affect the result) and the oracle is the PLAIN join —
+    * salting must be invisible in the answer.
+    */
+  def saltedJoin(s: SparkSession, dir: String, saltBuckets: Int = 8): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_partkey"), col("l_linenumber")),
+        lit(saltBuckets.toLong)))
+    val orders = Tables(s, dir, "orders")
+      .withColumn("salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    li.join(orders, li("l_orderkey") === orders("o_orderkey") &&
+        li("salt") === orders("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+  }
+
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables(s, dir, "customer")
     val orders = Tables(s, dir, "orders")
@@ -1089,6 +1116,7 @@ object RelationalQueries {
     "q_asof_nearest" -> asofNearest,
     "q_join_star" -> joinStar,
     "q_join_big" -> joinBig,
+    "q_salted_join" -> ((s, dir) => saltedJoin(s, dir)),
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_left_join" -> leftOuterJoin,
@@ -1142,6 +1170,13 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_salted_join" ->
+      // the plain join: salting must be answer-invisible
+      """SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_agg_filter" ->
       """SELECT o_orderstatus,
         |  CAST(count(1) AS BIGINT) AS n_all,

@@ -319,8 +319,13 @@ object SimilarityQueries {
     val subDim: Int = 64 / m
   }
 
-  private[ops] def pqTop(s: SparkSession, dir: String,
-      cfg: PqConfig = PqConfig()): (DataFrame, DataFrame, DataFrame) = {
+  /** The PQ index pieces over the corpus: persisted sub-vectors and trained
+    * codebook, plus the lazy encoded corpus (m codes per vector) and the
+    * query ADC term table — shared by the pure-PQ search ([[pqTop]]) and
+    * the combined IVF-pruned search ([[annIvfPq]]).
+    */
+  private def pqIndex(s: SparkSession, dir: String,
+      cfg: PqConfig): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(s)
     val subs = Tables(s, dir, "embeddings")
       .selectExpr("vec_id", s"$qExpr AS q")
@@ -352,6 +357,12 @@ object SimilarityQueries {
     val qtab = subs.filter(col("vec_id") < 10).join(broadcast(cb1), Seq("sub"))
       .selectExpr("vec_id AS query_id", "sub", "code",
         s"CAST(${idot("qs", "s")} AS DOUBLE) / cnt AS term")
+    (subs, cb1, encoded, qtab)
+  }
+
+  private[ops] def pqTop(s: SparkSession, dir: String,
+      cfg: PqConfig = PqConfig()): (DataFrame, DataFrame, DataFrame) = {
+    val (subs, cb1, encoded, qtab) = pqIndex(s, dir, cfg)
     val adc = encoded.join(broadcast(qtab), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -362,6 +373,52 @@ object SimilarityQueries {
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk").cast("int").as("rk"))
     (subs, cb1, top)
+  }
+
+  /** IVF-PQ: the two halves of a production vector index composed — the
+    * coarse quantizer PRUNES (only the query's nearest `probes` buckets are
+    * searched) and the product quantizer COMPRESSES (candidates are scored
+    * from m codes via the broadcast ADC term table; full vectors are never
+    * touched after encoding). This is the FAISS-style IVFPQ search shape at
+    * 100 TB: per query the work is |probed buckets| x m table lookups, the
+    * index state is k centroids + m x codes codewords + m codes per corpus
+    * vector. Codes here are learned on the raw sub-vectors (not centroid
+    * residuals): residual encoding would put a non-integral centroid mean
+    * inside the quantized arithmetic and break the exact-int determinism
+    * that lets the whole search be hash-gated against DuckDB — the pruning/
+    * compression plan shape is identical, recall on clustered data differs
+    * by a constant the recall entries already monitor.
+    *
+    * Plan shape: candidates = bucket-blocked equi-join (assigned x broadcast
+    * probes), then the ADC expansion runs ONLY on candidate pairs
+    * (cand join encoded on vec_id, m rows per candidate), then one
+    * partial-aggregated fold per (query, candidate). Never all-pairs.
+    */
+  def annIvfPq(s: SparkSession, dir: String, ivfCfg: IvfConfig = IvfConfig(),
+               pqCfg: PqConfig = PqConfig()): DataFrame = {
+    val (emb, centroids) = buildIndex(s, dir, ivfCfg)
+    val (subs, cb, encoded, qtab) = pqIndex(s, dir, pqCfg)
+    val assigned = assignBuckets(emb, centroids).select(col("vec_id"), col("bucket"))
+    val probes = emb.filter(col("vec_id") < 10).crossJoin(broadcast(centroids))
+      .selectExpr("vec_id AS query_id", "cid",
+        s"CAST(${idot("q", "s")} AS DOUBLE) / cnt AS score")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cid").asc)))
+      .filter(col("rk") <= ivfCfg.probes)
+      .select(col("query_id"), col("cid").as("bucket"))
+    val cand = assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val adc = cand.join(encoded, Seq("vec_id"))
+      .join(broadcast(qtab), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(expr("aggregate(sort_array(collect_list(named_struct('sub', sub, 'term', term)))," +
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id").asc)
+    val top = adc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk").cast("int").as("rk"))
+    Lifecycle.released(top, emb, centroids, subs, cb)
   }
 
   /** Array-column surface: dimension, element extraction, label. */
@@ -501,6 +558,7 @@ object SimilarityQueries {
     "emb_stats" -> embStats,
     "ann_pq" -> ((s, dir) => annPq(s, dir)),
     "ann_pq_recall" -> ((s, dir) => annPqRecall(s, dir)),
+    "ann_ivfpq" -> ((s, dir) => annIvfPq(s, dir)),
     "ann_ivf_incremental" -> ((s, dir) => annIvfIncremental(s, dir)),
     "emb_covariance" -> embCovariance,
     "emb_pca_power" -> ((s, dir) => embPcaPower(s, dir)),
@@ -612,6 +670,32 @@ object SimilarityQueries {
   private def duckDot8(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 9), i -> $a[i] * $b[i]))"
 
+  /** The PQ index chain WITHOUT the leading `e` CTE — reusable behind any
+    * CTE set that already defines `e(vec_id, q, v)` (the IVF chain does, so
+    * [[duckIvfPqSql]] composes prune + compress from one `e`).
+    */
+  private val duckPqIndexChain: String =
+    s"""subs AS (SELECT vec_id, j AS sub, q[j*8+1 : j*8+8] AS qs
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+       |cb0 AS (SELECT sub, vec_id AS code, qs AS s, CAST(1 AS BIGINT) AS cnt
+       |  FROM subs WHERE vec_id < 16),
+       |pq_a1 AS (SELECT vec_id, sub, qs, code FROM (
+       |  SELECT s.vec_id, s.sub, s.qs, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |      ORDER BY CAST(${duckDot8("s.qs", "c.s")} AS DOUBLE) / c.cnt DESC, c.code ASC) AS rk
+       |  FROM subs s JOIN cb0 c ON c.sub = s.sub) t WHERE rk = 1),
+       |cb1 AS (SELECT sub, code, list(sm ORDER BY i) AS s, min(cn) AS cnt FROM (
+       |  SELECT sub, code, i, sum(qs[i]) AS sm, count(1) AS cn
+       |  FROM pq_a1 CROSS JOIN (SELECT unnest(range(1, 9)) AS i) GROUP BY 1, 2, 3) t GROUP BY 1, 2),
+       |encoded AS (SELECT vec_id, sub, code FROM (
+       |  SELECT s.vec_id, s.sub, c.code,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |      ORDER BY CAST(${duckDot8("s.qs", "c.s")} AS DOUBLE) / c.cnt DESC, c.code ASC) AS rk
+       |  FROM subs s JOIN cb1 c ON c.sub = s.sub) t WHERE rk = 1),
+       |qtab AS (SELECT s.vec_id AS query_id, s.sub, c.code,
+       |    CAST(${duckDot8("s.qs", "c.s")} AS DOUBLE) / c.cnt AS term
+       |  FROM subs s JOIN cb1 c ON c.sub = s.sub WHERE s.vec_id < 10)""".stripMargin
+
   /** Shared CTE chain for the PQ oracles: exact-int sub-vectors, seeded
     * per-subspace codebooks, one Lloyd round, encoding, the query term
     * table, and the ADC top-5 (terms folded in subspace order via
@@ -622,26 +706,7 @@ object SimilarityQueries {
        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q,
        |  $duckV AS v
        |  FROM embeddings),
-       |subs AS (SELECT vec_id, j AS sub, q[j*8+1 : j*8+8] AS qs
-       |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
-       |cb0 AS (SELECT sub, vec_id AS code, qs AS s, CAST(1 AS BIGINT) AS cnt
-       |  FROM subs WHERE vec_id < 16),
-       |a1 AS (SELECT vec_id, sub, qs, code FROM (
-       |  SELECT s.vec_id, s.sub, s.qs, c.code,
-       |    row_number() OVER (PARTITION BY s.vec_id, s.sub
-       |      ORDER BY CAST(${duckDot8("s.qs", "c.s")} AS DOUBLE) / c.cnt DESC, c.code ASC) AS rk
-       |  FROM subs s JOIN cb0 c ON c.sub = s.sub) t WHERE rk = 1),
-       |cb1 AS (SELECT sub, code, list(sm ORDER BY i) AS s, min(cn) AS cnt FROM (
-       |  SELECT sub, code, i, sum(qs[i]) AS sm, count(1) AS cn
-       |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 9)) AS i) GROUP BY 1, 2, 3) t GROUP BY 1, 2),
-       |encoded AS (SELECT vec_id, sub, code FROM (
-       |  SELECT s.vec_id, s.sub, c.code,
-       |    row_number() OVER (PARTITION BY s.vec_id, s.sub
-       |      ORDER BY CAST(${duckDot8("s.qs", "c.s")} AS DOUBLE) / c.cnt DESC, c.code ASC) AS rk
-       |  FROM subs s JOIN cb1 c ON c.sub = s.sub) t WHERE rk = 1),
-       |qtab AS (SELECT s.vec_id AS query_id, s.sub, c.code,
-       |    CAST(${duckDot8("s.qs", "c.s")} AS DOUBLE) / c.cnt AS term
-       |  FROM subs s JOIN cb1 c ON c.sub = s.sub WHERE s.vec_id < 10),
+       |$duckPqIndexChain,
        |adc AS (SELECT t.query_id, en.vec_id AS neighbor_id,
        |    list_reduce(list(t.term ORDER BY t.sub), (acc, x) -> acc + x) AS score
        |  FROM encoded en JOIN qtab t ON t.sub = en.sub AND t.code = en.code
@@ -755,6 +820,26 @@ object SimilarityQueries {
       s"""WITH ${duckIvfCtes(IvfConfig())}
          |SELECT query_id, CAST(bucket AS BIGINT) AS bucket, neighbor_id, rk
          |FROM ivf_top""".stripMargin,
+    "ann_ivfpq" ->
+      // IVF chain (assigned + probes) and PQ chain (encoded + qtab) off the
+      // SAME `e`; ADC restricted to the IVF-probed candidates
+      s"""WITH ${duckIvfCtes(IvfConfig())},
+         |$duckPqIndexChain,
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id FROM probes p
+         |  JOIN assigned a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+         |adcp AS (
+         |  SELECT c.query_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list(t.term ORDER BY t.sub), (acc, x) -> acc + x) AS score
+         |  FROM cand c
+         |  JOIN encoded en ON en.vec_id = c.vec_id
+         |  JOIN qtab t ON t.query_id = c.query_id AND t.sub = en.sub AND t.code = en.code
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rk FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id ASC) AS INT) AS rk
+         |  FROM adcp) t WHERE rk <= 5""".stripMargin,
     "ann_recall" -> duckRecallSql(IvfConfig()),
     "ann_recall_alt" -> duckRecallSql(AltConfig),
     "ann_ivf_incremental" -> duckIvfIncrementalSql(IvfConfig(), DeltaMod),
