@@ -168,6 +168,11 @@ object GrowthCurve {
       // corpus once per query batch — wall-clock growth IS its story
       val (pqOut, pqSec) = timed(SimilarityQueries.annPq(spark, dir).count())
       rows += (("ann_pq", tag, n, -1L, pqOut, pqSec))
+      // IVF-PQ: the ADC scan is PRUNED to the probed buckets (~probes/k of
+      // the corpus), so its wall-clock growth should undercut plain PQ's as
+      // the corpus grows — that pruning ratio is the point of the compose
+      val (ipqOut, ipqSec) = timed(SimilarityQueries.annIvfPq(spark, dir).count())
+      rows += (("ann_ivfpq", tag, n, -1L, ipqOut, ipqSec))
     }
 
     println("| path | scale | rows | candidate pairs | output pairs | sec |")

@@ -9,13 +9,13 @@ import org.apache.spark.sql.functions._
   * here they run on-engine, pre-load).
   *
   * Scale shape:
-  *   - [[profile]] unpivots map-side (`stack` — no shuffle, no Expand) and
-  *     aggregates once per (column, value): the ONE distinct aggregate goes
-  *     through Spark's two-phase partial-distinct plan, so the fact table
-  *     is scanned once and the wire carries (col, value) pairs after
-  *     map-side dedup — never #distinct-aggs copies of every row (the
-  *     Expand rewrite a per-column `countDistinct` list would trigger;
-  *     plan-pinned Expand-free).
+  *   - [[profile]] runs one column-pruned global aggregate per column and
+  *     unions the one-row results: every distinct count is a two-phase
+  *     partial dedup (hash, map-side combined), never the Expand rewrite a
+  *     multi-`countDistinct` list triggers, and never a grouped aggregate
+  *     over string min/max buffers (SortAggregate fallback — see
+  *     [[profile]]'s scaladoc for the measured 10x). Plan-pinned: no
+  *     Expand, no Sort.
   *   - [[dqReport]] fuses all single-table checks into one FILTER-aggregate
   *     pass per table plus one left-anti join per foreign key — each check
   *     is a counter, so the report's output is check-cardinality-sized no
@@ -26,29 +26,50 @@ object ProfileQueries {
   /** Column profile of lineitem: per-column row/null/exact-distinct counts
     * and typed min/max. Numeric columns carry (min_num, max_num), string
     * columns (min_str, max_str) — lexicographic order agrees between
-    * engines on this ASCII data. `n_distinct` counts a coalesced value
-    * (double→string casts are injective — shortest-round-trip formatting in
-    * both engines — so the COUNT is engine-independent even though the
-    * rendered strings differ).
+    * engines on this ASCII data.
+    *
+    * Shape: one GLOBAL aggregate per column, unioned. The tempting
+    * unpivot-then-groupBy(col_name) alternative was measured 10x slower at
+    * sf0.1 (13 s vs 1.3 s): string min/max buffers are not UnsafeRow-mutable,
+    * so a GROUPED aggregate over them falls back to SortAggregate and the
+    * whole #rows x #cols unpivot stream gets sorted by (column, value) twice
+    * — while a GLOBAL aggregate has no grouping ordering requirement, so the
+    * same fallback costs nothing. Per-branch scans are column-pruned, and
+    * parquet is columnar: N one-column scans read the same bytes as one
+    * N-column scan, so the union of branches is also the 100 TB shape. Each
+    * branch's single `countDistinct` goes through the two-phase partial
+    * dedup (hash, map-side combined) — no Expand, no Sort anywhere
+    * (plan-pinned).
     */
-  def profile(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "lineitem")
-      .selectExpr(
-        """stack(6,
-          |  'l_quantity',      CAST(NULL AS STRING), l_quantity,
-          |  'l_extendedprice', CAST(NULL AS STRING), l_extendedprice,
-          |  'l_discount',      CAST(NULL AS STRING), l_discount,
-          |  'l_orderkey',      CAST(NULL AS STRING), CAST(l_orderkey AS DOUBLE),
-          |  'l_returnflag',    l_returnflag,         CAST(NULL AS DOUBLE),
-          |  'l_linestatus',    l_linestatus,         CAST(NULL AS DOUBLE)
-          |) AS (col_name, sval, dval)""".stripMargin)
-      .groupBy(col("col_name"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        expr("count(1) FILTER (WHERE sval IS NULL AND dval IS NULL)").as("n_nulls"),
-        countDistinct(coalesce(col("sval"), col("dval").cast("string"))).as("n_distinct"),
-        min(col("dval")).as("min_num"), max(col("dval")).as("max_num"),
-        min(col("sval")).as("min_str"), max(col("sval")).as("max_str"))
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    def base(e: org.apache.spark.sql.Column) = Seq(
+      count(lit(1)).as("n_rows"),
+      count(when(e.isNull, lit(1))).as("n_nulls"),
+      countDistinct(e).as("n_distinct"))
+    def num(name: String, e: org.apache.spark.sql.Column): DataFrame =
+      li.agg(base(e).head, base(e).tail :+ min(e).as("min_num") :+ max(e).as("max_num"): _*)
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          col("min_num"), col("max_num"),
+          lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+    // string branches split the counts (whose distinct rewrite GROUPS by the
+    // value — string min/max buffers there would force a SortAggregate WITH
+    // an ordering requirement) from the global string min/max (no grouping,
+    // so its SortAggregate fallback needs no Sort); both are one-row frames,
+    // joined broadcast
+    def str(name: String, e: org.apache.spark.sql.Column): DataFrame =
+      li.agg(base(e).head, base(e).tail: _*)
+        .crossJoin(broadcast(li.agg(min(e).as("min_str"), max(e).as("max_str"))))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+          col("min_str"), col("max_str"))
+    num("l_quantity", col("l_quantity"))
+      .unionAll(num("l_extendedprice", col("l_extendedprice")))
+      .unionAll(num("l_discount", col("l_discount")))
+      .unionAll(num("l_orderkey", col("l_orderkey").cast("double")))
+      .unionAll(str("l_returnflag", col("l_returnflag")))
+      .unionAll(str("l_linestatus", col("l_linestatus")))
+  }
 
   /** Constraint-validation report: PK uniqueness, FK orphans, range/enum/
     * null checks, one violation counter per check. On this testdata every

@@ -324,11 +324,15 @@ object SimilarityQueries {
     * query ADC term table — shared by the pure-PQ search ([[pqTop]]) and
     * the combined IVF-pruned search ([[annIvfPq]]).
     */
-  private def pqIndex(s: SparkSession, dir: String,
-      cfg: PqConfig): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** @param qSource optional (vec_id, q) frame to slice sub-vectors from —
+    *                 [[annIvfPq]] passes the IVF build's persisted projection
+    *                 so the corpus is scanned and quantized once, not twice.
+    */
+  private def pqIndex(s: SparkSession, dir: String, cfg: PqConfig,
+      qSource: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(s)
-    val subs = Tables(s, dir, "embeddings")
-      .selectExpr("vec_id", s"$qExpr AS q")
+    val subs = qSource.getOrElse(
+        Tables(s, dir, "embeddings").selectExpr("vec_id", s"$qExpr AS q"))
       .select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${cfg.m - 1}), j -> named_struct('sub', j, " +
           s"'qs', slice(q, j*${cfg.subDim}+1, ${cfg.subDim})))")).as("sj"))
@@ -397,7 +401,8 @@ object SimilarityQueries {
   def annIvfPq(s: SparkSession, dir: String, ivfCfg: IvfConfig = IvfConfig(),
                pqCfg: PqConfig = PqConfig()): DataFrame = {
     val (emb, centroids) = buildIndex(s, dir, ivfCfg)
-    val (subs, cb, encoded, qtab) = pqIndex(s, dir, pqCfg)
+    val (subs, cb, encoded, qtab) =
+      pqIndex(s, dir, pqCfg, qSource = Some(emb.select(col("vec_id"), col("q"))))
     val assigned = assignBuckets(emb, centroids).select(col("vec_id"), col("bucket"))
     val probes = emb.filter(col("vec_id") < 10).crossJoin(broadcast(centroids))
       .selectExpr("vec_id AS query_id", "cid",

@@ -138,6 +138,32 @@ object StreamingDedup {
       }
   }
 
+  /** Watermark-TTL exact dedup — the third point on the streaming-dedup
+    * state spectrum, between `dropDuplicates` (exact forever, unbounded
+    * state) and [[bloomDedup]] (bounded state forever, probabilistic):
+    * exact within a time horizon, with state EVICTED once the watermark
+    * passes a key's expiry. Duplicates arriving within `delay` of the
+    * first sighting are guaranteed dropped; a re-arrival after eviction is
+    * re-emitted (the documented trade — most real duplicate storms are
+    * near-in-time: replayed batches, at-least-once upstreams, double
+    * clicks). State is bounded by the horizon's distinct-key arrival rate,
+    * not the stream's lifetime.
+    *
+    * Uses the engine's own `dropDuplicatesWithinWatermark` so eviction
+    * rides the watermark machinery (RocksDB-spillable, checkpoint-
+    * restorable) instead of a hand-rolled timeout loop. Fingerprint
+    * normalization matches `dedup_exact` / [[bloomDedup]].
+    */
+  def ttlDedup(docs: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.registerAll(spark)
+    docs
+      .selectExpr("doc_id", "ts",
+        "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp")
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** [[minhashCandidates]] with in-stream verification: each bucket's state
     * also keeps the anchor's FULL minhash signature (k longs — still
     * constant-size, no text retained), and every collision carries the

@@ -29,6 +29,57 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("ttl dedup: dropped inside the horizon, state evicted past it, late re-arrival re-emitted") {
+    val tmp = Files.createTempDirectory("graft-sttl").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    // 4 files + maxFilesPerTrigger=1 => 4 micro-batches (watermark advances
+    // at batch END off the previous batch's max event time; expired state is
+    // CLEANED one batch after the watermark passes it):
+    //   b0: A@00:00, B@00:01           -> both first-seen; wm after b0 = 00:00
+    //   b1: dup-A@00:00:30 (inside the 1-min horizon of A -> DROPPED),
+    //       C@00:10 (advances wm to 00:09)
+    //   b2: D@00:11 (filler: runs with wm 00:09, so A's state — expiry
+    //       00:01 — is cleaned this batch; wm after = 00:10)
+    //   b3: dup-A@00:10:30 -> state gone, RE-EMITTED (the documented trade)
+    val textA = "alpha  beta"
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b0.jsonl"), Seq(
+      s"""{"doc_id": 1, "ts": "2024-01-01T00:00:00.000Z", "text": "$textA"}""",
+      """{"doc_id": 2, "ts": "2024-01-01T00:01:00.000Z", "text": "gamma"}""")
+      .mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b1.jsonl"), Seq(
+      s"""{"doc_id": 3, "ts": "2024-01-01T00:00:30.000Z", "text": "Alpha Beta"}""",
+      """{"doc_id": 4, "ts": "2024-01-01T00:10:00.000Z", "text": "delta"}""")
+      .mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b2.jsonl"), Seq(
+      """{"doc_id": 6, "ts": "2024-01-01T00:11:00.000Z", "text": "epsilon"}""")
+      .mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b3.jsonl"), Seq(
+      s"""{"doc_id": 5, "ts": "2024-01-01T00:10:30.000Z", "text": "ALPHA beta"}""")
+      .mkString("\n"))
+    // FileStreamSource orders pending files by MODIFICATION TIME — writes
+    // landing in the same clock tick would make batch order (and thus the
+    // watermark progression) nondeterministic; pin it explicitly
+    Seq("b0", "b1", "b2", "b3").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(java.nio.file.Paths.get(s"$tmp/in/$f.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    val q = StreamingDedup.ttlDedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(s"$tmp/in"),
+        delay = "1 minute")
+      .writeStream.format("memory").queryName("sttl").outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("sttl").collect().map(_.getLong(0)).toSet
+    val wms = q.recentProgress.map(p =>
+      s"batch=${p.batchId} wm=${p.eventTime.get("watermark")} rows=${p.numInputRows}").mkString("; ")
+    assert(out == Set(1L, 2L, 4L, 6L, 5L),
+      s"expected in-horizon dup 3 dropped and post-eviction dup 5 re-emitted, got $out ($wms)")
+  }
+
   test("stateless band rows equal the batch groupBy signature build") {
     val docs = Tables(spark, dir, "documents")
     val stateless = DedupQueries.bandRowsStateless(docs)
