@@ -96,8 +96,23 @@ object IterativeQueries {
         when(col("p_partkey") < 8, col("p_partkey"))
           .otherwise(expr("(p_partkey - 1) div 2")).as("parent")))
 
+  /** What hierarchy resolution is FOR: subtree aggregation. Every part's
+    * retail price rolls up to its top category — one groupBy on the
+    * resolved root (the iterative walk replaces the per-level self-join
+    * cascade a naive rollup would run). Decimal-exact sum, one bounded
+    * shuffle after [[resolveRoots]].
+    */
+  def hierarchyRollup(s: SparkSession, dir: String): DataFrame =
+    hierarchy(s, dir)
+      .join(Tables(s, dir, "part").select(col("p_partkey"), col("p_retailprice")),
+        col("node") === col("p_partkey"))
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_parts"), max(col("depth")).as("max_depth"),
+        sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("subtree_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hierarchy" -> hierarchy,
+    "q_hierarchy_rollup" -> hierarchyRollup,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -110,5 +125,17 @@ object IterativeQueries {
         |SELECT CAST(node AS BIGINT) AS node, CAST(anc AS BIGINT) AS root,
         |  CAST(d AS INT) AS depth
         |FROM walk WHERE anc < 8""".stripMargin,
+    "q_hierarchy_rollup" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT p_partkey AS node, p_partkey AS anc, 0 AS d FROM part
+        |  UNION ALL
+        |  SELECT node, (anc - 1) // 2, d + 1 FROM walk WHERE anc >= 8
+        |),
+        |resolved AS (SELECT node, anc AS root, d AS depth FROM walk WHERE anc < 8)
+        |SELECT CAST(r.root AS BIGINT) AS root, CAST(count(1) AS BIGINT) AS n_parts,
+        |  CAST(max(r.depth) AS INT) AS max_depth,
+        |  CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS subtree_price
+        |FROM resolved r JOIN part p ON p.p_partkey = r.node
+        |GROUP BY r.root""".stripMargin,
   )
 }

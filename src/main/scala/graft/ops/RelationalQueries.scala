@@ -91,6 +91,57 @@ object RelationalQueries {
         expr("CAST(max(o_totalprice) FILTER (WHERE o_orderpriority <> '1-URGENT') AS DOUBLE)")
           .as("other_max"))
 
+  /** Exact-arithmetic correlation + covariance per group — the two-column
+    * moment statistics (`corr`, `covar_samp`) with the house determinism
+    * rule applied: built-in float `corr` accumulates IEEE sums in partition
+    * order (non-deterministic across engines/layouts), so the moments are
+    * accumulated on the exact cent grid instead (`round(x*100)` — the data
+    * is 2-decimal, so the grid is lossless): per-row products fit int64,
+    * sums go to DECIMAL(38,0) (exact, order-independent; DuckDB widens to
+    * HUGEINT — also exact), and the only IEEE arithmetic is the final
+    * left-to-right divide/sqrt chain. Same identity as
+    * [[SimilarityQueries.embCovariance]], applied to relational columns.
+    */
+  def aggCorr(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .selectExpr("l_returnflag",
+        "CAST(round(l_quantity * 100) AS BIGINT) AS x",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS y")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .selectExpr("l_returnflag", "n",
+        "CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))" +
+          " / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_price",
+        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " / CAST(n - 1 AS DOUBLE) / 10000.0 AS covar_qty_price")
+
+  /** Positional window values: nth_value + first/last with IGNORE NULLS
+    * (the observation-carried-forward idioms). The ordering carries every
+    * output-relevant column as a tiebreaker: the testdata has full
+    * duplicate (orderkey, linenumber) rows, and RANGE-framed positional
+    * functions include peer rows — value-identical peers make every output
+    * invariant under tie order, which is what the oracle hash needs.
+    */
+  def windowNth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+    Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"),
+        nth_value(col("l_extendedprice"), 3).over(w).as("nth3"),
+        first(when(col("l_discount") =!= 0, col("l_discount")), ignoreNulls = true)
+          .over(w).as("first_disc"),
+        last(when(col("l_discount") =!= 0, col("l_discount")), ignoreNulls = true)
+          .over(w).as("last_disc"))
+  }
+
   /** CUBE with GROUPING_ID: the aggregation-level discriminator a BI layer
     * uses to route subtotal rows (first grouping column = most significant
     * bit, per the SQL standard in both engines).
@@ -161,6 +212,36 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_lines"),
         sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
           .cast("double").as("revenue"))
+  }
+
+  /** Incremental view maintenance for a JOIN view — the delta-join
+    * identity: with batches dL, dO arriving on top of bases L, O,
+    *
+    *   delta(L join O) = dL join O_base  UNION  L_base join dO
+    *                     UNION  dL join dO
+    *
+    * so refreshing the materialized join view touches each BASE table only
+    * through one equi-join against a delta — base-join-base is never
+    * recomputed. Deltas are batch-sized, so both are broadcast explicitly:
+    * at 100 TB the refresh reads the two bases once map-side and shuffles
+    * nothing (plan-pinned: three broadcast joins, zero shuffle joins). The
+    * `src` tag carries provenance (which branch produced the row) — the
+    * disjointness of the three branches is what makes the identity exact,
+    * spec-pinned as delta + base-view = full recompute.
+    */
+  def ivmJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    val dl = li.filter(pmod(col("l_linenumber"), lit(7)) === 3)
+    val bl = li.filter(pmod(col("l_linenumber"), lit(7)) =!= 3)
+    val dor = o.filter(pmod(col("o_custkey"), lit(10)) === 3)
+    val bo = o.filter(pmod(col("o_custkey"), lit(10)) =!= 3)
+    def proj(df: DataFrame, src: String) = df.select(col("l_orderkey"),
+      col("l_linenumber"), col("l_quantity"), col("o_orderpriority"),
+      lit(src).as("src"))
+    proj(broadcast(dl).join(bo, col("l_orderkey") === col("o_orderkey")), "dL")
+      .unionAll(proj(bl.join(broadcast(dor), col("l_orderkey") === col("o_orderkey")), "dO"))
+      .unionAll(proj(broadcast(dl).join(dor, col("l_orderkey") === col("o_orderkey")), "dLdO"))
   }
 
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
@@ -1113,10 +1194,13 @@ object RelationalQueries {
     "q_grouping_sets" -> groupingSets,
     "q_grouping_id" -> groupingId,
     "q_agg_filter" -> aggFilter,
+    "q_agg_corr" -> aggCorr,
+    "q_window_nth" -> windowNth,
     "q_asof_nearest" -> asofNearest,
     "q_join_star" -> joinStar,
     "q_join_big" -> joinBig,
     "q_salted_join" -> ((s, dir) => saltedJoin(s, dir)),
+    "q_ivm_join" -> ivmJoin,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_left_join" -> leftOuterJoin,
@@ -1177,6 +1261,46 @@ object RelationalQueries {
         |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
+    "q_agg_corr" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx, CAST(sum(y * y) AS HUGEINT) AS syy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy
+        |  FROM g GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_price,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |    / CAST(n - 1 AS DOUBLE) / 10000.0 AS covar_qty_price
+        |FROM m""".stripMargin,
+    "q_window_nth" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        |  nth_value(l_extendedprice, 3) OVER w AS nth3,
+        |  first_value(nullif(l_discount, 0) IGNORE NULLS) OVER w AS first_disc,
+        |  last_value(nullif(l_discount, 0) IGNORE NULLS) OVER w AS last_disc
+        |FROM lineitem
+        |WHERE l_orderkey < 1000
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount)""".stripMargin,
+    "q_ivm_join" ->
+      """WITH dl AS (SELECT * FROM lineitem WHERE l_linenumber % 7 = 3),
+        |bl AS (SELECT * FROM lineitem WHERE l_linenumber % 7 <> 3),
+        |do_ AS (SELECT * FROM orders WHERE o_custkey % 10 = 3),
+        |bo AS (SELECT * FROM orders WHERE o_custkey % 10 <> 3)
+        |SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority, 'dL' AS src
+        |FROM dl JOIN bo ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority, 'dO'
+        |FROM bl JOIN do_ ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority, 'dLdO'
+        |FROM dl JOIN do_ ON l_orderkey = o_orderkey""".stripMargin,
     "q_agg_filter" ->
       """SELECT o_orderstatus,
         |  CAST(count(1) AS BIGINT) AS n_all,

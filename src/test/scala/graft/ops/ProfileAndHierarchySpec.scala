@@ -118,6 +118,35 @@ class ProfileAndHierarchySpec extends AnyFunSuite with BeforeAndAfterAll {
       "testdata ships duplicate (orderkey, linenumber) pairs — the counter must see them")
   }
 
+  // --- q_ivm_join -------------------------------------------------------
+
+  test("q_ivm_join: delta + base view = full recompute; refresh is broadcast-only") {
+    import org.apache.spark.sql.functions._
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3))
+    val delta = RelationalQueries.ivmJoin(spark, dir)
+    // the three branches are disjoint and their union with base-join-base
+    // is exactly the full join — the IVM identity
+    val li = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val baseView = li.filter(pmod(col("l_linenumber"), lit(7)) =!= 3)
+      .join(o.filter(pmod(col("o_custkey"), lit(10)) =!= 3),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("o_orderpriority"))
+    val full = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("o_orderpriority"))
+    val got = (delta.drop("src").collect() ++ baseView.collect()).map(key).sorted
+    val want = full.collect().map(key).sorted
+    assert(got.length == want.length && got.sameElements(want),
+      "delta-join identity must reproduce the full join exactly")
+    // plan: every branch joins a broadcast delta — the bases never shuffle
+    // and never join each other
+    val physical = delta.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(physical).size == 3, physical.take(2000))
+    assert(!physical.contains("SortMergeJoin") && !physical.contains("ShuffledHashJoin"),
+      "view refresh must not shuffle the base tables")
+  }
+
   // --- q_salted_join ----------------------------------------------------
 
   test("q_salted_join: salt is a join key in the plan; answer equals the plain join") {
