@@ -132,6 +132,34 @@ final case class ChoiceSchema(columns: VectorMap[String, ColType]) {
     (ChoiceSchema(keep), columns.size - keep.size)
   }
 
+  /** Drift report against a NEWER snapshot of the same table — the
+    * schema-governance view of evolution (what a reviewer checks before a
+    * sink migration runs): added / removed / retyped columns, each flagged
+    * `widening` when the change is reachable by the observation lattice
+    * (merge(old, new) == new) — i.e. old data still fits and the evolving
+    * sink can migrate mechanically — versus a BREAKING change (type
+    * narrowed or column dropped), which only a human decision can bless.
+    * The reference has no counterpart; its users diff warehouse DDL by eye.
+    */
+  def diff(newer: ChoiceSchema): Vector[ChoiceSchema.ColumnDrift] = {
+    val out = Vector.newBuilder[ChoiceSchema.ColumnDrift]
+    columns.foreach { case (k, t) =>
+      newer.columns.get(k) match {
+        case None =>
+          out += ChoiceSchema.ColumnDrift(k, "removed", Some(t.repr), None, widening = false)
+        case Some(t2) if t2 != t =>
+          out += ChoiceSchema.ColumnDrift(k, "retyped", Some(t.repr), Some(t2.repr),
+            widening = ColType.merge(t, t2) == t2)
+        case _ => ()
+      }
+    }
+    newer.columns.foreach { case (k, t2) =>
+      if (!columns.contains(k))
+        out += ChoiceSchema.ColumnDrift(k, "added", None, Some(t2.repr), widening = true)
+    }
+    out.result()
+  }
+
   /** JSON object {col: typeRepr} in insertion order (`schema.py:201-205`). */
   def serialize: String =
     Json.writeRow(columns.iterator.map { case (k, t) => k -> JString(t.repr) }.toSeq)
@@ -141,6 +169,11 @@ final case class ChoiceSchema(columns: VectorMap[String, ColType]) {
 
 object ChoiceSchema {
   val AllowedColumnChars: Set[Char] = Set(' ', '-', '_')
+
+  /** One drifted column in a [[ChoiceSchema.diff]] report. */
+  final case class ColumnDrift(column: String, change: String,
+                               from: Option[String], to: Option[String],
+                               widening: Boolean)
 
   val empty: ChoiceSchema = ChoiceSchema(VectorMap.empty)
 

@@ -187,32 +187,26 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"))
   }
 
-  /** Manually salted equi-join — the skew mitigation for when AQE's runtime
-    * skew split can't fire (skewed side feeding an aggregate in the same
-    * stage, pre-AQE engines, or a hot key known AT AUTHOR TIME). The fact
-    * side gets a per-row salt in [0, SaltBuckets); the dim side is
-    * replicated once per salt value (`explode(sequence(...))` — map-side,
-    * no shuffle), and the join key becomes (key, salt), spreading a hot
-    * orderkey over SaltBuckets reducers. Cost: the dim shuffle grows
-    * SaltBuckets-fold — the dial trades dim replication for fact balance,
-    * so it belongs on joins where the fact side dwarfs the dim side. The
-    * salt derives from non-key columns (any per-row spread works; salt
-    * values never affect the result) and the oracle is the PLAIN join —
-    * salting must be invisible in the answer.
+  /** Manually salted equi-join as a catalog entry — the skew mitigation for
+    * when AQE's runtime skew split can't fire (skewed side feeding an
+    * aggregate in the same stage, pre-AQE engines, or a hot key known AT
+    * AUTHOR TIME). Runs the fact-dim join through the generic
+    * [[SkewJoin.saltedInnerJoin]] (fact salted per-row, dim replicated once
+    * per salt value, join key becomes (key, salt)). Cost: the dim shuffle
+    * grows saltBuckets-fold — the dial trades dim replication for fact
+    * balance, so it belongs on joins where the fact side dwarfs the dim
+    * side. Salt values never affect the result: the oracle is the PLAIN
+    * join — salting must be invisible in the answer.
     */
-  def saltedJoin(s: SparkSession, dir: String, saltBuckets: Int = 8): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
-      .withColumn("salt", pmod(xxhash64(col("l_partkey"), col("l_linenumber")),
-        lit(saltBuckets.toLong)))
-    val orders = Tables(s, dir, "orders")
-      .withColumn("salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
-    li.join(orders, li("l_orderkey") === orders("o_orderkey") &&
-        li("salt") === orders("salt"))
+  def saltedJoin(s: SparkSession, dir: String, saltBuckets: Int = 8): DataFrame =
+    SkewJoin.saltedInnerJoin(
+        Tables(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k"),
+        Tables(s, dir, "orders").withColumnRenamed("o_orderkey", "k"),
+        "k", saltBuckets)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
         sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
           .cast("double").as("revenue"))
-  }
 
   /** Incremental view maintenance for a JOIN view — the delta-join
     * identity: with batches dL, dO arriving on top of bases L, O,

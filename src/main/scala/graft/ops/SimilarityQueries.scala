@@ -400,6 +400,35 @@ object SimilarityQueries {
     */
   def annIvfPq(s: SparkSession, dir: String, ivfCfg: IvfConfig = IvfConfig(),
                pqCfg: PqConfig = PqConfig()): DataFrame = {
+    val (barriers, _, top) = ivfPqTop(s, dir, ivfCfg, pqCfg)
+    Lifecycle.released(top, barriers: _*)
+  }
+
+  /** Per-query hits of the composed IVF-PQ search against the exact
+    * brute-force top-5 — the recall monitor for the production index shape
+    * (its misses compound: a true neighbor outside the probed buckets OR
+    * quantized away by the codebook). Shares the one persisted projection
+    * with both arms.
+    */
+  def annIvfPqRecall(s: SparkSession, dir: String, ivfCfg: IvfConfig = IvfConfig(),
+                     pqCfg: PqConfig = PqConfig()): DataFrame = {
+    val (barriers, emb, top) = ivfPqTop(s, dir, ivfCfg, pqCfg)
+    val bf = bruteForceFrom(emb).select(col("query_id"), col("neighbor_id"))
+    val hits = bf.join(top.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val recall = bf.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .selectExpr("query_id", "CAST(coalesce(hits, 0) AS BIGINT) AS hits",
+        "CAST(coalesce(hits, 0) AS DOUBLE) / 5.0 AS recall")
+    Lifecycle.released(recall, barriers: _*)
+  }
+
+  /** The composed search: (persisted barriers, the shared per-vector
+    * projection, the lazy IVF-pruned ADC top-5).
+    */
+  private def ivfPqTop(s: SparkSession, dir: String, ivfCfg: IvfConfig,
+      pqCfg: PqConfig): (Seq[DataFrame], DataFrame, DataFrame) = {
     val (emb, centroids) = buildIndex(s, dir, ivfCfg)
     val (subs, cb, encoded, qtab) =
       pqIndex(s, dir, pqCfg, qSource = Some(emb.select(col("vec_id"), col("q"))))
@@ -423,7 +452,7 @@ object SimilarityQueries {
     val top = adc.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk").cast("int").as("rk"))
-    Lifecycle.released(top, emb, centroids, subs, cb)
+    (Seq(emb, centroids, subs, cb), emb, top)
   }
 
   /** Array-column surface: dimension, element extraction, label. */
@@ -564,6 +593,7 @@ object SimilarityQueries {
     "ann_pq" -> ((s, dir) => annPq(s, dir)),
     "ann_pq_recall" -> ((s, dir) => annPqRecall(s, dir)),
     "ann_ivfpq" -> ((s, dir) => annIvfPq(s, dir)),
+    "ann_ivfpq_recall" -> ((s, dir) => annIvfPqRecall(s, dir)),
     "ann_ivf_incremental" -> ((s, dir) => annIvfIncremental(s, dir)),
     "emb_covariance" -> embCovariance,
     "emb_pca_power" -> ((s, dir) => embPcaPower(s, dir)),
@@ -722,6 +752,31 @@ object SimilarityQueries {
        |      ORDER BY score DESC, neighbor_id ASC) AS INT) AS rk
        |  FROM adc) t WHERE rk <= 5)""".stripMargin
 
+  /** The composed IVF-PQ CTE chain (through `ivfpq_top`): IVF chain
+    * (assigned + probes) and PQ chain (encoded + qtab) off the SAME `e`;
+    * ADC restricted to the IVF-probed candidates. Shared by the search
+    * oracle and its recall twin.
+    */
+  private lazy val duckIvfPqCtes: String =
+    s"""${duckIvfCtes(IvfConfig())},
+       |$duckPqIndexChain,
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id FROM probes p
+       |  JOIN assigned a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+       |adcp AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list(t.term ORDER BY t.sub), (acc, x) -> acc + x) AS score
+       |  FROM cand c
+       |  JOIN encoded en ON en.vec_id = c.vec_id
+       |  JOIN qtab t ON t.query_id = c.query_id AND t.sub = en.sub AND t.code = en.code
+       |  GROUP BY 1, 2),
+       |ivfpq_top AS (
+       |  SELECT query_id, neighbor_id, rk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id ASC) AS INT) AS rk
+       |    FROM adcp) t WHERE rk <= 5)""".stripMargin
+
   /** The covariance-cell derivation shared by the emb_covariance oracle and
     * the PCA oracle's matrix CTE (one source of truth for the cell math).
     */
@@ -826,25 +881,28 @@ object SimilarityQueries {
          |SELECT query_id, CAST(bucket AS BIGINT) AS bucket, neighbor_id, rk
          |FROM ivf_top""".stripMargin,
     "ann_ivfpq" ->
-      // IVF chain (assigned + probes) and PQ chain (encoded + qtab) off the
-      // SAME `e`; ADC restricted to the IVF-probed candidates
-      s"""WITH ${duckIvfCtes(IvfConfig())},
-         |$duckPqIndexChain,
-         |cand AS (
-         |  SELECT p.query_id, a.vec_id FROM probes p
-         |  JOIN assigned a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
-         |adcp AS (
-         |  SELECT c.query_id, c.vec_id AS neighbor_id,
-         |    list_reduce(list(t.term ORDER BY t.sub), (acc, x) -> acc + x) AS score
-         |  FROM cand c
-         |  JOIN encoded en ON en.vec_id = c.vec_id
-         |  JOIN qtab t ON t.query_id = c.query_id AND t.sub = en.sub AND t.code = en.code
-         |  GROUP BY 1, 2)
-         |SELECT query_id, neighbor_id, rk FROM (
-         |  SELECT query_id, neighbor_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score DESC, neighbor_id ASC) AS INT) AS rk
-         |  FROM adcp) t WHERE rk <= 5""".stripMargin,
+      s"""WITH $duckIvfPqCtes
+         |SELECT query_id, neighbor_id, rk FROM ivfpq_top""".stripMargin,
+    "ann_ivfpq_recall" ->
+      s"""WITH $duckIvfPqCtes,
+         |bf_sims AS (
+         |  SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+         |    ${duckDot("q.v", "e2.v")} / (sqrt(${duckDot("q.v", "q.v")}) * sqrt(${duckDot("e2.v", "e2.v")})) AS sim
+         |  FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id WHERE q.vec_id < 10),
+         |bf_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |    FROM bf_sims) t WHERE rk <= 5),
+         |hit_counts AS (
+         |  SELECT b.query_id, count(1) AS hits
+         |  FROM bf_top b JOIN ivfpq_top i
+         |    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM bf_top) q
+         |LEFT JOIN hit_counts h ON h.query_id = q.query_id""".stripMargin,
     "ann_recall" -> duckRecallSql(IvfConfig()),
     "ann_recall_alt" -> duckRecallSql(AltConfig),
     "ann_ivf_incremental" -> duckIvfIncrementalSql(IvfConfig(), DeltaMod),

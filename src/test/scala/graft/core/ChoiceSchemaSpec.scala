@@ -206,4 +206,29 @@ class ChoiceSchemaSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("diff: added/removed/retyped with lattice-derived widening flags") {
+    val old = ChoiceSchema.empty
+      .observe(row("a" -> JLong(1), "b" -> JString("x"), "c" -> JBool(true), "d" -> JLong(2)))
+    // newer: a widens int->choice(int,str); b unchanged; c removed; e added;
+    // d "narrows" to bool (NOT reachable by observation from int = breaking)
+    val newer = ChoiceSchema.empty
+      .observe(row("a" -> JLong(1), "b" -> JString("x"), "e" -> JDouble(1.5)))
+      .observe(row("a" -> JString("s"), "d" -> JBool(true)))
+      // drop c by never observing it; force d's standalone type
+    val byCol = old.diff(ChoiceSchema(newer.columns.removed("d").updated("d", CBool)))
+      .map(d => d.column -> d).toMap
+    assert(byCol("a").change == "retyped" && byCol("a").widening,
+      "int -> choice(int,str) is lattice-reachable")
+    assert(byCol("c").change == "removed" && !byCol("c").widening)
+    assert(byCol("e").change == "added" && byCol("e").widening)
+    assert(byCol("d").change == "retyped" && !byCol("d").widening,
+      "int -> bool is not reachable by observation: breaking")
+    assert(!byCol.contains("b"), "unchanged columns do not appear")
+    // self-diff is empty; a pure observation extension is all-widening
+    assert(old.diff(old).isEmpty)
+    val extended = old.observe(row("a" -> JString("s"), "f" -> JLong(9)))
+    assert(old.diff(extended).forall(_.widening),
+      "every drift produced by further observation must be widening")
+  }
 }

@@ -154,7 +154,7 @@ class ProfileAndHierarchySpec extends AnyFunSuite with BeforeAndAfterAll {
     val salted = RelationalQueries.saltedJoin(spark, dir)
     val join = salted.queryExecution.optimizedPlan
       .collectFirst { case j: Join => j }.getOrElse(fail("no join"))
-    assert(join.condition.get.references.map(_.name).count(_ == "salt") >= 2,
+    assert(join.condition.get.references.map(_.name).count(_ == "__graft_salt_") >= 2,
       "both sides must join on the salt column")
     val got = salted.collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap

@@ -459,6 +459,75 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream-stream join ${got.size} rows != batch ${expected.size}")
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched rows flush as nulls on watermark") {
+    // Outer stream-stream is the attribution report's honest form: an
+    // impression with NO click inside the window must still appear (null
+    // click) — but only once the click watermark guarantees no match can
+    // still arrive. The null rows therefore emit in the no-data batch that
+    // advances the watermark past imp_ts + 10 min (a query that stopped at
+    // the last data batch would hold them in state forever).
+    val tmp = Files.createTempDirectory("graft-ssouter").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/imp"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/clk"))
+    // imp 0 (user 0, 00:00) matched by clk 0 @00:05; imp 1 (user 1, 00:01)
+    // unmatched; imp 2 (user 2, 00:02) "matched" only by a click OUTSIDE
+    // the 10-min window -> also null. The GLOBAL watermark is the MIN over
+    // both streams' watermarks, and expired state is cleaned one batch
+    // after the watermark passes it — so BOTH sources get late "pusher"
+    // rows in two follow-up batches (maxFilesPerTrigger=1): batch 1 loads
+    // the payload, batch 2's pushers advance both watermarks past
+    // imp_ts + 10 min, batch 3's pushers trigger the cleanup that flushes
+    // the unmatched imps. Pusher rows (id >= 90) stay in state at stop;
+    // the comparison scopes to the payload ids.
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/imp/a.jsonl"), Seq(
+      """{"user_id": 0, "imp_id": 0, "imp_ts": "2024-01-01T00:00:00.000Z"}""",
+      """{"user_id": 1, "imp_id": 1, "imp_ts": "2024-01-01T00:01:00.000Z"}""",
+      """{"user_id": 2, "imp_id": 2, "imp_ts": "2024-01-01T00:02:00.000Z"}""").mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/clk/a.jsonl"), Seq(
+      """{"user_id": 0, "clk_id": 0, "clk_ts": "2024-01-01T00:05:00.000Z"}""",
+      """{"user_id": 2, "clk_id": 5, "clk_ts": "2024-01-01T00:30:00.000Z"}""").mkString("\n"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/imp/b.jsonl"),
+      """{"user_id": 90, "imp_id": 90, "imp_ts": "2024-01-01T01:30:00.000Z"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/clk/b.jsonl"),
+      """{"user_id": 91, "clk_id": 91, "clk_ts": "2024-01-01T01:30:00.000Z"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/imp/c.jsonl"),
+      """{"user_id": 92, "imp_id": 92, "imp_ts": "2024-01-01T02:30:00.000Z"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/clk/c.jsonl"),
+      """{"user_id": 93, "clk_id": 93, "clk_ts": "2024-01-01T02:30:00.000Z"}""")
+    for (src <- Seq("imp", "clk"); (f, i) <- Seq("a", "b", "c").zipWithIndex)
+      Files.setLastModifiedTime(java.nio.file.Paths.get(s"$tmp/$src/$f.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+    val impSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("imp_id", LongType), StructField("imp_ts", TimestampType)))
+    val clkSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("clk_id", LongType), StructField("clk_ts", TimestampType)))
+    def joined(imp: org.apache.spark.sql.DataFrame, clk: org.apache.spark.sql.DataFrame) =
+      imp.withWatermark("imp_ts", "10 minutes")
+        .join(clk.withWatermark("clk_ts", "10 minutes"),
+          imp("user_id") === clk("user_id") &&
+            col("clk_ts") >= col("imp_ts") &&
+            col("clk_ts") <= col("imp_ts") + expr("interval 10 minutes"),
+          "left_outer")
+        .select(imp("user_id"), col("imp_id"), col("clk_id"))
+    val q = joined(
+      spark.readStream.schema(impSchema).option("maxFilesPerTrigger", 1).json(s"$tmp/imp"),
+      spark.readStream.schema(clkSchema).option("maxFilesPerTrigger", 1).json(s"$tmp/clk"))
+      .writeStream.format("memory").queryName("attrib_outer").outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    val got = spark.table("attrib_outer").collect().map(key).filter(_._2 <= 2).toSet
+    val expected = joined(
+      spark.read.schema(impSchema).json(s"$tmp/imp"),
+      spark.read.schema(clkSchema).json(s"$tmp/clk")).collect().map(key).filter(_._2 <= 2).toSet
+    assert(got == expected, s"stream $got != batch $expected")
+    assert(got == Set((0L, 0L, 0L), (1L, 1L, -1L), (2L, 2L, -1L)),
+      "unmatched and out-of-window impressions must surface with null clicks")
+  }
+
   test("gzip JSONL sink round-trip (K3)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-gz").toString
