@@ -6,6 +6,11 @@ import org.apache.spark.sql.types.DoubleType
 
 /** Sources (SURVEY §2.1): the reference ingests JSONL from local FS / S3 /
   * in-memory iterables. Spark equivalents, one per reference operator.
+  *
+  * Beyond the reference: parquet/ORC columnar round-trips (pushdown +
+  * pruning pinned by FormatRoundTripSpec) and the `binaryFile` source as
+  * the raw-media ingest path for the multimodal surface — all through
+  * Spark's native readers, so they need no wrapper here.
   */
 object Sources {
 
