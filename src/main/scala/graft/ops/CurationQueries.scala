@@ -314,7 +314,29 @@ object CurationQueries {
         "size(split(chunk, ' ')) AS n_tokens")
   }
 
+  /** Percentile-threshold quality filtering — the form quality cutoffs
+    * actually take in production ("drop the bottom decile by model score"):
+    * static thresholds go stale as the corpus shifts, a quantile tracks it.
+    * Two bounded passes: the exact interpolated percentile of the model
+    * score (one partial+final aggregate — constant-size state per
+    * partition), broadcast back as a 1-row frame, then a map-side filter.
+    * The score is [[TextQueries.qualityModelFrom]]'s exact-int model
+    * (single IEEE division per doc), and the threshold arithmetic matches
+    * DuckDB's `quantile_cont` bit-for-bit (same machinery as
+    * `q_percentiles`) — so even the >= comparison at the cut line is
+    * engine-independent.
+    */
+  def filterQuantile(s: SparkSession, dir: String, pct: Double = 0.10): DataFrame = {
+    require(pct > 0 && pct < 1)
+    val scored = TextQueries.qualityModelFrom(Tables(s, dir, "documents"))
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+    val thr = scored.agg(expr(s"percentile(score, $pct)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("score") >= col("thr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_filter_quantile" -> ((s, dir) => filterQuantile(s, dir)),
     "doc_chunk" -> ((s, dir) => docChunk(s, dir)),
     "doc_sample_stratified" -> sampleStratified,
     "doc_pack" -> ((s, dir) => packSequences(s, dir)),
@@ -328,6 +350,15 @@ object CurationQueries {
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracleSql: Map[String, String] = Map(
+    "doc_filter_quantile" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, ${TextQueries.duckNTokensSql} AS n_tokens,
+         |    CASE WHEN ${TextQueries.duckNTokensSql} = 0 THEN CAST(0.0 AS DOUBLE)
+         |         ELSE CAST(${TextQueries.duckScoreRawSql} AS DOUBLE) / ${TextQueries.duckNTokensSql}
+         |    END AS score
+         |  FROM documents),
+         |t AS (SELECT quantile_cont(score, 0.10) AS thr FROM sc)
+         |SELECT doc_id, n_tokens, score, thr FROM sc, t WHERE score >= thr""".stripMargin,
     "doc_chunk" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)

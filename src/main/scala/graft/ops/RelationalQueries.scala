@@ -333,6 +333,61 @@ object RelationalQueries {
           .otherwise("update").as("action"))
   }
 
+  /** Changelog apply WITH DELETES (CDC apply, Debezium-shaped): the
+    * [[mergeUpsert]] machinery extended by the third op. The changelog
+    * still collapses to one winner per key FIRST (partial+final `max_by` —
+    * never join or window the raw changelog), then one full-outer equi-join
+    * computes the surviving snapshot: untouched base rows pass through,
+    * upserts update-or-insert, and a key whose LAST change is a delete op
+    * (here: the user's final event is an `error` — account purge) drops
+    * out of the result entirely; a delete of a key the base never had is a
+    * no-op. Output is the post-apply SNAPSHOT, so row absence IS the
+    * delete semantics the oracle checks.
+    */
+  def mergeCdc(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "customer")
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"))
+    val latest = Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id").as("key"),
+        when(col("last.event_type") === "error", "D").otherwise("U").as("op"),
+        col("last.value").as("new_value"))
+    base.join(latest, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        col("key"),
+        coalesce(col("segment"), lit("unknown")).as("segment"),
+        coalesce(col("new_value"), lit(0.0)).as("value"),
+        when(col("segment").isNull, "insert")
+          .when(col("op").isNull, "keep")
+          .otherwise("update").as("action"))
+  }
+
+  /** Temporal (point-in-time) dimension join: enrich each event with the
+    * dimension attributes that were CURRENT at the event's timestamp — the
+    * fact-to-SCD2 lookup every event pipeline runs (joining today's
+    * dimension row instead silently rewrites history). The dimension is
+    * [[scd2]]'s [eff_from, eff_to) version table; the join is an EQUI-join
+    * on the entity key with the validity window as a residual predicate —
+    * the right 100 TB shape when a key's version list is short (the
+    * no-equi-key variant is `q_range_join`'s bucketization). Half-open
+    * intervals make the match unique: every event lands in exactly one
+    * version row.
+    */
+  def temporalJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = scd2(s, dir).withColumnRenamed("user_id", "d_user")
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("ts") >= col("eff_from") &&
+        (col("eff_to").isNull || col("ts") < col("eff_to")))
+      .select(col("event_id"), col("user_id"), col("ts"), col("attr"), col("version"))
+  }
+
   /** Fixed-bound histogram: bucket assignment is a pure per-row projection
     * (map-side), so the only shuffle is the 10-group final aggregate —
     * at 100 TB this is a full scan with kilobytes of shuffle.
@@ -1201,6 +1256,8 @@ object RelationalQueries {
     "q_full_outer" -> fullOuterJoin,
     "q_theta_join" -> thetaJoin,
     "q_merge_upsert" -> mergeUpsert,
+    "q_merge_cdc" -> mergeCdc,
+    "q_temporal_join" -> temporalJoin,
     "q_histogram" -> histogram,
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q5" -> tpchQ5,
@@ -1770,6 +1827,41 @@ object RelationalQueries {
         |  LEAST(c_acctbal, 1000.0) AS capped_bal,
         |  CAST(c_acctbal IS NULL AS INT) AS is_null
         |FROM customer""".stripMargin,
+    "q_merge_cdc" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key, c_mktsegment AS segment FROM customer
+        |  WHERE c_custkey % 2 = 0),
+        |latest AS (
+        |  SELECT user_id AS key,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value AS new_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                     ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) t
+        |  WHERE rn = 1)
+        |SELECT coalesce(b.key, l.key) AS key,
+        |  coalesce(b.segment, 'unknown') AS segment,
+        |  coalesce(l.new_value, 0.0) AS value,
+        |  CASE WHEN b.segment IS NULL THEN 'insert'
+        |       WHEN l.op IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM base b FULL OUTER JOIN latest l ON l.key = b.key
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+    "q_temporal_join" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id, event_type AS attr,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+        |  FROM events),
+        |chg AS (SELECT user_id, ts, event_id, attr FROM base
+        |        WHERE prev_attr IS NULL OR attr <> prev_attr),
+        |dim AS (
+        |  SELECT user_id, attr, ts AS eff_from,
+        |    LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+        |  FROM chg)
+        |SELECT e.event_id, e.user_id, e.ts, d.attr, d.version
+        |FROM events e JOIN dim d ON d.user_id = e.user_id
+        |  AND e.ts >= d.eff_from AND (d.eff_to IS NULL OR e.ts < d.eff_to)""".stripMargin,
     "q_scd2" ->
       """WITH base AS (
         |  SELECT user_id, ts, event_id, event_type AS attr,
