@@ -28,6 +28,7 @@ object Bench {
     "q_asof_join", "q_asof_nearest", "q_range_join", "q_grouping_id",
     "dedup_exact", "dedup_paragraph", "dedup_incremental", "dedup_bloom",
     "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
+    "emb_dup_clusters", "q_dq_violations",
     "ann_bruteforce", "ann_ivf", "ann_ivf_incremental", "ann_recall", "ann_pq",
     "ann_ivfpq",
     "q_agg_filter", "q_profile", "q_dq_report", "q_salted_join", "q_hierarchy",

@@ -807,12 +807,28 @@ object DedupQueries {
         (col("id") === col("label")).as("is_survivor"))
   }
 
+  /** [[dedupClusters]] for SEMANTIC near-dups: the same connected-components
+    * resolution over the embedding-LSH pair stream instead of the token-
+    * Jaccard one — cross-paraphrase duplicate groups that share no surface
+    * tokens. One pair source swap; the component machinery, survivor rule,
+    * and recursive-CTE oracle pattern are identical.
+    */
+  def embDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupEmbeddingLsh(s, dir)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val vertices = Tables(s, dir, "embeddings").select(col("vec_id").as("id"))
+    connectedComponents(pairs, vertices)
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_survivor"))
+  }
+
   /** Public catalog: scale-safe paths only. The quadratic all-pairs
     * baselines live in [[oracleBaselines]] so a user browsing this map
     * cannot accidentally launch an all-pairs join over a 100 TB corpus.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
+    "emb_dup_clusters" -> embDupClusters,
     "dedup_exact" -> dedupExact,
     "dedup_paragraph" -> ((s, dir) => dedupParagraph(s, dir)),
     "dedup_incremental" -> dedupIncremental,
@@ -946,6 +962,23 @@ object DedupQueries {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keeper, count(1) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "emb_dup_clusters" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        |edges AS (SELECT va AS src, vb AS dst FROM pairs
+        |          UNION ALL SELECT vb, va FROM pairs),
+        |reach AS (
+        |  SELECT vec_id AS node, vec_id AS r FROM embeddings
+        |  UNION
+        |  SELECT e2.dst AS node, reach.r AS r
+        |  FROM reach JOIN edges e2 ON reach.node = e2.src)
+        |SELECT node AS vec_id, min(r) AS cluster_id, min(r) = node AS is_survivor
+        |FROM reach GROUP BY node""".stripMargin,
     "oracle_dedup_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, list_distinct($duckToks) AS tset FROM documents),
          |sizes AS (SELECT doc_id, lang, len(tset) AS sz FROM d),

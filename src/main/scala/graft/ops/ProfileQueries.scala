@@ -109,12 +109,28 @@ object ProfileQueries {
     liChecks.unionAll(pkOrders).unionAll(orphanLi).unionAll(orphanOrd)
   }
 
+  /** The drill-down behind [[dqReport]]'s live counter: WHICH composite
+    * keys violate lineitem's PK, with multiplicity — the row-level evidence
+    * an on-call engineer needs after the counter fires. One partial-
+    * aggregated groupBy; output is bounded by the violation count, not the
+    * table.
+    */
+  def dqViolations(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> profile,
     "q_dq_report" -> dqReport,
+    "q_dq_violations" -> dqViolations,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dq_violations" ->
+      """SELECT l_orderkey, l_linenumber, CAST(count(1) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 HAVING count(1) > 1""".stripMargin,
     "q_profile" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS col_name, CAST(NULL AS VARCHAR) AS sval, l_quantity AS dval FROM lineitem
