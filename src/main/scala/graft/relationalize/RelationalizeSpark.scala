@@ -44,7 +44,16 @@ final case class RelationalizeOptions(
       * tree, so a parent/child join multiplies across the duplicate set
       * (dedup duplicates first, or keep positional keys).
       */
-    contentDocKeys: Boolean = false)
+    contentDocKeys: Boolean = false,
+    /** `false` (default, reference semantics: `json.loads` raises): one
+      * malformed line fails the job — correct for curated inputs, fatal for
+      * a 100 TB crawl where one bad row among billions kills hours of work.
+      * `true`: unparseable lines route to the [[RelationalizeSpark.QuarantineTable]]
+      * table as (_raw_, _error_) rows — the job completes, the bad rows stay
+      * queryable/re-dressable, and every parseable document is unaffected
+      * (rids don't shift: the ordinal still counts every input line).
+      */
+    quarantine: Boolean = false)
 
 /** Result of relationalizing a document collection: one typed DataFrame per
   * discovered table plus its choice schema (for DDL / introspection).
@@ -103,9 +112,37 @@ object RelationalizeSpark {
     if (contentDocKeys) (_, _, line) => Relationalizer.contentDocKey(line)
     else (pid, ordinal, _) => s"$pid:$ordinal"
 
+  /** Destination table for unparseable lines under
+    * [[RelationalizeOptions.quarantine]] — a NORMAL table (pass 2 serves it
+    * like any other, so the bad rows are queryable), named outside the
+    * reference's child-table naming scheme (`<name>_<path>`: a collision
+    * would require relationalizing a collection literally named
+    * `_quarantine_`).
+    */
+  val QuarantineTable = "_quarantine_"
+
+  /** [[Relationalizer.relationalizeLine]] with the quarantine policy
+    * applied. The error column carries the exception CLASS only — messages
+    * embed parser positions and object identities, which would make the
+    * emitted payload (and thus golden tests) input-layout-dependent; the
+    * raw line is the actionable evidence anyway.
+    */
+  private def relLine(line: String, name: String, key: String,
+                      quarantine: Boolean): Vector[(String, Relationalizer.FlatRow)] =
+    if (!quarantine) Relationalizer.relationalizeLine(line, name, key)
+    else
+      try Relationalizer.relationalizeLine(line, name, key)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Vector((QuarantineTable, scala.collection.immutable.VectorMap[String, JValue](
+            "_raw_" -> JString(line),
+            "_error_" -> JString(e.getClass.getSimpleName))))
+      }
+
   /** Pass-1 transform: raw JSON lines -> emitted (table, flatRow) pairs. */
   def emit(ds: Dataset[String], name: String,
-           contentDocKeys: Boolean = false): Dataset[Emitted] = {
+           contentDocKeys: Boolean = false,
+           quarantine: Boolean = false): Dataset[Emitted] = {
     implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
     val key = docKeyFn(contentDocKeys)
     ds.mapPartitions { iter =>
@@ -113,7 +150,7 @@ object RelationalizeSpark {
       var ordinal = -1L
       iter.flatMap { line =>
         ordinal += 1
-        Relationalizer.relationalizeLine(line, name, key(pid, ordinal, line)).iterator.map {
+        relLine(line, name, key(pid, ordinal, line), quarantine).iterator.map {
           case (table, row) => Emitted(table, Json.writeTaggedRow(row))
         }
       }
@@ -137,7 +174,8 @@ object RelationalizeSpark {
     */
   def emitWithSchemas(ds: Dataset[String], name: String,
                       schemaMapCap: Int = 8192,
-                      contentDocKeys: Boolean = false): Dataset[Emitted] = {
+                      contentDocKeys: Boolean = false,
+                      quarantine: Boolean = false): Dataset[Emitted] = {
     require(schemaMapCap > 0)
     implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
     val key = docKeyFn(contentDocKeys)
@@ -154,7 +192,7 @@ object RelationalizeSpark {
       }
       val dataRows = iter.flatMap { line =>
         ordinal += 1
-        Relationalizer.relationalizeLine(line, name, key(pid, ordinal, line)).iterator.flatMap {
+        relLine(line, name, key(pid, ordinal, line), quarantine).iterator.flatMap {
           case (table, row) =>
             localSchemas.update(table,
               localSchemas.getOrElse(table, ChoiceSchema.empty).observe(row))
@@ -317,7 +355,8 @@ object RelationalizeSpark {
     val (emittedSource: Dataset[Emitted], cached: Option[Dataset[Emitted]]) =
       options.materializePath match {
       case Some(path) =>
-        emitWithSchemas(ds, name, options.schemaMapCap, options.contentDocKeys)
+        emitWithSchemas(ds, name, options.schemaMapCap, options.contentDocKeys,
+            options.quarantine)
           .write.mode(SaveMode.Overwrite).partitionBy("table").parquet(path)
         implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
         // explicit schema: an empty corpus writes no data files, and
@@ -328,7 +367,8 @@ object RelationalizeSpark {
           .parquet(path)
           .select(col("table").cast(StringType), col("payload")).as[Emitted], None)
       case None =>
-        val c = emitWithSchemas(ds, name, options.schemaMapCap, options.contentDocKeys)
+        val c = emitWithSchemas(ds, name, options.schemaMapCap, options.contentDocKeys,
+            options.quarantine)
           .persist(StorageLevel.MEMORY_AND_DISK)
         (c, Some(c))
     }

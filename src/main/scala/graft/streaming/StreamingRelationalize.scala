@@ -29,8 +29,9 @@ object StreamingRelationalize {
     * Usable directly as `emit(stream).writeStream...` with any sink;
     * rid determinism derives from (batch partition, ordinal) like batch mode.
     */
-  def emit(lines: Dataset[String], name: String): Dataset[Emitted] =
-    RelationalizeSpark.emit(lines, name)
+  def emit(lines: Dataset[String], name: String,
+           quarantine: Boolean = false): Dataset[Emitted] =
+    RelationalizeSpark.emit(lines, name, quarantine = quarantine)
 
   /** Frozen-schema streaming: convert each table's stream with a fixed choice
     * schema, returning one streaming DataFrame per table.

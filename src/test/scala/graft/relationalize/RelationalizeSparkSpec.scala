@@ -77,6 +77,29 @@ class RelationalizeSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res("users_connections").count() == 2)
   }
 
+  test("quarantine: a malformed line routes to _quarantine_; default still raises; rids don't shift") {
+    val bad = """{"user_id": "u3", "name": BROKEN"""
+    val docs = Seq(lmsDocs.head, bad, lmsDocs(1))
+    // default = reference semantics: the job fails on the bad line
+    intercept[org.apache.spark.SparkException] {
+      RelationalizeSpark(ds(docs: _*), "users").tables("users").count()
+    }
+    // quarantine on: bad line is a queryable (_raw_, _error_) row; every
+    // parseable doc is unaffected — its rid ordinal still counts the bad
+    // line, so rids MATCH the failFast run over the good docs' positions
+    val res = RelationalizeSpark(ds(docs: _*), "users",
+      RelationalizeOptions(quarantine = true))
+    assert(res.tables.keySet == Set("users", "users_enrollments",
+      RelationalizeSpark.QuarantineTable))
+    val q = res(RelationalizeSpark.QuarantineTable).collect()
+    assert(q.length == 1)
+    val qRow = q.head
+    assert(qRow.getString(qRow.fieldIndex("_raw_")) == bad)
+    assert(qRow.getString(qRow.fieldIndex("_error_")).nonEmpty)
+    assert(res("users").count() == 2 && res("users_enrollments").count() == 2)
+    res.release()
+  }
+
   test("distributed schema inference equals single-pass observation") {
     val docs = (0 until 100).map(i =>
       if (i % 3 == 0) s"""{"k": $i, "m": null}"""
