@@ -173,6 +173,16 @@ object GrowthCurve {
       // the corpus grows — that pruning ratio is the point of the compose
       val (ipqOut, ipqSec) = timed(SimilarityQueries.annIvfPq(spark, dir).count())
       rows += (("ann_ivfpq", tag, n, -1L, ipqOut, ipqSec))
+      // CC resolution over the embedding pair stream at the production-like
+      // tight config (cos >= 0.9: pair set == planted dups — the loose
+      // catalog default admits a quadratic share of RANDOM pairs on this
+      // corpus, the same threshold property the LSH rows above quantify).
+      // Planted dups are (id-1, id) pairs — tiny components — so the
+      // doubling loop's round count must stay CONSTANT as the corpus grows;
+      // wall-clock growth is the pair build plus per-round job overhead
+      val (ccOut, ccSec) = timed(DedupQueries.embDupClusters(spark, dir,
+        EmbeddingLshConfig(bands = 4, minCosine = 0.9)).count())
+      rows += (("emb_dup_clusters[4x12,c>=0.9]", tag, n, -1L, ccOut, ccSec))
     }
 
     println("| path | scale | rows | candidate pairs | output pairs | sec |")

@@ -813,8 +813,9 @@ object DedupQueries {
     * tokens. One pair source swap; the component machinery, survivor rule,
     * and recursive-CTE oracle pattern are identical.
     */
-  def embDupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupEmbeddingLsh(s, dir)
+  def embDupClusters(s: SparkSession, dir: String,
+                     cfg: EmbeddingLshConfig = EmbeddingLshConfig()): DataFrame = {
+    val pairs = dedupEmbeddingLsh(s, dir, cfg)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     val vertices = Tables(s, dir, "embeddings").select(col("vec_id").as("id"))
     connectedComponents(pairs, vertices)
@@ -828,7 +829,7 @@ object DedupQueries {
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
-    "emb_dup_clusters" -> embDupClusters,
+    "emb_dup_clusters" -> ((s, dir) => embDupClusters(s, dir)),
     "dedup_exact" -> dedupExact,
     "dedup_paragraph" -> ((s, dir) => dedupParagraph(s, dir)),
     "dedup_incremental" -> dedupIncremental,
