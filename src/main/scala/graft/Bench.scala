@@ -36,7 +36,7 @@ object Bench {
     "doc_filter_quantile",
     "text_quality", "text_langid", "text_repetition", "text_tfidf", "text_vocab",
     "text_decontaminate", "text_ngram_dup", "text_quality_model", "text_lm_score",
-    "doc_pack", "doc_chunk", "doc_sample_stratified", "doc_mix_report",
+    "doc_pack", "doc_chunk", "doc_sample_stratified", "doc_sample_quota", "doc_mix_report",
     "doc_upsample", "doc_shuffle_split", "doc_curate",
     "emb_kmeans", "emb_covariance", "emb_pca_power", "emb_pca_project",
     "mm_features", "mm_ahash", "mm_ahash_dedup")

@@ -335,7 +335,31 @@ object CurationQueries {
       .filter(col("score") >= col("thr"))
   }
 
+  /** Fixed-QUOTA stratified sampling — exactly `quota` docs per stratum
+    * (rate-based [[sampleStratified]] yields binomially-varying counts; an
+    * eval-set builder or per-language cap wants exact counts). Deterministic
+    * rank by content hash (md5 of the doc key — layout-independent, no RNG
+    * state), tie-broken by doc_id, so the sample is stable under
+    * repartition/rerun like the rate sampler. One shuffle on the stratum
+    * key; the per-stratum window sorts only that stratum's rows — at corpus
+    * scale add a shard sub-key exactly like `doc_pack`'s strata dial, or
+    * pre-filter with the rate sampler to ~2x the quota and quota-cut the
+    * survivors.
+    */
+  def sampleQuota(s: SparkSession, dir: String, quota: Int = 40): DataFrame = {
+    require(quota > 0)
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "lang", "source",
+        "md5(concat('quota:', CAST(doc_id AS STRING))) AS hk")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rk") <= quota)
+      .select(col("doc_id"), col("lang"), col("source"), col("rk").cast("int").as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_sample_quota" -> ((s, dir) => sampleQuota(s, dir)),
     "doc_filter_quantile" -> ((s, dir) => filterQuantile(s, dir)),
     "doc_chunk" -> ((s, dir) => docChunk(s, dir)),
     "doc_sample_stratified" -> sampleStratified,
@@ -350,6 +374,13 @@ object CurationQueries {
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracleSql: Map[String, String] = Map(
+    "doc_sample_quota" ->
+      """SELECT doc_id, lang, source, CAST(rk AS INT) AS rk FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 40""".stripMargin,
     "doc_filter_quantile" ->
       s"""WITH sc AS (
          |  SELECT doc_id, ${TextQueries.duckNTokensSql} AS n_tokens,
