@@ -739,13 +739,27 @@ object DedupQueries {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // labels: the frame rounds consume (possibly a flat lineage-truncated
-    // wrapper); backing: the persisted generation whose blocks feed it —
-    // released when the generation retires, so the loop never accumulates
-    // cached state (the leak spec pins it)
-    var labels = vertices.select(col("id"), col("id").as("label"))
+    // Only edge-TOUCHED vertices enter the loop: a vertex with no edge can
+    // never change its label, so it is its own (singleton) cluster by
+    // construction and joins the result at the end. On a near-dup corpus
+    // the touched set is the duplicate fraction — typically a few percent —
+    // so every loop round shuffles the induced subgraph, not the corpus.
+    val touched = sym.select(col("src").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var backing = labels
+    // labels: the frame rounds consume (a flat lineage-truncated wrapper —
+    // generation 0 starts truncated: the doubling join embeds the previous
+    // generation's plan TWICE per round, so any non-trivial base plan (the
+    // semi-join here) would compound 2^(rounds % interval)-fold into every
+    // round's ANALYSIS cost — measured 4.8 s -> 12.6 s on the bench entry
+    // before this wrapper); backing: the persisted generation whose blocks
+    // feed it — released when the generation retires, so the loop never
+    // accumulates cached state (the leak spec pins it)
+    val gen0 = vertices.select(col("id"))
+      .join(touched, Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = spark.createDataFrame(gen0.rdd, gen0.schema)
+    var backing = gen0
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -782,11 +796,17 @@ object DedupQueries {
           spark.createDataFrame(nextP.rdd, nextP.schema)
         else nextP
     }
+    // singletons re-join here labeled with their own id — exactly the label
+    // the loop would have computed for an edge-less vertex
+    val withSingles = labels.union(
+      vertices.select(col("id")).join(touched, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label")))
     val result =
-      if (spark.sparkContext.getCheckpointDir.isDefined) labels.checkpoint(eager = true)
-      else labels.localCheckpoint(eager = true)
+      if (spark.sparkContext.getCheckpointDir.isDefined) withSingles.checkpoint(eager = true)
+      else withSingles.localCheckpoint(eager = true)
     backing.unpersist()
     sym.unpersist()
+    touched.unpersist()
     (result, rounds)
   }
 
