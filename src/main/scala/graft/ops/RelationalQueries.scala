@@ -121,6 +121,64 @@ object RelationalQueries {
         "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n AS DOUBLE)" +
           " / CAST(n - 1 AS DOUBLE) / 10000.0 AS covar_qty_price")
 
+  /** Ordinary least squares per group — slope, intercept, r² of
+    * extendedprice on quantity — from the same exact cent-grid integer
+    * moments as [[aggCorr]]: the closed-form estimators are ratios of
+    * integer moment combinations, so the only IEEE arithmetic is the final
+    * left-to-right chain. One partial+final aggregate, no second pass —
+    * regression at 100 TB is the same scan as a sum.
+    */
+  def regression(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .selectExpr("l_returnflag",
+        "CAST(round(l_quantity * 100) AS BIGINT) AS x",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS y")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      .selectExpr("l_returnflag", "n",
+        // slope in original units: the 100x grid scale cancels
+        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope",
+        "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)" +
+          " * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS intercept",
+        "CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))" +
+          " / sqrt(CAST(n * syy - sy * sy AS DOUBLE))" +
+          " * (CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))" +
+          " / sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r2")
+
+  /** Welch two-sample t statistic — URGENT vs LOW priority order values
+    * (the A/B-test readout): group means and variances from exact cent-grid
+    * moments (one FILTER-aggregate pass computes both arms), then one IEEE
+    * chain for t. The variance identity (n*Sxx - Sx^2) / (n * (n-1)) stays
+    * integral until the final divisions, so the statistic hash-gates.
+    */
+  def abTest(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .selectExpr("o_orderpriority = '1-URGENT' AS is_a",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS v")
+      .agg(
+        expr("count(1) FILTER (WHERE is_a)").as("na"),
+        expr("count(1) FILTER (WHERE NOT is_a)").as("nb"),
+        expr("sum(CAST(v AS DECIMAL(38,0))) FILTER (WHERE is_a)").as("sa"),
+        expr("sum(CAST(v AS DECIMAL(38,0))) FILTER (WHERE NOT is_a)").as("sb"),
+        expr("sum(CAST(v * v AS DECIMAL(38,0))) FILTER (WHERE is_a)").as("saa"),
+        expr("sum(CAST(v * v AS DECIMAL(38,0))) FILTER (WHERE NOT is_a)").as("sbb"))
+      .selectExpr("na", "nb",
+        "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0 AS mean_a",
+        "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0 AS mean_b",
+        // t = (ma - mb) / sqrt(va/na + vb/nb), all on the cent grid (the
+        // 100x scale cancels between numerator and the sqrt)
+        "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))" +
+          " / sqrt(CAST(na * saa - sa * sa AS DOUBLE) / CAST(na AS DOUBLE) / CAST(na - 1 AS DOUBLE) / CAST(na AS DOUBLE)" +
+          "      + CAST(nb * sbb - sb * sb AS DOUBLE) / CAST(nb AS DOUBLE) / CAST(nb - 1 AS DOUBLE) / CAST(nb AS DOUBLE)) AS t_welch")
+
   /** Positional window values: nth_value + first/last with IGNORE NULLS
     * (the observation-carried-forward idioms). The ordering carries every
     * output-relevant column as a tiebreaker: the testdata has full
@@ -1244,6 +1302,8 @@ object RelationalQueries {
     "q_grouping_id" -> groupingId,
     "q_agg_filter" -> aggFilter,
     "q_agg_corr" -> aggCorr,
+    "q_regression" -> regression,
+    "q_ab_test" -> abTest,
     "q_window_nth" -> windowNth,
     "q_asof_nearest" -> asofNearest,
     "q_join_star" -> joinStar,
@@ -1329,6 +1389,49 @@ object RelationalQueries {
         |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_price,
         |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n AS DOUBLE)
         |    / CAST(n - 1 AS DOUBLE) / 10000.0 AS covar_qty_price
+        |FROM m""".stripMargin,
+    "q_regression" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, CAST(count(1) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx, CAST(sum(y * y) AS HUGEINT) AS syy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy
+        |  FROM g GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        |   - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |   * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS intercept,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+        |    * (CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r2
+        |FROM m""".stripMargin,
+    "q_ab_test" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority = '1-URGENT' AS is_a,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |m AS (
+        |  SELECT
+        |    CAST(count(1) FILTER (WHERE is_a) AS BIGINT) AS na,
+        |    CAST(count(1) FILTER (WHERE NOT is_a) AS BIGINT) AS nb,
+        |    CAST(sum(v) FILTER (WHERE is_a) AS HUGEINT) AS sa,
+        |    CAST(sum(v) FILTER (WHERE NOT is_a) AS HUGEINT) AS sb,
+        |    CAST(sum(v * v) FILTER (WHERE is_a) AS HUGEINT) AS saa,
+        |    CAST(sum(v * v) FILTER (WHERE NOT is_a) AS HUGEINT) AS sbb
+        |  FROM g)
+        |SELECT na, nb,
+        |  CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0 AS mean_a,
+        |  CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0 AS mean_b,
+        |  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    / sqrt(CAST(na * saa - sa * sa AS DOUBLE) / CAST(na AS DOUBLE) / CAST(na - 1 AS DOUBLE) / CAST(na AS DOUBLE)
+        |         + CAST(nb * sbb - sb * sb AS DOUBLE) / CAST(nb AS DOUBLE) / CAST(nb - 1 AS DOUBLE) / CAST(nb AS DOUBLE)) AS t_welch
         |FROM m""".stripMargin,
     "q_window_nth" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, l_discount,
