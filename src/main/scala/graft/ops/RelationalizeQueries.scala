@@ -81,6 +81,30 @@ object RelationalizeQueries {
           .otherwise(lit("null")),
         lit("}")).as("doc"))
 
+  /** The quarantine ingest policy exercised end-to-end against an oracle:
+    * every 10th constructed doc is CORRUPTED (truncated mid-object), the
+    * pipeline runs with `quarantine = true`, and the output proves both
+    * halves of the contract — corrupted lines surface verbatim in the
+    * quarantine table, every parseable doc still lands in its table. The
+    * oracle re-derives both sets from the same construction rule.
+    */
+  def relQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "events")
+      .select(
+        when(col("event_id") % 10 === 7,
+          concat(lit("{\"event_id\":"), col("event_id"), lit(",\"props\":")))
+          .otherwise(concat(lit("{\"event_id\":"), col("event_id"),
+            lit(",\"props\":"), col("props"), lit("}")))
+          .as("doc"))
+      .as(Encoders.STRING)
+    val res = RelationalizeSpark(docs, "events",
+      graft.relationalize.RelationalizeOptions(quarantine = true))
+    val out = res(RelationalizeSpark.QuarantineTable)
+      .selectExpr("'quarantined' AS kind", "_raw_ AS item")
+      .unionAll(res("events").selectExpr("'kept' AS kind", "CAST(event_id AS STRING) AS item"))
+    Lifecycle.releasedBy(out)(res.release())
+  }
+
   /** DDL generation surfaced as a single row (rows-only check: DDL strings
     * are not SQL-derivable in DuckDB).
     */
@@ -115,6 +139,7 @@ object RelationalizeQueries {
     "rel_choice" -> relChoice,
     "rel_schema" -> relSchema,
     "rel_ddl" -> relDdl,
+    "rel_quarantine" -> relQuarantine,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -153,5 +178,12 @@ object RelationalizeQueries {
         |            ELSE 'c-' || array_to_string(ms, '-') END AS coltype
         |FROM per ORDER BY col""".stripMargin,
     // rel_ddl: rows-only (DDL strings not derivable in SQL) — no oracle entry.
+    "rel_quarantine" ->
+      """SELECT 'quarantined' AS kind,
+        |  '{"event_id":' || event_id || ',"props":' AS item
+        |FROM events WHERE event_id % 10 = 7
+        |UNION ALL
+        |SELECT 'kept', CAST(event_id AS VARCHAR) FROM events
+        |WHERE event_id % 10 <> 7""".stripMargin,
   )
 }
