@@ -25,7 +25,7 @@ object Bench {
     "q_window_running", "q_window_rank", "q_window_range", "q_sessionize", "q_funnel", "q_retention", "q_pivot",
     "q_scd2", "q_gapfill", "q_interval_merge", "q_cumulative_distinct",
     "q_approx_distinct", "q_sketch_union", "q_approx_quantile", "q_heavy_hitters",
-    "q_asof_join", "q_asof_nearest", "q_range_join", "q_grouping_id",
+    "q_asof_join", "q_asof_nearest", "q_range_join", "q_grouping_id", "q_not_in",
     "dedup_exact", "dedup_paragraph", "dedup_incremental", "dedup_bloom",
     "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "emb_dup_clusters", "q_dq_violations",
@@ -35,10 +35,13 @@ object Bench {
     "q_ivm_join", "q_agg_corr", "q_regression", "q_ab_test", "q_merge_cdc", "q_temporal_join",
     "doc_filter_quantile",
     "text_quality", "text_langid", "text_repetition", "text_tfidf", "text_vocab",
-    "text_decontaminate", "text_ngram_dup", "text_quality_model", "text_lm_score",
-    "doc_pack", "doc_chunk", "doc_sample_stratified", "doc_sample_quota", "doc_mix_report",
+    "text_decontaminate", "text_decontaminate_bloom", "text_ngram_dup",
+    "text_quality_model", "text_lm_score",
+    "doc_pack", "doc_chunk", "doc_sample_stratified", "doc_sample_quota",
+    "doc_sample_quota_sharded", "doc_mix_report",
     "doc_upsample", "doc_shuffle_split", "doc_curate",
     "emb_kmeans", "emb_covariance", "emb_pca_power", "emb_pca_project",
+    "emb_pca_topk", "emb_pca_project_topk",
     "mm_features", "mm_ahash", "mm_ahash_dedup")
 
   /** Timed runs per query; the reported time is the median, so one GC pause /
@@ -48,6 +51,23 @@ object Bench {
     * at 3 runs — 5 tightens the median).
     */
   val RunsPerQuery = 5
+
+  /** Self-defense against load-polluted archives (rounds 5 AND 6 both
+    * recorded garbage under external load — 8-17x inflation on unchanged
+    * queries): a noisy-neighbor stall inflates SOME runs but rarely all, so
+    * a median far above the fastest observed run is the fingerprint of
+    * pollution, not of the query. When median > [[RerunRatio]] x min, the
+    * whole measurement is retried (up to [[MaxReruns]] times) and the best
+    * median wins; the per-query 1-min loadavg at measurement start is
+    * archived in the JSON so a still-polluted number is self-identifying.
+    */
+  val RerunRatio = 3.0
+  val MaxReruns = 2
+
+  private def load1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
 
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated subset of the headline set (fast local
@@ -81,13 +101,14 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     val catalog = SparkEntry.queries
-    val results = headline.filter(catalog.contains)
-      .filter(n => wanted.forall(_.contains(n))).map { name =>
-      // 1 untimed warm-up + 3 timed runs: the first execution of a query pays
-      // JIT/codegen warm-up that can dominate (measured 40x on rel_explode) —
-      // a cost that amortizes to zero on any real corpus, so steady-state is
-      // the honest throughput number. clearCache() between runs keeps each
-      // run computing the full pipeline (only JVM-level warmth persists).
+
+    // 1 untimed warm-up + RunsPerQuery timed runs: the first execution of a
+    // query pays JIT/codegen warm-up that can dominate (measured 40x on
+    // rel_explode) — a cost that amortizes to zero on any real corpus, so
+    // steady-state is the honest throughput number. clearCache() between
+    // runs keeps each run computing the full pipeline (only JVM-level warmth
+    // persists).
+    def measure(name: String): (Double, Double) = {
       val times = (0 to RunsPerQuery).map { run =>
         spark.catalog.clearCache() // isolate queries: no cross-query cache leaks
         val t0 = System.nanoTime()
@@ -97,20 +118,34 @@ object Bench {
         System.err.println(f"[bench] $name%-20s ${if (run == 0) "warm" else s"run$run"} $dt%8.2f s")
         dt
       }.drop(1)
-      val dt = times.sorted.apply(times.length / 2)
-      System.err.println(f"[bench] $name%-20s median $dt%8.2f s")
-      name -> dt
+      (times.sorted.apply(times.length / 2), times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+
+    val results = headline.filter(catalog.contains)
+      .filter(n => wanted.forall(_.contains(n))).map { name =>
+      val loadStart = load1()
+      var (med, floor) = measure(name)
+      // rerun guard: median >> fastest run = transient pollution, not the
+      // query — retry the measurement and keep the best median
+      var reruns = 0
+      while (med > RerunRatio * floor && med - floor > 0.5 && reruns < MaxReruns) {
+        reruns += 1
+        System.err.println(f"[bench] $name%-20s median $med%.2f s > ${RerunRatio}%.0fx floor $floor%.2f s — rerun $reruns (load ${load1()}%.2f)")
+        val (m2, f2) = measure(name)
+        med = math.min(med, m2)
+        floor = math.min(floor, f2)
+      }
+      System.err.println(f"[bench] $name%-20s median $med%8.2f s")
+      (name, med, loadStart)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val loads = results.map { case (k, _, l) => "\"" + k + f"\":$l%.2f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // honesty field: totals recorded under external load are garbage (see
-    // ROADMAP's bench cautions) — record the 1-min load average at start and
-    // end so a polluted run is self-identifying in the archived JSON
-    val loadNow = try {
-      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split("\\s+")(0)
-    } catch { case _: Exception => "-1" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"loadavg_end":$loadNow%s,"sf":"$sfDir"}""")
+    // honesty fields: totals recorded under external load are garbage (see
+    // ROADMAP's bench cautions) — "loads" archives each query's 1-min load
+    // average at measurement start (plus the run-level end value) so a
+    // polluted number is self-identifying in the archived JSON
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"loads":$loads,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(ckptDir.toFile)
   }

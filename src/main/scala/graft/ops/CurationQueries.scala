@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
-  private val toks = "split(trim(text), '\\\\s+')"
+  private val toks = Tokenize.Whitespace.sql("text") // pinned dial (see Tokenize)
 
   /** Deterministic per-document hash in [0, 100): the first 16 bits of
     * md5(doc_id), parsed portably (neither engine has the other's hex-parse
@@ -341,10 +341,11 @@ object CurationQueries {
     * rank by content hash (md5 of the doc key — layout-independent, no RNG
     * state), tie-broken by doc_id, so the sample is stable under
     * repartition/rerun like the rate sampler. One shuffle on the stratum
-    * key; the per-stratum window sorts only that stratum's rows — at corpus
-    * scale add a shard sub-key exactly like `doc_pack`'s strata dial, or
-    * pre-filter with the rate sampler to ~2x the quota and quota-cut the
-    * survivors.
+    * key; the per-stratum window sorts only that stratum's rows — fine at
+    * test scale, but a whole language on ONE window task at corpus scale:
+    * [[sampleQuotaSharded]] is the 100 TB variant (the same shard sub-key
+    * dial `doc_pack` has), or pre-filter with the rate sampler to ~2x the
+    * quota and quota-cut the survivors.
     */
   def sampleQuota(s: SparkSession, dir: String, quota: Int = 40): DataFrame = {
     require(quota > 0)
@@ -358,8 +359,38 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("rk").cast("int").as("rk"))
   }
 
+  /** The corpus-scale quota shape: the per-language quota is split evenly
+    * over `shards` deterministic sub-buckets of the doc key, and the rank
+    * window partitions by (lang, shard) — each window task sorts 1/shards of
+    * a stratum instead of the whole language, the exact dial
+    * [[packSequencesSharded]] ships for packing. Per-(lang, shard) quotas
+    * sum to the target; the union is still hash-ranked and deterministic
+    * (layout-independent, stable under rerun). The sample differs from
+    * [[sampleQuota]]'s by construction (ranking within shards ≠ global
+    * ranking) — that is the documented trade for unbounded parallelism; a
+    * production run sets `shards` to O(cluster cores).
+    */
+  def sampleQuotaSharded(s: SparkSession, dir: String,
+                         quota: Int = 40, shards: Int = 4): DataFrame = {
+    require(quota > 0 && shards > 0, "need quota > 0 and shards > 0")
+    require(quota % shards == 0,
+      s"quota ($quota) must divide evenly over shards ($shards) so per-shard quotas sum to the target")
+    val perShard = quota / shards
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "lang", "source",
+        s"CAST(pmod(doc_id, $shards) AS BIGINT) AS shard",
+        "md5(concat('quota:', CAST(doc_id AS STRING))) AS hk")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"), col("shard"))
+          .orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rk") <= perShard)
+      .select(col("doc_id"), col("lang"), col("source"), col("shard"),
+        col("rk").cast("int").as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_sample_quota" -> ((s, dir) => sampleQuota(s, dir)),
+    "doc_sample_quota_sharded" -> ((s, dir) => sampleQuotaSharded(s, dir)),
     "doc_filter_quantile" -> ((s, dir) => filterQuantile(s, dir)),
     "doc_chunk" -> ((s, dir) => docChunk(s, dir)),
     "doc_sample_stratified" -> sampleStratified,
@@ -381,6 +412,13 @@ object CurationQueries {
         |      ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) t
         |WHERE rk <= 40""".stripMargin,
+    "doc_sample_quota_sharded" ->
+      """SELECT doc_id, lang, source, shard, CAST(rk AS INT) AS rk FROM (
+        |  SELECT doc_id, lang, source, CAST(doc_id % 4 AS BIGINT) AS shard,
+        |    row_number() OVER (PARTITION BY lang, doc_id % 4
+        |      ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10""".stripMargin,
     "doc_filter_quantile" ->
       s"""WITH sc AS (
          |  SELECT doc_id, ${TextQueries.duckNTokensSql} AS n_tokens,

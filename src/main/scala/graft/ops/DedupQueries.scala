@@ -37,7 +37,7 @@ object DedupQueries {
   private def aCoef(i: Int): Long = 2 * i + 1
   private def bCoef(i: Int): Long = 10007L * (i + 1)
 
-  private val toks = "split(trim(text), '\\\\s+')"
+  private val toks = Tokenize.Whitespace.sql("text") // pinned dial (see Tokenize)
   /** Word 3-shingles, distinct, from a materialized `tks` token-array
     * attribute — never from a textual split, which would land inside the
     * element_at lambda and re-run per shingle (interpreted HOF, no codegen

@@ -27,6 +27,15 @@ object IterativeQueries {
 
   private val JumpCheckpointInterval = 3
 
+  /** Hard cap on doubling rounds: depth doubles each round, so 64 rounds
+    * resolve any acyclic chain shorter than 2^64 — unreachable for real
+    * data. Hitting the cap therefore means the "forest" contract was
+    * violated (a parent cycle): depth keeps growing and `changed` never
+    * reaches 0, which without the cap would loop forever, burning a
+    * shuffle + persist per round.
+    */
+  private val MaxDoublingRounds = 64
+
   /** Resolve every node to its tree root via pointer doubling.
     *
     * @param nodes (node: long, parent: long) — a forest: `parent == node`
@@ -37,7 +46,8 @@ object IterativeQueries {
     *         root; rounds = doubling iterations to fixpoint, the observable
     *         the O(log depth) convergence spec pins.
     */
-  private[graft] def resolveRootsWithRounds(nodes: DataFrame): (DataFrame, Int) = {
+  private[graft] def resolveRootsWithRounds(nodes: DataFrame,
+      maxRounds: Int = MaxDoublingRounds): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     val spark = nodes.sparkSession
     // generation 0: roots point at themselves with depth 0 (composing with
@@ -51,6 +61,13 @@ object IterativeQueries {
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
+      if (rounds >= maxRounds) {
+        backing.unpersist()
+        throw new IllegalArgumentException(
+          s"resolveRoots: no fixpoint after $maxRounds doubling rounds " +
+            "(the default cap covers any acyclic depth < 2^64) — the parent graph " +
+            "has a cycle; the contract requires a forest (parent == node marks a root)")
+      }
       rounds += 1
       // anc'(v) = anc(anc(v)); depth adds the jumped segment's length.
       // Left join + coalesce keeps rows whose ancestor id has no state row

@@ -87,14 +87,23 @@ object ProfileQueries {
         expr("count(1) FILTER (WHERE l_returnflag NOT IN ('A','N','R') " +
           "OR l_returnflag IS NULL)").as("enum_returnflag"),
         expr("count(1) FILTER (WHERE l_extendedprice IS NULL)").as("null_extendedprice"),
-        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+        // a NULL PK component is its own violation (counted below), so the
+        // dup counter is computed over non-null PKs only — in BOTH engines:
+        // Spark's countDistinct silently drops NULL-bearing tuples while
+        // DuckDB's count(DISTINCT (a, b)) counts them, so without the
+        // matching FILTER the two would diverge on null-PK data
+        expr("count(1) FILTER (WHERE l_orderkey IS NULL OR l_linenumber IS NULL)")
+          .as("null_pk_lineitem"),
+        (expr("count(1) FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)")
+          - countDistinct(col("l_orderkey"), col("l_linenumber")))
           .as("pk_dup_lineitem"))
       .selectExpr(
-        """stack(5,
+        """stack(6,
           |  'range_discount', range_discount,
           |  'range_quantity', range_quantity,
           |  'enum_returnflag', enum_returnflag,
           |  'null_extendedprice', null_extendedprice,
+          |  'null_pk_lineitem', null_pk_lineitem,
           |  'pk_dup_lineitem', pk_dup_lineitem
           |) AS (check_name, violations)""".stripMargin)
     val pkOrders = orders
@@ -153,12 +162,16 @@ object ProfileQueries {
         |    CAST(count(1) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS range_quantity,
         |    CAST(count(1) FILTER (WHERE l_returnflag NOT IN ('A','N','R') OR l_returnflag IS NULL) AS BIGINT) AS enum_returnflag,
         |    CAST(count(1) FILTER (WHERE l_extendedprice IS NULL) AS BIGINT) AS null_extendedprice,
-        |    CAST(count(1) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS pk_dup_lineitem
+        |    CAST(count(1) FILTER (WHERE l_orderkey IS NULL OR l_linenumber IS NULL) AS BIGINT) AS null_pk_lineitem,
+        |    CAST(count(1) FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+        |      - count(DISTINCT (l_orderkey, l_linenumber))
+        |        FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL) AS BIGINT) AS pk_dup_lineitem
         |  FROM lineitem)
         |SELECT 'range_discount' AS check_name, range_discount AS violations FROM li
         |UNION ALL SELECT 'range_quantity', range_quantity FROM li
         |UNION ALL SELECT 'enum_returnflag', enum_returnflag FROM li
         |UNION ALL SELECT 'null_extendedprice', null_extendedprice FROM li
+        |UNION ALL SELECT 'null_pk_lineitem', null_pk_lineitem FROM li
         |UNION ALL SELECT 'pk_dup_lineitem', pk_dup_lineitem FROM li
         |UNION ALL SELECT 'pk_dup_orders',
         |  CAST(count(1) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders

@@ -310,6 +310,32 @@ object RelationalQueries {
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
   }
 
+  /** NOT IN over a NULLABLE key — the classic three-valued-logic trap
+    * [[antiJoin]] (NOT EXISTS) does not exercise: one NULL in the subquery
+    * makes `x NOT IN (...)` never-true (x <> NULL is UNKNOWN), so the whole
+    * result silently empties — the #1 surprise for warehouse users porting
+    * queries. Both branches are pinned in ONE entry: the `with_nulls` arm
+    * (subquery keeps its constructed NULLs → empty by SQL semantics) and
+    * the `nulls_filtered` arm (explicit IS NOT NULL → the intuitive
+    * anti-join result). Runs through `spark.sql` so the analyzer performs
+    * the null-aware rewrite; the planner turns the broadcast-able subquery
+    * into a null-aware anti join (BroadcastHashJoin LeftAnti
+    * isNullAwareAntiJoin=true — plan-pinned), NOT a nested-loop scan.
+    */
+  def notIn(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("ni_customer")
+    Tables(s, dir, "orders").createOrReplaceTempView("ni_orders")
+    s.sql(
+      """WITH sub AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+        |  FROM ni_orders WHERE o_orderkey % 5 = 0)
+        |SELECT 'with_nulls' AS arm, c_custkey FROM ni_customer
+        |WHERE c_custkey NOT IN (SELECT k FROM sub)
+        |UNION ALL
+        |SELECT 'nulls_filtered' AS arm, c_custkey FROM ni_customer
+        |WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL)""".stripMargin)
+  }
+
   def leftOuterJoin(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables(s, dir, "orders")
     val li = Tables(s, dir, "lineitem")
@@ -1312,6 +1338,7 @@ object RelationalQueries {
     "q_ivm_join" -> ivmJoin,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
+    "q_not_in" -> notIn,
     "q_left_join" -> leftOuterJoin,
     "q_full_outer" -> fullOuterJoin,
     "q_theta_join" -> thetaJoin,
@@ -1668,6 +1695,15 @@ object RelationalQueries {
       """SELECT c_nationkey, COUNT(1) AS n_cust FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey""".stripMargin,
+    "q_not_in" ->
+      """WITH sub AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT 'with_nulls' AS arm, c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT k FROM sub)
+        |UNION ALL
+        |SELECT 'nulls_filtered' AS arm, c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL)""".stripMargin,
     "q_left_join" ->
       """SELECT o_orderkey, COUNT(l_orderkey) AS n_lines
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey

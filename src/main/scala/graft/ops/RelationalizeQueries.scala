@@ -93,8 +93,11 @@ object RelationalizeQueries {
       .select(
         when(col("event_id") % 10 === 7,
           concat(lit("{\"event_id\":"), col("event_id"), lit(",\"props\":")))
+          // coalesce: Spark concat is null-propagating, so a null props would
+          // otherwise null the whole doc (NPE in relationalizeLine) instead of
+          // landing as a parseable {"props":null} — same guard as choiceDocs
           .otherwise(concat(lit("{\"event_id\":"), col("event_id"),
-            lit(",\"props\":"), col("props"), lit("}")))
+            lit(",\"props\":"), coalesce(col("props"), lit("null")), lit("}")))
           .as("doc"))
       .as(Encoders.STRING)
     val res = RelationalizeSpark(docs, "events",

@@ -499,11 +499,17 @@ object SimilarityQueries {
         "CAST(n * spp - si * sj AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1e8 AS cov")
   }
 
-  /** Top principal component of the embedding corpus by power iteration —
-    * PCA solved ON the engine, no driver-side linear algebra. The corpus is
-    * touched exactly once ([[embCovarianceFrom]]'s single pass); the
-    * symmetrized 64x64 matrix is persisted (64 rows) and every iteration
-    * runs on bounded frames — the shape that holds at any corpus size.
+  /** Principal components of the embedding corpus by power iteration with
+    * deflation — PCA solved ON the engine, no driver-side linear algebra.
+    * The corpus is touched exactly once ([[embCovarianceFrom]]'s single
+    * pass); everything above it operates on the 64x64 covariance — a
+    * KB-sized STATISTIC, not data — collapsed into ONE single-row frame so
+    * the entire iteration chain (12 matrix-vector steps per component,
+    * normalizations, Rayleigh quotient, deflation between components) is a
+    * single chain of projections evaluated in one task. This replaces the
+    * round-6 shape of 2 bounded Spark jobs per iteration (~4 s of pure
+    * job-launch overhead at sf0.1) with zero extra jobs — same arithmetic,
+    * same oracle bytes.
     *
     * Determinism (the oracle re-runs the identical arithmetic): every
     * matrix-vector component and every norm is a LEFT-TO-RIGHT fold in
@@ -511,53 +517,93 @@ object SimilarityQueries {
     * `list_reduce(list_prepend(0.0, ...))`), so the IEEE result is
     * bit-identical regardless of convergence — the oracle does not need the
     * iteration to have converged, only to be the same computation. Sign
-    * follows the fold deterministically (v0 = all-positive).
+    * follows the fold deterministically (v0 = all-positive). Deflation is
+    * `m[i][k] - ev * v[i] * v[k]`, multiplications left-to-right in both
+    * engines.
+    *
+    * Every intermediate (w, v, deflated m) sits behind a graft_barrier:
+    * CollapseProject would otherwise inline each alias into every reference
+    * inside the next step's lambdas, re-expanding the whole chain per array
+    * element — exponential work across 12 iterations.
     */
-  def embPcaPower(s: SparkSession, dir: String, iters: Int = 12): DataFrame = {
-    val (out, rowsM) = embPcaPowerPlan(s, dir, iters)
-    Lifecycle.released(out, rowsM)
-  }
+  private val pcaMvW =
+    "transform(m, row -> aggregate(sequence(1, 64), CAST(0 AS DOUBLE), " +
+      "(acc, k) -> acc + element_at(row, k) * element_at(v, k)))"
 
-  /** Lazy twin: (result, persisted matrix barrier). */
-  def embPcaPowerPlan(s: SparkSession, dir: String, iters: Int = 12)
-      : (DataFrame, DataFrame) =
-    embPcaPowerFrom(Tables(s, dir, "embeddings"), iters)
-
-  /** The kernel over any frame with an `embedding` array column (64-dim). */
-  def embPcaPowerFrom(emb: DataFrame, iters: Int = 12): (DataFrame, DataFrame) = {
-    require(iters >= 1)
-    // one corpus pass -> upper triangle; symmetrize in the same projection
-    // (emitting (j, i) twins inline — the covariance subtree must not appear
-    // twice), then row-major ordered arrays, persisted: every iteration and
-    // the final Rayleigh read this 64-row cache, never the corpus
-    val cells = embCovarianceFrom(emb)
-    val rowsM = cells
+  /** One-row frame (column `m`: row-major 64x64 nested array) holding the
+    * symmetrized covariance. The (j, i) twins are emitted inline so the
+    * covariance subtree appears exactly once in the plan.
+    */
+  private def pcaMatrixRowFrom(emb: DataFrame): DataFrame =
+    embCovarianceFrom(emb)
       .selectExpr(
         """explode(CASE WHEN i = j THEN array(struct(i AS a, j AS b, cov))
           |ELSE array(struct(i AS a, j AS b, cov), struct(j AS a, i AS b, cov)) END) AS c""".stripMargin)
       .select(col("c.a").as("i"), col("c.b").as("j"), col("c.cov").as("m"))
       .groupBy(col("i"))
       .agg(expr("transform(array_sort(collect_list(struct(j, m))), x -> x.m)").as("mr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mvFold =
-      "aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, k) -> acc + element_at(mr, k) * element_at(v, k))"
-    var v = emb.sparkSession.range(1)
-      .selectExpr("transform(sequence(1, 64), k -> 0.125D) AS v")
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(i, mr))), x -> x.mr)").as("m"))
+
+  /** `iters` power-iteration steps + Rayleigh quotient on the 1-row frame:
+    * consumes column `m` (and passes through `carry`), emits `v` (the unit
+    * eigenvector estimate) and `eigenvalue`.
+    */
+  private def pcaPowerSolve(df: DataFrame, iters: Int, carry: Seq[String]): DataFrame = {
+    val keep = "m" +: carry
+    var cur = df.selectExpr(keep :+ "transform(sequence(1, 64), k -> 0.125D) AS v": _*)
     for (_ <- 1 to iters) {
-      val w = rowsM.crossJoin(broadcast(v)).selectExpr("i", s"$mvFold AS w")
-        .agg(expr("transform(array_sort(collect_list(struct(i, w))), x -> x.w)").as("w"))
-      v = w.selectExpr(
-        "transform(w, x -> x / sqrt(aggregate(w, CAST(0 AS DOUBLE), (acc, y) -> acc + y * y))) AS v")
+      cur = cur.selectExpr(keep :+ s"graft_barrier($pcaMvW) AS w": _*)
+        .selectExpr(keep :+ ("graft_barrier(transform(w, x -> x / " +
+          "sqrt(aggregate(w, CAST(0 AS DOUBLE), (acc, y) -> acc + y * y)))) AS v"): _*)
     }
-    val rayleigh = rowsM.crossJoin(broadcast(v)).selectExpr("i", s"$mvFold AS w", "v")
-      .agg(expr("transform(array_sort(collect_list(struct(i, w))), x -> x.w)").as("w"),
-        first(col("v")).as("v"))
-      .selectExpr(
-        "v", "aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, k) -> acc + element_at(w, k) * element_at(v, k)) AS eigenvalue")
-    val out = rayleigh.selectExpr("posexplode(v) AS (p, loading)", "eigenvalue")
-      .selectExpr("CAST(p + 1 AS INT) AS i", "loading", "eigenvalue")
-    (out, rowsM)
+    cur.selectExpr(keep :+ "v" :+ s"graft_barrier($pcaMvW) AS w": _*)
+      .selectExpr(keep :+ "v" :+ ("aggregate(sequence(1, 64), CAST(0 AS DOUBLE), " +
+        "(acc, k) -> acc + element_at(w, k) * element_at(v, k)) AS eigenvalue"): _*)
   }
+
+  /** The full top-k chain: returns the 1-row frame with columns
+    * v1..vk (unit eigenvectors) and ev1..evk (eigenvalues), deflating the
+    * broadcast-sized matrix between components — never a second corpus pass.
+    */
+  private[graft] def pcaChainFrom(emb: DataFrame, k: Int, iters: Int = 12): DataFrame = {
+    require(k >= 1 && k <= 64 && iters >= 1)
+    graft.functions.GraftFunctions.registerAll(emb.sparkSession)
+    var cur = pcaMatrixRowFrom(emb)
+    var carry = Seq.empty[String]
+    for (c <- 1 to k) {
+      cur = pcaPowerSolve(cur, iters, carry)
+        .selectExpr(("m" +: carry) :+ s"v AS v$c" :+ s"eigenvalue AS ev$c": _*)
+      carry = carry ++ Seq(s"v$c", s"ev$c")
+      if (c < k) {
+        val deflate = "transform(sequence(1, 64), i -> transform(sequence(1, 64), " +
+          s"k -> element_at(element_at(m, i), k) - ev$c * element_at(v$c, i) * element_at(v$c, k)))"
+        cur = cur.selectExpr(s"graft_barrier($deflate) AS m" +: carry: _*)
+      }
+    }
+    cur.selectExpr(carry: _*)
+  }
+
+  /** Top principal component: (i, loading, eigenvalue). */
+  def embPcaPower(s: SparkSession, dir: String, iters: Int = 12): DataFrame =
+    embPcaPowerFrom(Tables(s, dir, "embeddings"), iters)
+
+  /** The kernel over any frame with an `embedding` array column (64-dim). */
+  def embPcaPowerFrom(emb: DataFrame, iters: Int = 12): DataFrame =
+    pcaChainFrom(emb, k = 1, iters)
+      .selectExpr("posexplode(v1) AS (p, loading)", "ev1 AS eigenvalue")
+      .selectExpr("CAST(p + 1 AS INT) AS i", "loading", "eigenvalue")
+
+  /** Top-[[PcaK]] components via deflation: (comp, i, loading, eigenvalue) —
+    * the multi-component surface production whitening/reduction needs.
+    */
+  val PcaK = 3
+  def embPcaTopk(s: SparkSession, dir: String, k: Int = PcaK): DataFrame =
+    pcaChainFrom(Tables(s, dir, "embeddings"), k)
+      .selectExpr(s"explode(array(${(1 to k).map(c =>
+        s"struct($c AS comp, v$c AS v, ev$c AS eigenvalue)").mkString(", ")})) AS e")
+      .selectExpr("e.comp AS comp", "posexplode(e.v) AS (p, loading)", "e.eigenvalue AS eigenvalue")
+      .selectExpr("comp", "CAST(p + 1 AS INT) AS i", "loading", "eigenvalue")
 
   /** Dimensionality reduction applied to the corpus: every embedding
     * projected onto the [[embPcaPower]] eigenvector — one broadcast of the
@@ -568,14 +614,22 @@ object SimilarityQueries {
     */
   def embPcaProject(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
-    val (pca, rowsM) = embPcaPowerPlan(s, dir)
-    val vRow = pca.groupBy()
-      .agg(expr("transform(array_sort(collect_list(struct(i, loading))), x -> x.loading)").as("pc"))
-    val out = Tables(s, dir, "embeddings")
+    Tables(s, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-      .crossJoin(broadcast(vRow))
-      .selectExpr("vec_id", "vec_dot(v, pc) AS pc1")
-    Lifecycle.released(out, rowsM)
+      .crossJoin(broadcast(pcaChainFrom(Tables(s, dir, "embeddings"), k = 1)))
+      .selectExpr("vec_id", "vec_dot(v, v1) AS pc1")
+  }
+
+  /** The k-column reduction: pc1..pck from ONE broadcast of the chain's
+    * final row — the representation that shrinks downstream ANN/dedup state
+    * by 64/k while touching the corpus once.
+    */
+  def embPcaProjectTopk(s: SparkSession, dir: String, k: Int = PcaK): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    Tables(s, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .crossJoin(broadcast(pcaChainFrom(Tables(s, dir, "embeddings"), k)))
+      .selectExpr("vec_id" +: (1 to k).map(c => s"vec_dot(v, v$c) AS pc$c"): _*)
   }
 
   /** Non-default exercise config for the parameterized surface: fewer,
@@ -598,6 +652,8 @@ object SimilarityQueries {
     "emb_covariance" -> embCovariance,
     "emb_pca_power" -> ((s, dir) => embPcaPower(s, dir)),
     "emb_pca_project" -> embPcaProject,
+    "emb_pca_topk" -> ((s, dir) => embPcaTopk(s, dir)),
+    "emb_pca_project_topk" -> ((s, dir) => embPcaProjectTopk(s, dir)),
   )
 
   private val duckV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -826,6 +882,65 @@ object SimilarityQueries {
        |  FROM wf, v$iters)""".stripMargin
   }
 
+  /** The multi-component (deflation) CTE chain through `ray1..rayK`. Every
+    * step is `AS MATERIALIZED`: DuckDB 1.0 inlines single-reference CTEs, and
+    * with deflation each component's chain references the previous
+    * component's ENTIRE chain — inlined, the expansion is exponential in k
+    * (the k=3 oracle never finished; materialized it runs in ~1 s).
+    * Arithmetic is byte-identical to the Spark chain: same seeded folds,
+    * deflation `mr[k] - ev * v[i] * v[k]` left-to-right.
+    */
+  private def pcaTopkCtes(k: Int, iters: Int): String = {
+    def mv(mr: String, v: String) =
+      s"""SELECT list(wi ORDER BY i) AS w FROM (
+         |  SELECT i, ${sumFold(s"list_transform(range(1, 65), k -> mr[k] * $v.v[k])")} AS wi
+         |  FROM $mr, $v) t""".stripMargin
+    val comps = (1 to k).map { c =>
+      val steps = (1 to iters).map { t =>
+        s"""w${c}_$t AS MATERIALIZED (${mv(s"mr$c", s"v${c}_${t - 1}")}),
+           |v${c}_$t AS MATERIALIZED (SELECT list_transform(w, x -> x /
+           |  sqrt(${sumFold("list_transform(w, y -> y * y)")})) AS v FROM w${c}_$t)""".stripMargin
+      }.mkString(",\n")
+      val solve =
+        s"""v${c}_0 AS (SELECT list_transform(range(1, 65), k -> CAST(0.125 AS DOUBLE)) AS v),
+           |$steps,
+           |wf$c AS MATERIALIZED (${mv(s"mr$c", s"v${c}_$iters")}),
+           |ray$c AS MATERIALIZED (
+           |  SELECT v${c}_$iters.v AS v,
+           |    ${sumFold(s"list_transform(range(1, 65), k -> wf$c.w[k] * v${c}_$iters.v[k])")} AS eigenvalue
+           |  FROM wf$c, v${c}_$iters)""".stripMargin
+      val deflate = if (c < k)
+        s""",
+           |mr${c + 1} AS MATERIALIZED (
+           |  SELECT mr$c.i AS i, list_transform(range(1, 65),
+           |    k -> mr$c.mr[k] - ray$c.eigenvalue * ray$c.v[mr$c.i] * ray$c.v[k]) AS mr
+           |  FROM mr$c, ray$c)""".stripMargin
+      else ""
+      solve + deflate
+    }.mkString(",\n")
+    s"""WITH cells AS MATERIALIZED ($covCellsSql),
+       |m AS (SELECT i, j, cov FROM cells
+       |      UNION ALL SELECT j AS i, i AS j, cov FROM cells WHERE i <> j),
+       |mr1 AS MATERIALIZED (SELECT i, list(cov ORDER BY j) AS mr FROM m GROUP BY i),
+       |$comps""".stripMargin
+  }
+
+  /** DuckDB twin of [[embPcaTopk]]. */
+  private def pcaTopkOracle(k: Int, iters: Int): String =
+    s"""${pcaTopkCtes(k, iters)}
+       |${(1 to k).map(c =>
+      s"SELECT $c AS comp, CAST(kk AS INT) AS i, v[kk] AS loading, eigenvalue " +
+        s"FROM ray$c, (SELECT unnest(range(1, 65)) AS kk)").mkString("\nUNION ALL\n")}""".stripMargin
+
+  /** DuckDB twin of [[embPcaProjectTopk]]. */
+  private def pcaProjectTopkOracle(k: Int, iters: Int): String =
+    s"""${pcaTopkCtes(k, iters)}
+       |SELECT vec_id,
+       |${(1 to k).map(c =>
+      s"  ${sumFold(s"list_transform(range(1, 65), k -> CAST(embedding[k] AS DOUBLE) * ray$c.v[k])")} AS pc$c")
+      .mkString(",\n")}
+       |FROM embeddings${(1 to k).map(c => s", ray$c").mkString}""".stripMargin
+
   /** DuckDB twin of [[embPcaPower]]: the same left-to-right +0.0-seeded
     * folds, unrolled as `iters` chained CTEs.
     */
@@ -918,6 +1033,8 @@ object SimilarityQueries {
         |FROM embeddings""".stripMargin,
     "emb_pca_power" -> pcaPowerOracle(12),
     "emb_pca_project" -> pcaProjectOracle(12),
+    "emb_pca_topk" -> pcaTopkOracle(PcaK, 12),
+    "emb_pca_project_topk" -> pcaProjectTopkOracle(PcaK, 12),
     "emb_covariance" ->
       """WITH e AS (
         |  SELECT list_transform(embedding,

@@ -11,18 +11,32 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  private val toks = "split(trim(text), '\\\\s+')"
+  /** The shared token fragment at the pinned [[Tokenize.Whitespace]]
+    * default — kernels that take a [[Tokenizer]] dial derive the same
+    * fragment from their argument.
+    */
+  private val toks = Tokenize.Whitespace.sql("text")
 
   /** Token statistics per document. */
   def tokenStats(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents").selectExpr(
+    tokenStatsFrom(Tables(s, dir, "documents"))
+
+  /** The token-statistics kernel over any frame with (doc_id, text);
+    * `tok` is the tokenizer dial (see [[Tokenize]] — whitespace is the
+    * pinned catalog default, UnicodeWords the multilingual-crawl setting).
+    */
+  def tokenStatsFrom(docs: DataFrame,
+                     tok: Tokenizer = Tokenize.Whitespace): DataFrame = {
+    val tk = tok.sql("text")
+    docs.selectExpr(
       "doc_id",
-      s"size($toks) AS n_tokens",
-      s"size(array_distinct($toks)) AS n_distinct_tokens",
+      s"size($tk) AS n_tokens",
+      s"size(array_distinct($tk)) AS n_distinct_tokens",
       "length(text) AS n_chars_computed",
-      s"CAST(aggregate($toks, 0L, (acc, t) -> acc + length(t)) AS BIGINT) AS total_token_chars",
+      s"CAST(aggregate($tk, 0L, (acc, t) -> acc + length(t)) AS BIGINT) AS total_token_chars",
       // BPE-ish token estimate: ~1 piece per 4 chars per word, exact-integer
-      s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS est_bpe_tokens")
+      s"CAST(aggregate($tk, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS est_bpe_tokens")
+  }
 
   /** Quality signals: exact integer counts (length, digits, punctuation,
     * stopwords) plus a coarse quality bucket.
@@ -164,6 +178,48 @@ object TextQueries {
       .agg(countDistinct(col("g")).as("n_hits"), min(col("g")).as("first_gram"))
   }
 
+  /** Bloom-gated decontamination — the 100 TB variant of [[decontaminate]]:
+    * [[decontaminate]] broadcasts the benchmark's distinct shingle set,
+    * which assumes an eval suite that fits in executor memory. A
+    * contamination sweep against a LARGE benchmark corpus wants the
+    * `dedup_bloom` shape instead: the bench set collapses to ONE mergeable
+    * `BloomFilterAggregate` sketch (only sketch bytes cross the wire),
+    * every corpus gram is probed MAP-SIDE via a scalar subquery, and only
+    * probable hits — true contamination plus the bloom's false-positive
+    * sliver — reach the exact confirm join. On a mostly-clean corpus the
+    * join input collapses from |corpus grams| to |contaminated grams| + ε.
+    *
+    * The output is EXACT (the confirm join eliminates false positives), so
+    * the oracle is [[decontaminate]]'s — byte-identical results. Bloom keys
+    * are `hash60(g)` (the probe side takes BIGINT); a 60-bit collision can
+    * only ADD a false positive, which the confirm join removes.
+    */
+  def decontaminateBloom(s: SparkSession, dir: String,
+                         benchSource: String = "src0", n: Int = 4): DataFrame = {
+    require(n >= 2)
+    graft.functions.GraftFunctions.registerAll(s)
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "source", s"split(trim(lower(text)), '\\\\s+') AS t")
+      .filter(s"size(t) >= $n")
+      .selectExpr("doc_id", "source",
+        s"explode(transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))) AS g")
+      .createOrReplaceTempView("graft_decon_grams")
+    s.sql(
+      s"""WITH bench AS (
+         |  SELECT DISTINCT g FROM graft_decon_grams WHERE source = '$benchSource'),
+         |probed AS (
+         |  SELECT doc_id, source, g,
+         |    graft_might_contain(
+         |      (SELECT graft_bloom_agg(hash60(g), 400000L, 3200000L) FROM bench),
+         |      hash60(g)) AS maybe
+         |  FROM graft_decon_grams WHERE source <> '$benchSource')
+         |SELECT p.doc_id, p.source,
+         |  count(DISTINCT p.g) AS n_hits, min(p.g) AS first_gram
+         |FROM (SELECT doc_id, source, g FROM probed WHERE maybe) p
+         |JOIN bench b ON p.g = b.g
+         |GROUP BY p.doc_id, p.source""".stripMargin)
+  }
+
   /** Duplicated n-gram coverage: for every document, how many of its n-gram
     * positions carry a gram that also appears in at least one OTHER document
     * — the per-document signal behind exact-substring dedup (cf. suffix-array
@@ -254,21 +310,25 @@ object TextQueries {
   /** Exact-integer model score — shared by [[qualityModelFrom]] and the
     * curation funnel.
     */
-  private[ops] val scoreRawSql: String = {
+  private[ops] def scoreRawSqlOf(tok: Tokenizer): String = {
     val wArr = modelWeights.mkString("array(", "L, ", "L)")
-    s"CAST(aggregate($toks, 0L, (acc, t) -> acc + element_at($wArr, CAST(${bucketOf("t")} AS INT) + 1)) AS BIGINT)"
+    s"CAST(aggregate(${tok.sql("text")}, 0L, (acc, t) -> acc + element_at($wArr, CAST(${bucketOf("t")} AS INT) + 1)) AS BIGINT)"
   }
+  private[ops] val scoreRawSql: String = scoreRawSqlOf(Tokenize.Whitespace)
 
   def qualityModel(s: SparkSession, dir: String): DataFrame =
     qualityModelFrom(Tables(s, dir, "documents"))
 
-  /** The scoring kernel over any frame with (doc_id, text). */
-  def qualityModelFrom(docs: DataFrame): DataFrame = {
+  /** The scoring kernel over any frame with (doc_id, text); `tok` is the
+    * tokenizer dial ([[Tokenize.Whitespace]] is the pinned default).
+    */
+  def qualityModelFrom(docs: DataFrame,
+                       tok: Tokenizer = Tokenize.Whitespace): DataFrame = {
     docs
       .selectExpr(
         "doc_id",
-        s"size($toks) AS n_tokens",
-        s"$scoreRawSql AS score_raw")
+        s"size(${tok.sql("text")}) AS n_tokens",
+        s"${scoreRawSqlOf(tok)} AS score_raw")
       .selectExpr("doc_id", "n_tokens", "score_raw",
         "CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(score_raw AS DOUBLE) / n_tokens END AS score",
         "CASE WHEN score_raw >= 0 THEN 'keep' ELSE 'drop' END AS label")
@@ -365,6 +425,7 @@ object TextQueries {
     "text_lm_score" -> lmScore,
     "text_tfidf" -> tfidf,
     "text_decontaminate" -> ((s, dir) => decontaminate(s, dir)),
+    "text_decontaminate_bloom" -> ((s, dir) => decontaminateBloom(s, dir)),
     "text_tokens" -> tokenStats,
     "text_quality" -> qualityScore,
     "text_langid" -> langId,
@@ -383,6 +444,21 @@ object TextQueries {
   private[ops] val duckMaxTokNSql: String =
     s"CAST(list_max(list_transform(list_distinct($duckToks), t -> len(list_filter($duckToks, x -> x = t)))) AS INT)"
   private[ops] val duckNTokensSql: String = s"CAST(len($duckToks) AS INT)"
+
+  private val decontaminateOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, source, unnest(list_transform(range(1, len(t) - 2),
+      |    i -> array_to_string(t[i:i+3], ' '))) AS g
+      |  FROM tok WHERE len(t) >= 4),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+      |SELECT gr.doc_id, gr.source,
+      |  CAST(count(DISTINCT gr.g) AS BIGINT) AS n_hits, min(gr.g) AS first_gram
+      |FROM grams gr JOIN bench b ON gr.g = b.g
+      |WHERE gr.source <> 'src0'
+      |GROUP BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_vocab" ->
@@ -431,20 +507,11 @@ object TextQueries {
          |    $duckNTokensSql AS n_tokens,
          |    $duckScoreRawSql AS score_raw
          |  FROM documents) x""".stripMargin,
-    "text_decontaminate" ->
-      """WITH tok AS (
-        |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, source, unnest(list_transform(range(1, len(t) - 2),
-        |    i -> array_to_string(t[i:i+3], ' '))) AS g
-        |  FROM tok WHERE len(t) >= 4),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
-        |SELECT gr.doc_id, gr.source,
-        |  CAST(count(DISTINCT gr.g) AS BIGINT) AS n_hits, min(gr.g) AS first_gram
-        |FROM grams gr JOIN bench b ON gr.g = b.g
-        |WHERE gr.source <> 'src0'
-        |GROUP BY 1, 2""".stripMargin,
+    "text_decontaminate" -> decontaminateOracle,
+    // the bloom-gated variant is EXACT (confirm join removes false
+    // positives), so its oracle is the plain membership test — byte-for-byte
+    // the same SQL as the broadcast variant's
+    "text_decontaminate_bloom" -> decontaminateOracle,
     "text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token

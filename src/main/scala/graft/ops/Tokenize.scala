@@ -1,0 +1,46 @@
+package graft.ops
+
+/** The tokenizer dial shared by the text / dedup / curation surfaces.
+  *
+  * Every text operator tokenizes through one of these SQL fragments. The
+  * pinned catalog default is [[Tokenize.Whitespace]] — correct for the
+  * space-separated synthetic corpus and the common pre-cleaned crawl — but
+  * `split('\\s+')` is WRONG for CJK text (no spaces: a whole sentence
+  * becomes one "token") and for combining marks / punctuation-glued tokens
+  * on a real multilingual crawl. [[Tokenize.UnicodeWords]] is the
+  * multilingual dial: maximal runs of Unicode letters/digits. Both patterns
+  * stay inside the RE2 ∩ java.util.regex dialect intersection (`\p{L}` /
+  * `\p{N}` mean the same Unicode categories in both), the house rule that
+  * keeps a DuckDB twin expressible when an oracle needs one.
+  *
+  * The catalog entries all run the pinned default, so their DuckDB oracles
+  * are unchanged; the dial is exercised by TokenizeSpec (ASCII-corpus
+  * equivalence + a constructed-Unicode divergence pin).
+  */
+sealed trait Tokenizer {
+  /** SQL fragment producing `array<string>` of tokens from a text column. */
+  def sql(col: String): String
+}
+
+object Tokenize {
+
+  /** Split on whitespace runs (the pinned default). `trim` first: Spark's
+    * `split` keeps leading/trailing empty strings.
+    */
+  case object Whitespace extends Tokenizer {
+    def sql(col: String): String = s"split(trim($col), '\\\\s+')"
+  }
+
+  /** Unicode word tokens: maximal runs of letters (`\p{L}`) and digits
+    * (`\p{N}`) — separators are everything else (punctuation, symbols,
+    * whitespace). The filter drops the empty fragments Spark's `split`
+    * emits at pattern-adjacent boundaries (e.g. a leading quote).
+    * On pure `[a-z0-9 ]` text this is token-for-token identical to
+    * [[Whitespace]] (spec-pinned); on "don't stop-now" it yields
+    * [don, t, stop, now] where whitespace yields [don't, stop-now].
+    */
+  case object UnicodeWords extends Tokenizer {
+    def sql(col: String): String =
+      s"filter(split($col, '[^\\\\p{L}\\\\p{N}]+'), t -> t <> '')"
+  }
+}

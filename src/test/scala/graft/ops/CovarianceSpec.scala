@@ -57,16 +57,51 @@ class CovarianceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val emb = (1 to 40).map { r =>
       Array.tabulate(64)(d => if (d == 0) (if (r % 2 == 0) 1.0f else -1.0f) else 0.25f)
     }.map(v => Tuple1(v.toSeq)).toDF("embedding")
-    val (pca, rowsM) = SimilarityQueries.embPcaPowerFrom(emb)
-    try {
-      val rows = pca.collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-      val (l1, eig) = rows(1)
-      assert(math.abs(math.abs(l1) - 1.0) < 1e-9, s"loading on dim 1 was $l1")
-      rows.filter(_._1 != 1).foreach { case (i, (l, _)) =>
-        assert(math.abs(l) < 1e-9, s"dim $i leaked loading $l")
+    val pca = SimilarityQueries.embPcaPowerFrom(emb)
+    val rows = pca.collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val (l1, eig) = rows(1)
+    assert(math.abs(math.abs(l1) - 1.0) < 1e-9, s"loading on dim 1 was $l1")
+    rows.filter(_._1 != 1).foreach { case (i, (l, _)) =>
+      assert(math.abs(l) < 1e-9, s"dim $i leaked loading $l")
+    }
+    assert(math.abs(eig - 1.0) < 1e-9, s"eigenvalue was $eig, expected var=1")
+  }
+
+  test("top-k deflation recovers planted orthogonal directions in order") {
+    import spark.implicits._
+    // dim 1 swings ±2 (variance 4), dim 2 swings ±1 on an independent phase
+    // (variance 1), all other dims constant: deflation must yield ±e1 with
+    // eigenvalue 4 first, then ±e2 with eigenvalue 1
+    val emb = (0 until 40).map { r =>
+      Array.tabulate(64) {
+        case 0 => if (r % 2 == 0) 2.0f else -2.0f
+        case 1 => if (r % 4 < 2) 1.0f else -1.0f
+        case _ => 0.25f
       }
-      assert(math.abs(eig - 1.0) < 1e-9, s"eigenvalue was $eig, expected var=1")
-    } finally rowsM.unpersist()
+    }.map(v => Tuple1(v.toSeq)).toDF("embedding")
+    val chain = SimilarityQueries.pcaChainFrom(emb, k = 2)
+    val row = chain.collect().head
+    val v1 = row.getSeq[Double](row.fieldIndex("v1"))
+    val v2 = row.getSeq[Double](row.fieldIndex("v2"))
+    val (ev1, ev2) = (row.getDouble(row.fieldIndex("ev1")), row.getDouble(row.fieldIndex("ev2")))
+    assert(math.abs(ev1 - 4.0) < 1e-6, s"ev1 was $ev1, expected var=4")
+    assert(math.abs(ev2 - 1.0) < 1e-6, s"ev2 was $ev2, expected var=1")
+    assert(math.abs(math.abs(v1.head) - 1.0) < 1e-6, s"v1 not along dim 1: ${v1.head}")
+    assert(math.abs(math.abs(v2(1)) - 1.0) < 1e-6, s"v2 not along dim 2: ${v2(1)}")
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-6, s"components not orthogonal: dot=$dot")
+  }
+
+  test("pca chain is a single-job expression chain (no per-iteration jobs)") {
+    import spark.implicits._
+    val emb = (0 until 8).map(r => Tuple1(Array.tabulate(64)(d =>
+      ((r * 7 + d) % 5).toFloat / 4).toSeq)).toDF("embedding")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    SimilarityQueries.embPcaPowerFrom(emb).collect()
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // one action -> a handful of jobs (AQE stages), NOT 2 per iteration x 12
+    assert(after - before <= 6,
+      s"power iteration launched ${after - before} jobs — the chain should not job-storm")
   }
 
   test("cumulative distinct equals brute-force expanding distinct count") {

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 pins: NOT IN three-valued-logic semantics + its null-aware
+  * anti-join plan, the bloom-gated decontamination sweep (probe below the
+  * confirm join + equivalence with the broadcast variant), the sharded
+  * quota sampler's window partitioning, and the pointer-doubling cycle cap.
+  */
+class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    // deterministic physical plans for the join-strategy pins below
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // --- q_not_in ----------------------------------------------------------
+
+  test("NOT IN with nulls in the subquery is empty; filtered arm is the anti join") {
+    val rows = RelationalQueries.notIn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(!rows.exists(_._1 == "with_nulls"),
+      "one NULL in the subquery makes NOT IN never-true — the arm must be empty")
+    val filtered = rows.filter(_._1 == "nulls_filtered").map(_._2).toSet
+    assert(filtered.nonEmpty, "the IS NOT NULL arm must produce the intuitive result")
+    // cross-check the filtered arm against a hand-built anti join
+    val sub = Tables(spark, dir, "orders")
+      .filter("o_orderkey % 5 = 0 AND o_orderkey % 97 <> 0")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val expected = Tables(spark, dir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).filterNot(sub).toSet
+    assert(filtered == expected)
+  }
+
+  test("q_not_in plans the nullable arm as a null-aware anti join, not a loop join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val exec = RelationalQueries.notIn(spark, dir).queryExecution.executedPlan
+    val naaj = exec.collect {
+      case b: BroadcastHashJoinExec if b.isNullAwareAntiJoin => b }
+    assert(naaj.nonEmpty,
+      s"expected a null-aware BroadcastHashJoin LeftAnti for the nullable NOT IN:\n$exec")
+    assert(exec.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"NOT IN must not fall back to a nested-loop join:\n$exec")
+  }
+
+  // --- text_decontaminate_bloom -----------------------------------------
+
+  test("bloom decontamination matches the broadcast variant exactly") {
+    val exact = TextQueries.decontaminate(spark, dir)
+    val bloom = TextQueries.decontaminateBloom(spark, dir)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty,
+      "the confirm join must eliminate every bloom false positive")
+  }
+
+  test("decontaminate_bloom plan: probe filters the corpus side below the confirm join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val plan = TextQueries.decontaminateBloom(spark, dir).queryExecution.optimizedPlan
+    val join = plan.collectFirst { case j: Join => j }.getOrElse(fail("no confirm join"))
+    val probeFiltered = join.children.exists(_.collect {
+      case f: Filter if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }.nonEmpty)
+    assert(probeFiltered,
+      s"the confirm join input must be bloom-probed below the join:\n$plan")
+  }
+
+  // --- doc_sample_quota_sharded -----------------------------------------
+
+  test("sharded quota sampler: per-(lang, shard) quotas sum to the target") {
+    val out = CurationQueries.sampleQuotaSharded(spark, dir, quota = 40, shards = 4)
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(0)))
+    val perCell = out.groupBy(t => (t._1, t._2)).view.mapValues(_.length)
+    perCell.foreach { case (cell, n) =>
+      assert(n <= 10, s"cell $cell got $n > 40/4 docs") }
+    val perLang = out.groupBy(_._1).view.mapValues(_.length)
+    perLang.foreach { case (lang, n) =>
+      assert(n <= 40, s"lang $lang exceeded the total quota: $n") }
+    assert(out.map(_._3).distinct.length == out.length, "no doc sampled twice")
+  }
+
+  test("sharded quota sampler windows by (lang, shard), never a whole language") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val plan = CurationQueries.sampleQuotaSharded(spark, dir)
+      .queryExecution.optimizedPlan
+    val w = plan.collectFirst { case w: Window => w }.getOrElse(fail("no rank window"))
+    assert(w.partitionSpec.size == 2,
+      s"rank window must partition by (lang, shard), got: ${w.partitionSpec}")
+  }
+
+  test("sharded quota sampler rejects a quota that does not divide over shards") {
+    intercept[IllegalArgumentException] {
+      CurationQueries.sampleQuotaSharded(spark, dir, quota = 40, shards = 3)
+    }
+  }
+
+  // --- resolveRoots cycle cap -------------------------------------------
+
+  test("resolveRoots fails fast with a cycle error instead of looping forever") {
+    import spark.implicits._
+    val cyclic = Seq((1L, 2L), (2L, 1L), (3L, 3L)).toDF("node", "parent")
+    val e = intercept[IllegalArgumentException] {
+      // a tight cap keeps the spec fast; the error path is identical at 64
+      IterativeQueries.resolveRootsWithRounds(cyclic, maxRounds = 5)._1.collect()
+    }
+    assert(e.getMessage.contains("cycle"), s"unexpected message: ${e.getMessage}")
+  }
+}
