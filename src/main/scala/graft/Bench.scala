@@ -41,7 +41,7 @@ object Bench {
     "doc_sample_quota_sharded", "doc_mix_report",
     "doc_upsample", "doc_shuffle_split", "doc_curate",
     "emb_kmeans", "emb_covariance", "emb_pca_power", "emb_pca_project",
-    "emb_pca_topk", "emb_pca_project_topk",
+    "emb_pca_topk", "emb_pca_project_topk", "emb_pca_whiten",
     "mm_features", "mm_ahash", "mm_ahash_dedup")
 
   /** Timed runs per query; the reported time is the median, so one GC pause /

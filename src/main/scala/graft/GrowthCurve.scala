@@ -185,6 +185,26 @@ object GrowthCurve {
       rows += (("emb_dup_clusters[4x12,c>=0.9]", tag, n, -1L, ccOut, ccSec))
     }
 
+    // --- 100x sweep -----------------------------------------------------
+    // Only the two claims whose 10x evidence the round-6 verdict wanted
+    // extended: dedup_bloom (confirm-join input must stay ~0 as the delta
+    // grows 100x) and ann_ivfpq (wall-clock sub-linear in the corpus; plain
+    // ann_pq runs alongside as the unpruned contrast). Documents 500k /
+    // embeddings 200k — the other arms' growth stories are settled at 10x
+    // and some (quadratic-threshold configs) would not fit the sandbox.
+    val dir100 = s"$base/100x"
+    genDocuments(spark, 500000L, dir100)
+    val probed100 = DedupQueries.bloomProbed(spark, dir100)
+      .agg(count(lit(1)).as("delta"), sum(expr("IF(maybe, 1, 0)")).as("maybe")).head()
+    val (bl100Out, bl100Sec) = timed(DedupQueries.dedupBloom(spark, dir100).count())
+    rows += (("dedup_bloom", "100x", probed100.getLong(0), probed100.getLong(1), bl100Out, bl100Sec))
+
+    genEmbeddings(spark, 200000L, dir100)
+    val (pq100Out, pq100Sec) = timed(SimilarityQueries.annPq(spark, dir100).count())
+    rows += (("ann_pq", "100x", 200000L, -1L, pq100Out, pq100Sec))
+    val (ipq100Out, ipq100Sec) = timed(SimilarityQueries.annIvfPq(spark, dir100).count())
+    rows += (("ann_ivfpq", "100x", 200000L, -1L, ipq100Out, ipq100Sec))
+
     println("| path | scale | rows | candidate pairs | output pairs | sec |")
     println("|---|---|---|---|---|---|")
     rows.foreach { case (path, tag, n, cand, out, sec) =>

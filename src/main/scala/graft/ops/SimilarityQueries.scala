@@ -632,6 +632,21 @@ object SimilarityQueries {
       .selectExpr("vec_id" +: (1 to k).map(c => s"vec_dot(v, v$c) AS pc$c"): _*)
   }
 
+  /** PCA whitening: each component projection scaled by 1/sqrt(eigenvalue)
+    * so the reduced representation has unit variance per axis — the
+    * standard preprocessing that makes downstream cosine/L2 metrics
+    * comparable across components. Same single chain + one corpus pass as
+    * [[embPcaProjectTopk]]; the scale is `vec_dot(v, vc) / sqrt(evc)`
+    * (division AFTER the fold, one extra IEEE op — bit-identical in DuckDB).
+    */
+  def embPcaWhiten(s: SparkSession, dir: String, k: Int = PcaK): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    Tables(s, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .crossJoin(broadcast(pcaChainFrom(Tables(s, dir, "embeddings"), k)))
+      .selectExpr("vec_id" +: (1 to k).map(c => s"vec_dot(v, v$c) / sqrt(ev$c) AS w$c"): _*)
+  }
+
   /** Non-default exercise config for the parameterized surface: fewer,
     * larger buckets, one Lloyd round, 2 probes.
     */
@@ -654,6 +669,7 @@ object SimilarityQueries {
     "emb_pca_project" -> embPcaProject,
     "emb_pca_topk" -> ((s, dir) => embPcaTopk(s, dir)),
     "emb_pca_project_topk" -> ((s, dir) => embPcaProjectTopk(s, dir)),
+    "emb_pca_whiten" -> ((s, dir) => embPcaWhiten(s, dir)),
   )
 
   private val duckV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -941,6 +957,15 @@ object SimilarityQueries {
       .mkString(",\n")}
        |FROM embeddings${(1 to k).map(c => s", ray$c").mkString}""".stripMargin
 
+  /** DuckDB twin of [[embPcaWhiten]]. */
+  private def pcaWhitenOracle(k: Int, iters: Int): String =
+    s"""${pcaTopkCtes(k, iters)}
+       |SELECT vec_id,
+       |${(1 to k).map(c =>
+      s"  ${sumFold(s"list_transform(range(1, 65), k -> CAST(embedding[k] AS DOUBLE) * ray$c.v[k])")} / sqrt(ray$c.eigenvalue) AS w$c")
+      .mkString(",\n")}
+       |FROM embeddings${(1 to k).map(c => s", ray$c").mkString}""".stripMargin
+
   /** DuckDB twin of [[embPcaPower]]: the same left-to-right +0.0-seeded
     * folds, unrolled as `iters` chained CTEs.
     */
@@ -1035,6 +1060,7 @@ object SimilarityQueries {
     "emb_pca_project" -> pcaProjectOracle(12),
     "emb_pca_topk" -> pcaTopkOracle(PcaK, 12),
     "emb_pca_project_topk" -> pcaProjectTopkOracle(PcaK, 12),
+    "emb_pca_whiten" -> pcaWhitenOracle(PcaK, 12),
     "emb_covariance" ->
       """WITH e AS (
         |  SELECT list_transform(embedding,
