@@ -647,6 +647,37 @@ object SimilarityQueries {
       .selectExpr("vec_id" +: (1 to k).map(c => s"vec_dot(v, v$c) / sqrt(ev$c) AS w$c"): _*)
   }
 
+  /** ANN in the PCA-reduced space — what the reduction is FOR: the
+    * [[embPcaProjectTopk]] chain shrinks every vector 64 -> [[PcaK]]
+    * doubles, and search runs on the reduced columns (dot product over k
+    * components — plain left-to-right arithmetic, no fold needed). At
+    * corpus scale the reduced projection is the materialized index: 64/k
+    * less state to shuffle/broadcast than raw embeddings, which is the
+    * entire point of on-engine PCA. The reduced frame is built ONCE
+    * (persisted, Lifecycle-released) and self-joined: queries broadcast,
+    * corpus side streamed — the same shape as [[annBruteForce]], labeled
+    * the reduced-space exactness baseline (an IVF over reduced vectors
+    * composes exactly like [[annIvf]]).
+    */
+  def annPcaReduced(s: SparkSession, dir: String, k: Int = PcaK): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val red = Tables(s, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .crossJoin(broadcast(pcaChainFrom(Tables(s, dir, "embeddings"), k)))
+      .selectExpr("vec_id" +: (1 to k).map(c => s"vec_dot(v, v$c) AS pc$c"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = red.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS query_id" +: (1 to k).map(c => s"pc$c AS qc$c"): _*)
+    val score = (1 to k).map(c => s"qc$c * pc$c").mkString(" + ")
+    val sims = broadcast(queries).join(red, col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id", s"$score AS score")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    val out = sims.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    Lifecycle.released(out, red)
+  }
+
   /** Non-default exercise config for the parameterized surface: fewer,
     * larger buckets, one Lloyd round, 2 probes.
     */
@@ -670,6 +701,7 @@ object SimilarityQueries {
     "emb_pca_topk" -> ((s, dir) => embPcaTopk(s, dir)),
     "emb_pca_project_topk" -> ((s, dir) => embPcaProjectTopk(s, dir)),
     "emb_pca_whiten" -> ((s, dir) => embPcaWhiten(s, dir)),
+    "ann_pca_reduced" -> ((s, dir) => annPcaReduced(s, dir)),
   )
 
   private val duckV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -966,6 +998,27 @@ object SimilarityQueries {
       .mkString(",\n")}
        |FROM embeddings${(1 to k).map(c => s", ray$c").mkString}""".stripMargin
 
+  /** DuckDB twin of [[annPcaReduced]]. */
+  private def annPcaReducedOracle(k: Int, iters: Int): String = {
+    val projCols = (1 to k).map(c =>
+      s"  ${sumFold(s"list_transform(range(1, 65), k -> CAST(embedding[k] AS DOUBLE) * ray$c.v[k])")} AS pc$c")
+      .mkString(",\n")
+    val score = (1 to k).map(c => s"q.qc$c * r.pc$c").mkString(" + ")
+    s"""${pcaTopkCtes(k, iters)},
+       |red AS MATERIALIZED (
+       |  SELECT vec_id,
+       |$projCols
+       |  FROM embeddings${(1 to k).map(c => s", ray$c").mkString}),
+       |q AS (SELECT vec_id AS query_id${(1 to k).map(c => s", pc$c AS qc$c").mkString}
+       |      FROM red WHERE vec_id < 10)
+       |SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT q.query_id, r.vec_id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY $score DESC, r.vec_id ASC) AS INT) AS rk
+       |  FROM q JOIN red r ON r.vec_id <> q.query_id) t
+       |WHERE rk <= 5""".stripMargin
+  }
+
   /** DuckDB twin of [[embPcaPower]]: the same left-to-right +0.0-seeded
     * folds, unrolled as `iters` chained CTEs.
     */
@@ -1061,6 +1114,7 @@ object SimilarityQueries {
     "emb_pca_topk" -> pcaTopkOracle(PcaK, 12),
     "emb_pca_project_topk" -> pcaProjectTopkOracle(PcaK, 12),
     "emb_pca_whiten" -> pcaWhitenOracle(PcaK, 12),
+    "ann_pca_reduced" -> annPcaReducedOracle(PcaK, 12),
     "emb_covariance" ->
       """WITH e AS (
         |  SELECT list_transform(embedding,

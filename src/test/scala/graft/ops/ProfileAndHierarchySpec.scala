@@ -110,10 +110,11 @@ class ProfileAndHierarchySpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = ProfileQueries.dqReport(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.keySet == Set("range_discount", "range_quantity", "enum_returnflag",
-      "null_extendedprice", "pk_dup_lineitem", "pk_dup_orders",
+      "null_extendedprice", "null_pk_lineitem", "pk_dup_lineitem", "pk_dup_orders",
       "fk_orphan_lineitem", "fk_orphan_orders"))
     assert(rows("fk_orphan_lineitem") == 0L && rows("fk_orphan_orders") == 0L)
     assert(rows("range_discount") == 0L && rows("pk_dup_orders") == 0L)
+    assert(rows("null_pk_lineitem") == 0L, "testdata PKs are non-null")
     assert(rows("pk_dup_lineitem") > 0L,
       "testdata ships duplicate (orderkey, linenumber) pairs — the counter must see them")
   }
