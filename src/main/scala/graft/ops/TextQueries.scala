@@ -78,6 +78,69 @@ object TextQueries {
       "doc_id",
       "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp")
 
+  /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS local fingerprinting algorithm): hash every k-token gram,
+    * slide a window of `w` consecutive gram hashes, keep each window's
+    * MINIMUM. Guarantee: any shared token run of length >= k + w - 1
+    * between two documents shares at least one fingerprint — so
+    * partial-overlap detection (plagiarism, boilerplate, quote reuse) needs
+    * only an equi-join on the fingerprint, never a pair scan. Fingerprint
+    * density is ~2/(w+1) of the gram stream, the storage/recall dial.
+    *
+    * Scale shape: pure per-row array expressions (no shuffle until the
+    * final per-doc fingerprint groupBy); the gram hashes sit behind a
+    * graft_barrier so the min-of-window lambda reads a materialized array
+    * (inlined, the hash chain would re-run per window — the CollapseProject
+    * hazard). The gram hash is the engine's codegen'd `hash60`, which the
+    * oracle re-derives bit-exactly from md5 hex.
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+  def winnow(s: SparkSession, dir: String,
+             k: Int = WinnowK, w: Int = WinnowW): DataFrame =
+    winnowFrom(Tables(s, dir, "documents"), k, w)
+
+  /** The winnowing kernel over any frame with (doc_id, text): one row per
+    * (doc, fingerprint) with the number of windows that selected it.
+    */
+  def winnowFrom(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    require(k >= 1 && w >= 1)
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    docs
+      .selectExpr("doc_id", s"graft_barrier($toks) AS tks")
+      .filter(s"size(tks) >= ${k + w - 1}")
+      .selectExpr("doc_id",
+        s"graft_barrier(transform(sequence(1, size(tks) - ${k - 1}), " +
+          s"i -> hash60(array_join(slice(tks, i, $k), ' ')))) AS hs")
+      .selectExpr("doc_id",
+        s"explode(transform(sequence(1, size(hs) - ${w - 1}), " +
+          s"i -> array_min(slice(hs, i, $w)))) AS fp")
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
+  /** What winnowing is FOR: partial-overlap pairs. Two documents sharing
+    * any winnowed fingerprint share a token run — ranked here by the count
+    * of DISTINCT shared fingerprints (>= minShared prunes incidental
+    * single-gram hits). One equi-join on the fingerprint — same scale-safe
+    * shape as the LSH band joins; on a 100 TB corpus hot fingerprints
+    * (ubiquitous boilerplate) are the skew dial: drop fingerprints whose
+    * doc-frequency exceeds a cap before the join, exactly like a stopword
+    * list.
+    */
+  def winnowPairs(s: SparkSession, dir: String, minShared: Int = 2): DataFrame = {
+    // persist: the fingerprint build feeds both join sides (without the
+    // barrier the whole winnow pipeline would run twice)
+    val fps = winnow(s, dir).select(col("doc_id"), col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    Lifecycle.released(out, fps)
+  }
+
   /** PII scrubbing patterns — kept inside the RE2 ∩ java.util.regex dialect
     * intersection so Spark and DuckDB redact identically.
     */
@@ -430,6 +493,8 @@ object TextQueries {
     "text_quality" -> qualityScore,
     "text_langid" -> langId,
     "text_fingerprint" -> fingerprint,
+    "text_winnow" -> ((s, dir) => winnow(s, dir)),
+    "text_winnow_pairs" -> ((s, dir) => winnowPairs(s, dir)),
     "text_scrub" -> scrub,
     "text_repetition" -> repetition,
     "text_ngram_dup" -> ((s, dir) => ngramDup(s, dir)),
@@ -444,6 +509,22 @@ object TextQueries {
   private[ops] val duckMaxTokNSql: String =
     s"CAST(list_max(list_transform(list_distinct($duckToks), t -> len(list_filter($duckToks, x -> x = t)))) AS INT)"
   private[ops] val duckNTokensSql: String = s"CAST(len($duckToks) AS INT)"
+
+  /** Shared winnowing CTE chain (k=3 grams, w=4 windows; `wins(doc_id, fp)`
+    * one row per window). Range bounds mirror the Spark sequences exactly:
+    * gram positions 1..n-2 (DuckDB range is end-exclusive), window positions
+    * 1..m-3; the gram hash re-derives `hash60` from md5 hex bit-exactly.
+    */
+  private val winnowCtes: String =
+    """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |hs AS (
+      |  SELECT doc_id, list_transform(range(1, len(t) - 1),
+      |    i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT)) AS hs
+      |  FROM tok WHERE len(t) >= 6),
+      |wins AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(hs) - 2),
+      |    i -> list_min(hs[i:i+3]))) AS fp
+      |  FROM hs)""".stripMargin
 
   private val decontaminateOracle: String =
     """WITH tok AS (
@@ -561,6 +642,17 @@ object TextQueries {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "text_winnow" ->
+      s"""WITH $winnowCtes
+         |SELECT doc_id, fp, CAST(count(1) AS BIGINT) AS n_windows
+         |FROM wins GROUP BY 1, 2""".stripMargin,
+    "text_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wins)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(1) AS BIGINT) AS n_shared
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(1) >= 2""".stripMargin,
     "text_scrub" ->
       s"""WITH d AS (
          |  SELECT c_custkey,

@@ -103,6 +103,38 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --- text_winnow -------------------------------------------------------
+
+  test("winnowing guarantee: a shared k+w-1 token run always shares a fingerprint") {
+    import spark.implicits._
+    // k=3, w=4 => guarantee threshold 6 tokens. Docs 1 and 2 embed the same
+    // 6-token run in different contexts; doc 3 is disjoint.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"pre1 pre2 $shared post1"),
+      (2L, s"intro $shared tail1 tail2 tail3"),
+      (3L, "unrelated tokens only appear here nothing common at all")
+    ).toDF("doc_id", "text")
+    val fps = TextQueries.winnowFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "documents sharing a >= k+w-1 token run must share a winnowed fingerprint")
+    assert((fps(3L) & (fps(1L) | fps(2L))).isEmpty,
+      "disjoint token streams share no fingerprints")
+  }
+
+  test("winnowing density: fingerprints per doc are a strict subset of windows") {
+    val rows = TextQueries.winnow(spark, dir).groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_fp"),
+        org.apache.spark.sql.functions.sum("n_windows").as("n_win"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "every fingerprint accounts >= 1 window")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
   // --- resolveRoots cycle cap -------------------------------------------
 
   test("resolveRoots fails fast with a cycle error instead of looping forever") {
