@@ -766,26 +766,35 @@ object DedupQueries {
       rounds += 1
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      // persisted: the doubling self-join consumes it twice
-      val viaNeighbors = labels.select(col("id"), col("label")).union(prop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      val labelType = labels.schema("label").dataType
+      // persisted: the doubling self-join consumes it twice. `old` carries
+      // each vertex's PREVIOUS label through the aggregation (min ignores
+      // the prop rows' nulls; a vertex id is unique in `labels`) so the
+      // convergence check below is a filter on the new generation instead
+      // of a per-round join back against the old one.
+      val viaNeighbors = labels.select(col("id"), col("label"), col("label").as("old"))
+        .union(prop.select(col("id"), col("label"), lit(null).cast(labelType).as("old")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"), min(col("old")).as("old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer doubling: label(label(v)). Every label is a vertex id (it
       // starts as one and only ever becomes another vertex's label), but
       // edges may reference ids outside `vertices` — left join + coalesce
-      // keeps those rows intact instead of dropping them.
-      val nextP = viaNeighbors.as("x")
+      // keeps those rows intact instead of dropping them. (Such outside ids
+      // have a null `old` in their first generation: label < null is
+      // UNKNOWN, so they don't signal change that round — the same
+      // semantics the old nextP-vs-labels join gave them.)
+      val nextAll = viaNeighbors.as("x")
         .join(viaNeighbors.select(col("id").as("pid"), col("label").as("plabel")).as("p"),
           col("x.label") === col("p.pid"), "left")
         .select(col("x.id"),
-          least(col("x.label"), coalesce(col("p.plabel"), col("x.label"))).as("label"))
+          least(col("x.label"), coalesce(col("p.plabel"), col("x.label"))).as("label"),
+          col("x.old").as("old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = nextP.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label"))
-        .limit(1).count()
+      changed = nextAll.filter(col("label") < col("old")).limit(1).count()
+      val nextP = nextAll.select(col("id"), col("label"))
       viaNeighbors.unpersist()
       backing.unpersist()
-      backing = nextP
+      backing = nextAll
       // lineage truncation every CcCheckpointInterval rounds: rebuild the
       // frame from the materialized RDD so the logical plan resets to a
       // LogicalRDD (blocks stay owned by `backing` — releasable, unlike a

@@ -71,23 +71,27 @@ object IterativeQueries {
       rounds += 1
       // anc'(v) = anc(anc(v)); depth adds the jumped segment's length.
       // Left join + coalesce keeps rows whose ancestor id has no state row
-      // (dangling parent) frozen instead of dropping them.
+      // (dangling parent) frozen instead of dropping them. A row changed
+      // this round iff the jumped segment had positive length (composing
+      // with a root adds 0) — computable in the SAME projection, so the
+      // convergence check is a filter, not a second join per round.
       val next = state.as("x")
         .join(state.select(col("node").as("pnode"), col("anc").as("panc"),
             col("depth").as("pdepth")).as("p"),
           col("x.anc") === col("p.pnode"), "left")
         .select(col("x.node"),
           coalesce(col("p.panc"), col("x.anc")).as("anc"),
-          (col("x.depth") + coalesce(col("p.pdepth"), lit(0L))).as("depth"))
+          (col("x.depth") + coalesce(col("p.pdepth"), lit(0L))).as("depth"),
+          (coalesce(col("p.pdepth"), lit(0L)) > 0).as("moved"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.as("n").join(state.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.depth") =!= col("o.depth")).limit(1).count()
+      changed = next.filter(col("moved")).limit(1).count()
+      val nextState = next.select(col("node"), col("anc"), col("depth"))
       backing.unpersist()
       backing = next
       state =
         if (rounds % JumpCheckpointInterval == 0)
-          spark.createDataFrame(next.rdd, next.schema)
-        else next
+          spark.createDataFrame(nextState.rdd, nextState.schema)
+        else nextState
     }
     val result = Lifecycle.released(
       state.select(col("node"), col("anc").as("root"),
