@@ -461,6 +461,11 @@ object RelationalQueries {
     * no-equi-key variant is `q_range_join`'s bucketization). Half-open
     * intervals make the match unique: every event lands in exactly one
     * version row.
+    *
+    * As a catalog entry the dimension build runs inline (the SCD2 window IS
+    * part of the demonstrated query); a production pipeline joins a
+    * MATERIALIZED history table instead — the scd2 build is a one-time
+    * load-side cost, not a per-query one.
     */
   def temporalJoin(s: SparkSession, dir: String): DataFrame = {
     val dim = scd2(s, dir).withColumnRenamed("user_id", "d_user")

@@ -123,22 +123,40 @@ object TextQueries {
     * any winnowed fingerprint share a token run — ranked here by the count
     * of DISTINCT shared fingerprints (>= minShared prunes incidental
     * single-gram hits). One equi-join on the fingerprint — same scale-safe
-    * shape as the LSH band joins; on a 100 TB corpus hot fingerprints
-    * (ubiquitous boilerplate) are the skew dial: drop fingerprints whose
-    * doc-frequency exceeds a cap before the join, exactly like a stopword
-    * list.
+    * shape as the LSH band joins. `maxDocFreq` is the hot-fingerprint skew
+    * dial: a fingerprint carried by d documents contributes C(d, 2) join
+    * pairs, so ubiquitous boilerplate (license headers, navigation chrome)
+    * would go quadratic exactly like an LSH hot band — fingerprints above
+    * the cap are dropped BEFORE the join (a stopword list for
+    * fingerprints; they mark boilerplate, not meaningful overlap). The cap
+    * count runs as a window over the same fp hash partitioning the pair
+    * join uses. The pinned default (50) is inert on this corpus (max df 7),
+    * so the oracle gates the capped code path against the uncapped answer.
     */
-  def winnowPairs(s: SparkSession, dir: String, minShared: Int = 2): DataFrame = {
-    // persist: the fingerprint build feeds both join sides (without the
-    // barrier the whole winnow pipeline would run twice)
-    val fps = winnow(s, dir).select(col("doc_id"), col("fp"))
+  def winnowPairs(s: SparkSession, dir: String, minShared: Int = 2,
+                  maxDocFreq: Int = 50): DataFrame =
+    winnowPairsFrom(Tables(s, dir, "documents"), minShared, maxDocFreq)
+
+  /** The pair kernel over any frame with (doc_id, text). */
+  def winnowPairsFrom(docs: DataFrame, minShared: Int = 2,
+                      maxDocFreq: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxDocFreq >= 1)
+    // persist: the fingerprint build feeds the df window AND both join
+    // sides (without the barrier the whole winnow pipeline would run
+    // per consumer)
+    val fps = winnowFrom(docs).select(col("doc_id"), col("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = fps.as("a").join(fps.as("b"),
+    val kept = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("doc_id"), col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    Lifecycle.released(out, fps)
+    Lifecycle.released(out, fps, kept)
   }
 
   /** PII scrubbing patterns — kept inside the RE2 ∩ java.util.regex dialect
@@ -648,10 +666,13 @@ object TextQueries {
          |FROM wins GROUP BY 1, 2""".stripMargin,
     "text_winnow_pairs" ->
       s"""WITH $winnowCtes,
-         |fps AS (SELECT DISTINCT doc_id, fp FROM wins)
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wins),
+         |kept AS (SELECT doc_id, fp FROM (
+         |  SELECT doc_id, fp, count(1) OVER (PARTITION BY fp) AS df FROM fps) t
+         |  WHERE df <= 50)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(count(1) AS BIGINT) AS n_shared
-         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(1) >= 2""".stripMargin,
     "text_scrub" ->
       s"""WITH d AS (

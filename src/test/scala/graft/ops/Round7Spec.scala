@@ -124,6 +124,33 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
       "disjoint token streams share no fingerprints")
   }
 
+  test("winnow pair cap drops hot boilerplate fingerprints before the join") {
+    import spark.implicits._
+    // every doc carries the same 6-token boilerplate run (a guaranteed
+    // shared fingerprint in ALL of them) plus per-doc unique text; docs 1/2
+    // additionally share a genuine 6-token overlap
+    val boiler = "standard license header tokens appear everywhere"
+    val real = "genuinely shared unique passage right here"
+    val docs = ((1L to 6L).map {
+      case i @ 1L => (i, s"$boiler $real u$i v$i")
+      case i @ 2L => (i, s"x$i $boiler y$i $real")
+      case i => (i, s"a$i b$i $boiler c$i d$i e$i")
+    }).toDF("doc_id", "text")
+    val uncapped = TextQueries.winnowPairsFrom(docs, minShared = 1, maxDocFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = TextQueries.winnowPairsFrom(docs, minShared = 1, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 15, s"boilerplate links every doc pair: $uncapped")
+    assert(capped.contains((1L, 2L)),
+      s"the genuine low-df overlap must survive the cap: $capped")
+    // the df-6 boilerplate fingerprint is gone, so the all-pairs clique
+    // cannot survive (straddle-window minima may keep a few low-df
+    // secondary links — that is the cap working as specified, by df)
+    assert(capped.size < uncapped.size,
+      s"the ubiquitous fingerprint must stop linking every pair: $capped")
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("winnowing density: fingerprints per doc are a strict subset of windows") {
     val rows = TextQueries.winnow(spark, dir).groupBy("doc_id")
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_fp"),
