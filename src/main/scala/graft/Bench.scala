@@ -39,7 +39,7 @@ object Bench {
     "text_winnow", "text_winnow_pairs",
     "text_quality_model", "text_lm_score",
     "doc_pack", "doc_chunk", "doc_sample_stratified", "doc_sample_quota",
-    "doc_sample_quota_sharded", "doc_mix_report",
+    "doc_sample_quota_sharded", "doc_mix_report", "doc_mix_rates", "q_ewma",
     "doc_upsample", "doc_shuffle_split", "doc_curate",
     "emb_kmeans", "emb_covariance", "emb_pca_power", "emb_pca_project",
     "emb_pca_topk", "emb_pca_project_topk", "emb_pca_whiten",

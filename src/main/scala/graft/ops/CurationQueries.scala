@@ -277,6 +277,43 @@ object CurationQueries {
       .selectExpr("lang", "source", "n_docs", "n_tokens",
         "CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share")
 
+  /** The catalog's pinned per-language target token shares (they sum to 1
+    * with the 0.125 default covering each unlisted language).
+    */
+  val DefaultTargetShares: (Map[String, Double], Double) =
+    (Map("en" -> 0.3, "de" -> 0.25, "fr" -> 0.2), 0.125)
+
+  /** Mixture-rate derivation — the arithmetic that CLOSES the curation
+    * loop: [[mixReport]] measures the actual token share per language,
+    * this op divides the TARGET share by it and emits the emission rate
+    * (percent) that [[upsampleFrom]] consumes. Run report -> rates ->
+    * upsample and the next epoch lands on the target mixture.
+    *
+    * One partial+final aggregate over the corpus; the share window and the
+    * rate arithmetic run over the |langs|-row aggregate. The rate is
+    * `round(target / actual * 100)` — the IEEE chain is identical in both
+    * engines (same division structure, same half-away-from-zero round), so
+    * the derived integer rate is bit-stable.
+    */
+  def mixRates(s: SparkSession, dir: String,
+               targets: Map[String, Double] = DefaultTargetShares._1,
+               default: Double = DefaultTargetShares._2): DataFrame = {
+    require(default > 0 && targets.values.forall(_ > 0), "target shares are positive")
+    val target = targets.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (l, t)) => when(col("lang") === lit(l), lit(t)).otherwise(acc)
+    }
+    Tables(s, dir, "documents")
+      .selectExpr("lang",
+        s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS n_tok")
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .selectExpr("lang", "n_tokens",
+        "CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS actual_share")
+      .withColumn("target_share", target)
+      .withColumn("rate_pct",
+        expr("CAST(round(target_share / actual_share * 100) AS BIGINT)"))
+  }
+
   /** Context-window chunking — the other half of sequence assembly next to
     * [[packSequences]]: packing concatenates SHORT docs up to the context
     * budget; chunking splits LONG docs into overlapping training windows
@@ -397,6 +434,7 @@ object CurationQueries {
     "doc_pack" -> ((s, dir) => packSequences(s, dir)),
     "doc_pack_sharded" -> ((s, dir) => packSequencesSharded(s, dir)),
     "doc_mix_report" -> mixReport,
+    "doc_mix_rates" -> ((s, dir) => mixRates(s, dir)),
     "doc_upsample" -> upsample,
     "doc_shuffle_split" -> ((s, dir) => shuffleSplit(s, dir)),
     "doc_curate" -> ((s, dir) => curate(s, dir)),
@@ -444,6 +482,18 @@ object CurationQueries {
          |    ${hashPctOf("CAST(doc_id AS VARCHAR)")} AS h
          |  FROM documents) t
          |WHERE h < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 30 WHEN 'fr' THEN 50 ELSE 70 END""".stripMargin,
+    "doc_mix_rates" ->
+      s"""WITH toks AS (
+         |  SELECT lang,
+         |    CAST(list_sum(list_transform($duckToks, t -> (length(t) + 3) // 4)) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |agg AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM toks GROUP BY 1)
+         |SELECT lang, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS actual_share,
+         |  CAST(CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.2 ELSE 0.125 END AS DOUBLE) AS target_share,
+         |  CAST(round(CAST(CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.2 ELSE 0.125 END AS DOUBLE)
+         |    / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()) * 100) AS BIGINT) AS rate_pct
+         |FROM agg""".stripMargin,
     "doc_mix_report" ->
       s"""WITH toks AS (
          |  SELECT lang, source,

@@ -1105,6 +1105,26 @@ object RelationalQueries {
   // --- sessionization (event analytics) --------------------------------
 
   /** Gap-based sessionization: a new session starts after >30 min idle. */
+  /** Exponential smoothing (EWMA, alpha = 1/2) per key: the standard
+    * time-series noise filter, folded left-to-right over the key's ordered
+    * sequence — `y_t = (y_{t-1} + x_t) / 2` seeded with 0. Spark has no
+    * recursive window, so the per-key sequence is collected and folded in
+    * one partial-aggregated groupBy — bounded groups (an order's lines),
+    * the same shape as the interval-merge fold. Determinism: halving is
+    * EXACT in IEEE doubles and the fold order is pinned by the full sort
+    * key (linenumber, quantity — the testdata has duplicate linenumbers;
+    * equal (ln, qty) twins fold to the same value either way), so DuckDB's
+    * `list_reduce(list_prepend(0.0, list(... ORDER BY ...)))` reproduces
+    * the result bit-for-bit.
+    */
+  def ewma(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("aggregate(transform(array_sort(collect_list(struct(l_linenumber, l_quantity)))," +
+          " x -> CAST(x.l_quantity AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> (acc + x) / 2)")
+          .as("ewma"))
+
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables(s, dir, "events")
@@ -1383,6 +1403,7 @@ object RelationalQueries {
     "q_case_expr" -> caseExpr,
     "q_pivot" -> pivotEvents,
     "q_sessionize" -> sessionize,
+    "q_ewma" -> ewma,
     "q_scd2" -> scd2,
     "q_gapfill" -> ((s, dir) => gapFill(s, dir)),
     "q_agg_variance" -> aggVariance,
@@ -2033,6 +2054,12 @@ object RelationalQueries {
         |    OVER (PARTITION BY user_id ORDER BY h
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS last_active_h
         |FROM j""".stripMargin,
+    "q_ewma" ->
+      """SELECT l_orderkey, CAST(count(1) AS BIGINT) AS n_lines,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(CAST(l_quantity AS DOUBLE) ORDER BY l_linenumber, l_quantity)),
+        |    (a, b) -> (a + b) / 2) AS ewma
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(1) AS n_events FROM (
         |  SELECT user_id,

@@ -162,6 +162,30 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --- doc_mix_rates loop closure ---------------------------------------
+
+  test("report -> rates -> upsample lands the epoch stream on the target mixture") {
+    val rates = CurationQueries.mixRates(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(4).toInt).toMap
+    val targets = CurationQueries.mixRates(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val epoch = CurationQueries.upsampleFrom(
+      Tables(spark, dir, "documents"), rates = rates, default = 100)
+    // join token counts back on and measure the achieved share
+    val toks = Tables(spark, dir, "documents")
+      .selectExpr("doc_id",
+        "CAST(aggregate(split(trim(text), '\\\\s+'), 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS n_tok")
+    val achieved = epoch.join(toks, "doc_id")
+      .groupBy("lang").agg(org.apache.spark.sql.functions.sum("n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = achieved.values.sum.toDouble
+    targets.foreach { case (lang, target) =>
+      val share = achieved(lang) / total
+      assert(math.abs(share - target) < 0.04,
+        s"$lang: achieved $share vs target $target (rate ${rates(lang)}%)")
+    }
+  }
+
   // --- resolveRoots cycle cap -------------------------------------------
 
   test("resolveRoots fails fast with a cycle error instead of looping forever") {
