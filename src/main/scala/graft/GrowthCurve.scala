@@ -139,6 +139,19 @@ object GrowthCurve {
       val (blOut, blSec) = timed(DedupQueries.dedupBloom(spark, dir).count())
       rows += (("dedup_bloom", tag, probed.getLong(0), probed.getLong(1), blOut, blSec))
 
+      // winnowed fingerprint overlap: candidate metric = the pair join's
+      // input, sum of C(df, 2) over fingerprints (after the hot-fp cap) —
+      // must track true shared-run pairs, not docs^2
+      val wfps = graft.ops.TextQueries.winnow(spark, dir)
+        .select(col("doc_id"), col("fp"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .filter(col("df") <= 50) // the kernel's pinned hot-fp cap
+        .select(col("doc_id"), col("fp"))
+      val wCand = groupPairs(wfps, Seq("fp"))
+      val (wOut, wSec) = timed(graft.ops.TextQueries.winnowPairs(spark, dir).count())
+      rows += (("text_winnow_pairs", tag, n, wCand, wOut, wSec))
+
       // paragraph dedup and bigram LM scoring: pure groupBy/window shuffles
       // keyed on segment/bigram strings — no candidate stage, so wall-clock
       // must track rows, not rows^2
