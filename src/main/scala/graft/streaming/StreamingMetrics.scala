@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming per-key metric smoothing with O(1) state per key.
+  *
+  * The batch engine answers "smoothed metric per entity" with `q_ewma`'s
+  * collect-and-fold; a stream wants the same value continuously as
+  * observations arrive. EWMA is the canonical choice precisely BECAUSE its
+  * state is one number: `y <- (y + x) / 2` (alpha = 1/2, exact in IEEE
+  * doubles — the same fold the batch oracle pins), carried across
+  * micro-batches as `mapGroupsWithState` state. No window buffer, no
+  * per-observation retention — the bounded-memory contract of
+  * [[StreamingSketch.heavyHitters]] and [[StreamingDedup]].
+  *
+  * Ordering contract (spec-pinned): within a batch, observations fold in
+  * `(seq, x)` order — layout-independent; across batches, arrival order IS
+  * event order (the usual at-ingest assumption — a late observation folds
+  * late, exactly like every streaming metric pipeline). When batches
+  * respect `seq` order, the final state equals the batch [[q_ewma]] fold
+  * over the full history (the equivalence the spec replays).
+  */
+object StreamingMetrics {
+
+  /** One observation: `seq` orders within a batch (any unique-ish sequence
+    * number — a line number, an event time), `x` is the measured value.
+    */
+  final case class Obs(key: Long, seq: Long, x: Double)
+
+  /** Per-key running state: the smoothed value and the observation count. */
+  final case class Smoothed(key: Long, ewma: Double, n: Long)
+
+  /** EWMA (alpha = 1/2) per key over a (streaming or static) frame with
+    * (key, seq, x) columns. Each micro-batch re-emits a touched key's
+    * current smoothed value (Update mode — `mapGroupsWithState`'s required
+    * streaming mode); downstream keeps the latest emission per key.
+    */
+  def ewma(obs: DataFrame): Dataset[Smoothed] = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.selectExpr("CAST(key AS LONG) AS key", "CAST(seq AS LONG) AS seq",
+        "CAST(x AS DOUBLE) AS x")
+      .as[Obs]
+      .groupByKey(_.key)
+      .mapGroupsWithState[(Double, Long), Smoothed](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Double, Long)]) =>
+          val (y0, n0) = state.getOption.getOrElse((0.0, 0L))
+          val (y, n) = rows.toArray.sortBy(o => (o.seq, o.x))
+            .foldLeft((y0, n0)) { case ((y, n), o) => ((y + o.x) / 2, n + 1) }
+          state.update((y, n))
+          Smoothed(key, y, n)
+      }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{RelationalQueries, Tables}
+
+/** Streaming EWMA: O(1)-state per-key smoothing must agree with the batch
+  * `q_ewma` fold — on static input exactly, and across ordered micro-batches
+  * by carrying the smoothed value as state.
+  */
+class StreamingMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("static-mode streaming EWMA equals the q_ewma batch fold per key") {
+    val obs = Tables(spark, dir, "lineitem").selectExpr(
+      "l_orderkey AS key", "l_linenumber AS seq", "l_quantity AS x")
+    val streaming = StreamingMetrics.ewma(obs).collect()
+      .map(s => s.key -> (s.ewma, s.n)).toMap
+    val batch = RelationalQueries.ewma(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(1))).toMap
+    assert(streaming.keySet == batch.keySet)
+    streaming.foreach { case (k, (e, n)) =>
+      assert(batch(k) == ((e, n)), s"key $k: streaming $e/$n vs batch ${batch(k)}")
+    }
+  }
+
+  test("state carries across micro-batches: final emission equals the full-history fold") {
+    val tmp = Files.createTempDirectory("graft-sewma").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    // two ordered batches per key: seq 1-3 then seq 4-6
+    (0 until 2).foreach { b =>
+      val lines = for (k <- 1 to 3; i <- 1 to 3) yield {
+        val seq = b * 3 + i
+        s"""{"key": $k, "seq": $seq, "x": ${k * 10 + seq}.5}"""
+      }
+      val p = java.nio.file.Paths.get(s"$tmp/in/b$b.jsonl")
+      Files.writeString(p, lines.mkString("\n"))
+      p.toFile.setLastModified(1700000000000L + b * 2000L)
+    }
+    val schema = StructType(Seq(StructField("key", LongType),
+      StructField("seq", LongType), StructField("x", DoubleType)))
+    val in = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .json(s"$tmp/in")
+    val q = StreamingMetrics.ewma(in.toDF()).writeStream
+      .format("memory").queryName("sewma").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the memory sink accumulates one emission per key per touched batch;
+    // the LAST emission per key (highest n) is the current state
+    val last = spark.table("sewma").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+    (1 to 3).foreach { k =>
+      val expected = (1 to 6).map(i => k * 10 + i + 0.5)
+        .foldLeft(0.0)((acc, x) => (acc + x) / 2)
+      val (_, e, n) = last(k.toLong)
+      assert(n == 6L, s"key $k folded $n observations")
+      assert(e == expected, s"key $k: $e != $expected")
+    }
+  }
+}
