@@ -321,6 +321,13 @@ object RelationalQueries {
     * the null-aware rewrite; the planner turns the broadcast-able subquery
     * into a null-aware anti join (BroadcastHashJoin LeftAnti
     * isNullAwareAntiJoin=true — plan-pinned), NOT a nested-loop scan.
+    *
+    * Scale note: Spark's null-aware anti join REQUIRES a broadcastable
+    * subquery (the single-column build side is tiny here and in most real
+    * NOT IN queries); a non-broadcastable one degrades to a nested-loop
+    * join. At that size, rewrite to the explicit decomposition the
+    * `nulls_filtered` arm demonstrates: an IS NOT NULL shuffle anti join
+    * plus a has-any-null existence check — same answer, shuffle-partitioned.
     */
   def notIn(s: SparkSession, dir: String): DataFrame = {
     Tables(s, dir, "customer").createOrReplaceTempView("ni_customer")
