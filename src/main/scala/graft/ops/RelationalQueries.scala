@@ -615,6 +615,31 @@ object RelationalQueries {
     * a persist barrier (Lifecycle-released) — without it the whole
     * fact-fact join + distinct executes twice.
     */
+  /** TPC-H Q19 shape (discounted-revenue over disjunctive predicates): the
+    * join condition the optimizer must CNF-split — three OR'd brand/size/
+    * quantity clauses that all share the `p_partkey = l_partkey` conjunct.
+    * Catalyst extracts the common equi-key (the join stays a hash join, not
+    * a nested-loop over the OR) and pushes the per-side halves of each
+    * disjunct (`p_brand IN (...)`, `l_quantity <= 30`-style bounds) down to
+    * the scans, leaving only the cross-side residual above the join — the
+    * textbook disjunctive-pushdown case. Revenue is the house decimal-exact
+    * sum.
+    */
+  def tpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val part = Tables(s, dir, "part")
+    li.join(part, col("p_partkey") === col("l_partkey") && (
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   def tpchQ21(s: SparkSession, dir: String): DataFrame = {
     val (out, late) = tpchQ21Plan(s, dir)
     Lifecycle.released(out, late)
@@ -1383,6 +1408,7 @@ object RelationalQueries {
     "q_tpch_q18" -> tpchQ18,
     "q_tpch_q17" -> tpchQ17,
     "q_tpch_q21" -> tpchQ21,
+    "q_tpch_q19" -> tpchQ19,
     "q_in_subquery" -> inSubquery,
     "q_scalar_subquery" -> scalarSubquery,
     "q_exists" -> existsCorrelated,
@@ -1581,6 +1607,14 @@ object RelationalQueries {
         |JOIN pp USING (l_partkey)
         |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
         |GROUP BY 1""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(1) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_tpch_q21" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_suppkey, epoch_us(l_shipdate) // 1000000 AS sd

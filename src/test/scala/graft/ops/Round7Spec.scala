@@ -53,6 +53,24 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"NOT IN must not fall back to a nested-loop join:\n$exec")
   }
 
+  // --- q_tpch_q19 --------------------------------------------------------
+
+  test("tpch q19: the disjunctive condition still plans as a hash equi-join with per-side pushdown") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val qe = RelationalQueries.tpchQ19(spark, dir).queryExecution
+    assert(qe.executedPlan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      s"the common p_partkey = l_partkey conjunct must be extracted from the OR:\n${qe.executedPlan}")
+    val join = qe.optimizedPlan.collectFirst { case j: Join => j }.getOrElse(fail("no join"))
+    assert(join.condition.exists(_.references.nonEmpty), "equi-join condition present")
+    // each disjunct's single-side half is pushed below the join
+    val partSideFiltered = join.children.exists(_.collect {
+      case f: Filter if f.condition.toString.contains("p_brand") => f
+    }.nonEmpty)
+    assert(partSideFiltered,
+      s"per-side disjunct halves must reach the part side below the join:\n${qe.optimizedPlan}")
+  }
+
   // --- text_decontaminate_bloom -----------------------------------------
 
   test("bloom decontamination matches the broadcast variant exactly") {
