@@ -36,7 +36,7 @@ object Bench {
     "doc_filter_quantile",
     "text_quality", "text_langid", "text_repetition", "text_tfidf", "text_vocab",
     "text_decontaminate", "text_decontaminate_bloom", "text_ngram_dup",
-    "text_winnow", "text_winnow_pairs",
+    "text_winnow", "text_winnow_pairs", "text_nfc_dedup",
     "text_quality_model", "text_lm_score",
     "doc_pack", "doc_chunk", "doc_sample_stratified", "doc_sample_quota",
     "doc_sample_quota_sharded", "doc_mix_report", "doc_mix_rates", "q_ewma",

@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_barrier", exprs => OptimizationBarrier(exprs.head)))
     ext.injectFunction(fn("vec_dot", exprs => VecDot(exprs.head, exprs(1))))
     ext.injectFunction(fn("ahash60", exprs => AHash60(exprs.head)))
+    ext.injectFunction(fn("nfc_normalize", exprs => NfcNormalize(exprs.head)))
     ext.injectFunction(fn("graft_bloom_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2))))

@@ -33,6 +33,8 @@ object GraftFunctions {
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ahash60", exprs => AHash60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
     // Spark's own runtime-filter bloom sketch, exposed in SQL: the aggregate
     // builds the filter as one BINARY value (mergeable partials — no row
     // shuffle, only sketch bytes move), and the probe side consumes it via a
@@ -175,6 +177,44 @@ case class RelationalizeGenerator(child: Expression, name: String)
   * Implements `doGenCode` so it stays inside whole-stage codegen (the dedup
   * signature path evaluates it per shingle).
   */
+/** Unicode NFC normalization (`nfc_normalize(str)`): canonical composition
+  * via `java.text.Normalizer`. Why the engine ships it: exact dedup keys on
+  * byte equality, but the SAME logical text arrives from a real crawl in
+  * different byte forms (precomposed U+00E9 vs 'e' + combining U+0301, NFD
+  * from macOS filenames, NFKC-variant widths) — without canonicalization,
+  * fingerprint dedup silently under-merges. Matches DuckDB's
+  * `nfc_normalize` byte-for-byte (both implement Unicode canonical
+  * composition), so normalized fingerprints stay oracle-checkable.
+  * Codegen'd like [[Hash60]]; identity (and allocation-free fast-pathable)
+  * on ASCII.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${child.dataType.catalogString}")
+  override def nullSafeEval(v: Any): Any = NfcImpl.normalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcImpl.normalize($c)")
+  override def prettyName: String = "nfc_normalize"
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcImpl {
+  /** static entry shared by interpreted + generated code */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // NFC is the identity on normalized text (all-ASCII included) — skip
+    // the rebuild unless the normalizer would actually change bytes
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 case class Hash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

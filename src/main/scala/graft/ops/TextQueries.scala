@@ -159,6 +159,37 @@ object TextQueries {
     Lifecycle.released(out, fps, kept)
   }
 
+  /** Unicode-canonicalized exact dedup — why normalization must precede
+    * fingerprinting on a real crawl: the SAME logical text arrives in
+    * different byte forms (precomposed U+00E9 vs 'e' + combining U+0301)
+    * and raw byte fingerprints silently under-merge. The corpus is ASCII,
+    * so the mixed forms are constructed in-query (the rel_* pattern): each
+    * logical doc appears once precomposed (even keys) and once decomposed
+    * (odd keys), built from hex so both engines produce identical bytes
+    * (Spark's `chr` is mod-256 and cannot emit U+0301). The output proves
+    * both halves: every NFC group holds 2 rows with 2 DISTINCT raw
+    * fingerprints — raw dedup finds nothing, `nfc_normalize` (the engine's
+    * codegen'd expression, matching DuckDB's builtin byte-for-byte) merges
+    * every pair. Map-side normalize + one fingerprint groupBy — the
+    * [[DedupQueries.dedupExact]] shape with a canonicalization step.
+    */
+  def nfcDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    Tables(s, dir, "customer")
+      .selectExpr("c_custkey",
+        """concat('caf',
+          |  CASE WHEN c_custkey % 2 = 0 THEN decode(unhex('C3A9'), 'UTF-8')
+          |       ELSE decode(unhex('65CC81'), 'UTF-8') END,
+          |  ' doc ', CAST(c_custkey div 2 AS STRING)) AS doc""".stripMargin)
+      .selectExpr("c_custkey",
+        "md5(CAST(doc AS BINARY)) AS raw_fp",
+        "md5(CAST(nfc_normalize(doc) AS BINARY)) AS nfc_fp")
+      .groupBy(col("nfc_fp"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("raw_fp")).as("n_raw_forms"),
+        min(col("c_custkey")).as("keeper"))
+  }
+
   /** PII scrubbing patterns — kept inside the RE2 ∩ java.util.regex dialect
     * intersection so Spark and DuckDB redact identically.
     */
@@ -512,6 +543,7 @@ object TextQueries {
     "text_langid" -> langId,
     "text_fingerprint" -> fingerprint,
     "text_winnow" -> ((s, dir) => winnow(s, dir)),
+    "text_nfc_dedup" -> nfcDedup,
     "text_winnow_pairs" -> ((s, dir) => winnowPairs(s, dir)),
     "text_scrub" -> scrub,
     "text_repetition" -> repetition,
@@ -660,6 +692,19 @@ object TextQueries {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "text_nfc_dedup" ->
+      """WITH d AS (
+        |  SELECT c_custkey,
+        |    'caf' || CASE WHEN c_custkey % 2 = 0 THEN decode(from_hex('C3A9'))
+        |                  ELSE decode(from_hex('65CC81')) END
+        |      || ' doc ' || CAST(c_custkey // 2 AS VARCHAR) AS doc
+        |  FROM customer),
+        |fp AS (
+        |  SELECT c_custkey, md5(doc) AS raw_fp, md5(nfc_normalize(doc)) AS nfc_fp FROM d)
+        |SELECT nfc_fp, CAST(count(1) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_raw_forms,
+        |  min(c_custkey) AS keeper
+        |FROM fp GROUP BY 1""".stripMargin,
     "text_winnow" ->
       s"""WITH $winnowCtes
          |SELECT doc_id, fp, CAST(count(1) AS BIGINT) AS n_windows

@@ -204,6 +204,24 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --- nfc_normalize -----------------------------------------------------
+
+  test("nfc_normalize: identity on ASCII, composes combining marks, null-safe") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val out = Seq(
+      ("plain ascii stays", "plain ascii stays"),
+      ("café", "café"),          // already NFC
+      ("café", "café"),          // NFD -> NFC composition
+      ("Å", "Å")                 // A + ring -> Å
+    ).toDF("s", "expected")
+      .selectExpr("nfc_normalize(s) AS n", "expected").collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+    val nul = Seq(Tuple1(null: String)).toDF("s")
+      .selectExpr("nfc_normalize(s) AS n").collect().head
+    assert(nul.isNullAt(0), "null propagates")
+  }
+
   // --- resolveRoots cycle cap -------------------------------------------
 
   test("resolveRoots fails fast with a cycle error instead of looping forever") {
