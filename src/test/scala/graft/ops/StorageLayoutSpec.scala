@@ -32,6 +32,52 @@ class StorageLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // the 100 TB star-join essential: the fact side is partitioned by the
+    // join key's dimension attribute, the dim filter is only known at run
+    // time (after the broadcast build), and DPP turns it into partition
+    // pruning on the fact scan — without it, every fact partition is read
+    val factPath = s"$warehouse/fact_dpp"
+    Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(factPath)
+    import spark.implicits._
+    // the dim needs a real selective predicate that SURVIVES optimization:
+    // over a LocalRelation the filter constant-folds away and the
+    // PartitionPruning rule sees no selective build side — so the dim is a
+    // file source like any real dimension table
+    val dimPath = s"$warehouse/dim_dpp"
+    Seq(("A", "accepted"), ("N", "neutral"), ("R", "returned"))
+      .toDF("flag", "label").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"label" === "accepted")
+    val joined = spark.read.parquet(factPath)
+      .join(dim, $"l_returnflag" === $"flag")
+      .groupBy("label")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("qty"))
+    joined.collect()
+    val exec = joined.queryExecution.executedPlan
+    val p = exec.toString.split("== Initial Plan ==")(0)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning expression reached the fact scan:\n$p")
+    // the scan must have read ONLY the matching partition's files; under
+    // AQE the scan lives inside query-stage wrappers, which plain collect
+    // treats as leaves — descend explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+    }.flatten
+    val files = scans(exec)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("fact_dpp")))
+      .map(_.metrics("numFiles").value)
+    assert(files.nonEmpty, s"fact scan not found in:\n$exec")
+    val all = spark.read.parquet(factPath).inputFiles.length
+    assert(files.head < all,
+      s"DPP read ${files.head} files but the table has $all — nothing was pruned")
+  }
+
   test("bucketed tables join and aggregate with zero shuffle exchanges") {
     val orders = Tables(spark, dir, "orders")
     val customer = Tables(spark, dir, "customer")
