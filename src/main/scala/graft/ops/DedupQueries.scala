@@ -55,10 +55,28 @@ object DedupQueries {
     * doc_id (deterministic survivor), count the group.
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .selectExpr("doc_id", "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp")
+    dedupExactFrom(Tables(s, dir, "documents"))
+
+  /** The exact-dedup kernel over any frame with (doc_id, text).
+    *
+    * `nfc = true` canonicalizes Unicode byte forms before fingerprinting
+    * (the engine's codegen'd `nfc_normalize`) — required on a real
+    * multilingual crawl where precomposed and decomposed forms of the same
+    * text would otherwise never merge (see `text_nfc_dedup`). The pinned
+    * catalog default is `false`: the ASCII corpus is NFC-invariant and the
+    * oracle fingerprint stays byte-for-byte; TextNormalizeSpec pins that
+    * both settings agree on ASCII and that only `nfc = true` merges
+    * constructed mixed-form docs.
+    */
+  def dedupExactFrom(docs: DataFrame, nfc: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    val canon = if (nfc) "nfc_normalize(text)" else "text"
+    docs
+      .selectExpr("doc_id",
+        s"md5(CAST(regexp_replace(lower(trim($canon)), '\\\\s+', ' ') AS BINARY)) AS fp")
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+  }
 
   // --- segment-level (paragraph) exact dedup ----------------------------
 

@@ -222,6 +222,25 @@ class Round7Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nul.isNullAt(0), "null propagates")
   }
 
+  // --- dedupExact nfc dial -----------------------------------------------
+
+  test("dedupExact nfc dial: identical on ASCII; only nfc=true merges byte variants") {
+    import spark.implicits._
+    val ascii = Tables(spark, dir, "documents")
+    val a = DedupQueries.dedupExactFrom(ascii, nfc = false).collect().map(_.toString).sorted
+    val b = DedupQueries.dedupExactFrom(ascii, nfc = true).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "NFC is the identity on the ASCII corpus")
+    val mixed = Seq(
+      (1L, "café twin"), (2L, "café twin"), (3L, "unrelated")
+    ).toDF("doc_id", "text")
+    val raw = DedupQueries.dedupExactFrom(mixed, nfc = false)
+      .collect().map(r => r.getLong(2)).sorted
+    val nfc = DedupQueries.dedupExactFrom(mixed, nfc = true)
+      .collect().map(r => r.getLong(2)).sorted
+    assert(raw.toSeq == Seq(1L, 1L, 1L), "raw fingerprints cannot merge byte variants")
+    assert(nfc.toSeq == Seq(1L, 2L), "nfc=true merges the precomposed/decomposed twin")
+  }
+
   // --- resolveRoots cycle cap -------------------------------------------
 
   test("resolveRoots fails fast with a cycle error instead of looping forever") {
