@@ -20,7 +20,7 @@ object Bench {
     "rel_flat", "rel_explode", "rel_choice",
     "q_filter_project", "q_agg_pricing", "q_agg_stats",
     "q_join_big", "q_join_star", "q_left_join", "q_full_outer", "q_theta_join",
-    "q_merge_upsert", "q_histogram", "q_tpch_q3", "q_tpch_q5", "q_tpch_q18",
+    "q_merge_upsert", "q_histogram", "q_edit_distance", "q_tpch_q3", "q_tpch_q5", "q_tpch_q18",
     "q_tpch_q17", "q_tpch_q19", "q_tpch_q21", "q_string_agg", "q_mode", "q_lateral_topn",
     "q_window_running", "q_window_rank", "q_window_range", "q_sessionize", "q_funnel", "q_retention", "q_pivot",
     "q_scd2", "q_gapfill", "q_interval_merge", "q_cumulative_distinct",

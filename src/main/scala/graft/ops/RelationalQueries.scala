@@ -950,6 +950,28 @@ object RelationalQueries {
 
   // --- scalar functions -------------------------------------------------
 
+  /** Edit-distance surface — the fuzzy-matching scalar entity resolution
+    * runs at scale: a constructed dirty twin per customer (substitution for
+    * keys % 3 = 0, deletion for % 3 = 1, clean otherwise) scored with
+    * `levenshtein`, plus the BOUNDED form `levenshtein(a, b, threshold)`
+    * (−1 beyond the bound) — the production trick that turns the O(|a|·|b|)
+    * DP into an O(threshold·|a|) band and lets a fuzzy join bail out of
+    * hopeless pairs early. The oracle re-derives the bound with a CASE over
+    * DuckDB's unbounded levenshtein. Aggregated to the (d, d_bounded)
+    * histogram so the entry pins every branch (0, 1, and beyond-bound).
+    */
+  def editDistance(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .selectExpr("c_custkey", "c_name",
+        """CASE WHEN c_custkey % 3 = 0 THEN concat(substr(c_name, 1, 10), 'X', substr(c_name, 12))
+          |     WHEN c_custkey % 3 = 1 THEN concat(substr(c_name, 1, 10), substr(c_name, 12))
+          |     ELSE c_name END AS dirty""".stripMargin)
+      .selectExpr(
+        "CAST(levenshtein(c_name, dirty) AS INT) AS d",
+        "CAST(levenshtein(c_name, reverse(c_name), 3) AS INT) AS d_rev_bounded")
+      .groupBy(col("d"), col("d_rev_bounded"))
+      .agg(count(lit(1)).as("n"))
+
   def stringFuncs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "part").select(
       col("p_partkey"),
@@ -1431,6 +1453,7 @@ object RelationalQueries {
     "q_except_all" -> exceptAllKeys,
     "q_intersect_all" -> intersectAllKeys,
     "q_string_funcs" -> stringFuncs,
+    "q_edit_distance" -> editDistance,
     "q_date_funcs" -> dateFuncs,
     "q_math_funcs" -> mathFuncs,
     "q_case_expr" -> caseExpr,
@@ -1943,6 +1966,18 @@ object RelationalQueries {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  INTERSECT ALL SELECT s_nationkey FROM supplier) t
         |GROUP BY nationkey""".stripMargin,
+    "q_edit_distance" ->
+      """WITH d AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, 10) || 'X' || substr(c_name, 12)
+        |         WHEN c_custkey % 3 = 1 THEN substr(c_name, 1, 10) || substr(c_name, 12)
+        |         ELSE c_name END AS dirty
+        |  FROM customer)
+        |SELECT CAST(levenshtein(c_name, dirty) AS INT) AS d,
+        |  CAST(CASE WHEN levenshtein(c_name, reverse(c_name)) > 3 THEN -1
+        |            ELSE levenshtein(c_name, reverse(c_name)) END AS INT) AS d_rev_bounded,
+        |  CAST(count(1) AS BIGINT) AS n
+        |FROM d GROUP BY 1, 2""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey,
         |  UPPER(SUBSTRING(p_name, 1, 10)) AS up10,
