@@ -696,6 +696,44 @@ object SimilarityQueries {
     Lifecycle.released(out, red)
   }
 
+  /** Recall monitor for the reduced-space search — the same continuous
+    * measurement the IVF/PQ arms ship: reduced top-5 vs full-space exact
+    * cosine top-5 per query. On THIS corpus recall is honestly LOW: random
+    * vectors have no low-rank structure, so 3 components capture little of
+    * the cosine ordering — exactly the signal the monitor exists to
+    * surface (a production embedding corpus IS low-rank; the monitor tells
+    * you how many components the reduction can afford). Hash-gated like
+    * `ann_pq_recall`: the per-query hit counts, not a threshold, are the
+    * pinned output.
+    */
+  def annPcaRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val emb = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$toDouble AS v")
+      .selectExpr("vec_id", "v", s"${norm("v")} AS nv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val red = emb.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(pcaChainFrom(Tables(s, dir, "embeddings"), PcaK)))
+      .selectExpr("vec_id" +: (1 to PcaK).map(c => s"vec_dot(v, v$c) AS pc$c"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = red.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS query_id" +: (1 to PcaK).map(c => s"pc$c AS qc$c"): _*)
+    val score = (1 to PcaK).map(c => s"qc$c * pc$c").mkString(" + ")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id").asc)
+    val top = broadcast(queries).join(red, col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id", s"$score AS score")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val bf = bruteForceFrom(emb).select(col("query_id"), col("neighbor_id"))
+    val hits = bf.join(top, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val recall = bf.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .selectExpr("query_id", "CAST(coalesce(hits, 0) AS BIGINT) AS hits",
+        "CAST(coalesce(hits, 0) AS DOUBLE) / 5.0 AS recall")
+    Lifecycle.released(recall, emb, red)
+  }
+
   /** Non-default exercise config for the parameterized surface: fewer,
     * larger buckets, one Lloyd round, 2 probes.
     */
@@ -720,6 +758,7 @@ object SimilarityQueries {
     "emb_pca_project_topk" -> ((s, dir) => embPcaProjectTopk(s, dir)),
     "emb_pca_whiten" -> ((s, dir) => embPcaWhiten(s, dir)),
     "ann_pca_reduced" -> ((s, dir) => annPcaReduced(s, dir)),
+    "ann_pca_recall" -> annPcaRecall,
   )
 
   private val duckV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -1037,6 +1076,46 @@ object SimilarityQueries {
        |WHERE rk <= 5""".stripMargin
   }
 
+  /** DuckDB twin of [[annPcaRecall]]. */
+  private def annPcaRecallOracle(k: Int, iters: Int): String = {
+    val projCols = (1 to k).map(c =>
+      s"  ${sumFold(s"list_transform(range(1, 65), k -> CAST(embedding[k] AS DOUBLE) * ray$c.v[k])")} AS pc$c")
+      .mkString(",\n")
+    val score = (1 to k).map(c => s"q.qc$c * r.pc$c").mkString(" + ")
+    s"""${pcaTopkCtes(k, iters)},
+       |red AS MATERIALIZED (
+       |  SELECT vec_id,
+       |$projCols
+       |  FROM embeddings${(1 to k).map(c => s", ray$c").mkString}),
+       |q AS (SELECT vec_id AS query_id${(1 to k).map(c => s", pc$c AS qc$c").mkString}
+       |      FROM red WHERE vec_id < 10),
+       |pca_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, r.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY $score DESC, r.vec_id ASC) AS rk
+       |    FROM q JOIN red r ON r.vec_id <> q.query_id) t WHERE rk <= 5),
+       |ev AS (SELECT vec_id, $duckV AS v FROM embeddings),
+       |bf_sims AS (
+       |  SELECT qq.vec_id AS query_id, e2.vec_id AS neighbor_id,
+       |    ${duckDot("qq.v", "e2.v")} / (sqrt(${duckDot("qq.v", "qq.v")}) * sqrt(${duckDot("e2.v", "e2.v")})) AS sim
+       |  FROM ev qq JOIN ev e2 ON e2.vec_id <> qq.vec_id WHERE qq.vec_id < 10),
+       |bf_top AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+       |    FROM bf_sims) t WHERE rk <= 5),
+       |hit_counts AS (
+       |  SELECT b.query_id, count(1) AS hits
+       |  FROM bf_top b JOIN pca_top p
+       |    ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+       |  GROUP BY 1)
+       |SELECT qd.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM (SELECT DISTINCT query_id FROM bf_top) qd
+       |LEFT JOIN hit_counts h ON h.query_id = qd.query_id""".stripMargin
+  }
+
   /** DuckDB twin of [[embPcaPower]]: the same left-to-right +0.0-seeded
     * folds, unrolled as `iters` chained CTEs.
     */
@@ -1133,6 +1212,7 @@ object SimilarityQueries {
     "emb_pca_project_topk" -> pcaProjectTopkOracle(PcaK, 12),
     "emb_pca_whiten" -> pcaWhitenOracle(PcaK, 12),
     "ann_pca_reduced" -> annPcaReducedOracle(PcaK, 12),
+    "ann_pca_recall" -> annPcaRecallOracle(PcaK, 12),
     "emb_covariance" ->
       """WITH e AS (
         |  SELECT list_transform(embedding,
