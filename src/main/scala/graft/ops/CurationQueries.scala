@@ -307,6 +307,10 @@ object CurationQueries {
         s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS n_tok")
       .groupBy(col("lang"))
       .agg(sum(col("n_tok")).as("n_tokens"))
+      // a lang whose docs are all empty has share 0 and no finite rate —
+      // drop it (it contributes no tokens to any mixture) instead of
+      // emitting round(Infinity); mirrored in the oracle
+      .filter(col("n_tokens") > 0)
       .selectExpr("lang", "n_tokens",
         "CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS actual_share")
       .withColumn("target_share", target)
@@ -401,7 +405,9 @@ object CurationQueries {
     * window partitions by (lang, shard) — each window task sorts 1/shards of
     * a stratum instead of the whole language, the exact dial
     * [[packSequencesSharded]] ships for packing. Per-(lang, shard) quotas
-    * sum to the target; the union is still hash-ranked and deterministic
+    * sum to the target when every cell holds at least quota/shards docs (a
+    * sparse cell under-fills, exactly as the unsharded sampler does on a
+    * sparse stratum); the union is still hash-ranked and deterministic
     * (layout-independent, stable under rerun). The sample differs from
     * [[sampleQuota]]'s by construction (ranking within shards ≠ global
     * ranking) — that is the documented trade for unbounded parallelism; a
@@ -487,7 +493,8 @@ object CurationQueries {
          |  SELECT lang,
          |    CAST(list_sum(list_transform($duckToks, t -> (length(t) + 3) // 4)) AS BIGINT) AS n_tok
          |  FROM documents),
-         |agg AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM toks GROUP BY 1)
+         |agg AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM toks
+         |        GROUP BY 1 HAVING sum(n_tok) > 0)
          |SELECT lang, n_tokens,
          |  CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS actual_share,
          |  CAST(CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.2 ELSE 0.125 END AS DOUBLE) AS target_share,
