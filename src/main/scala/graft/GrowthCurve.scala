@@ -212,6 +212,18 @@ object GrowthCurve {
     val (bl100Out, bl100Sec) = timed(DedupQueries.dedupBloom(spark, dir100).count())
     rows += (("dedup_bloom", "100x", probed100.getLong(0), probed100.getLong(1), bl100Out, bl100Sec))
 
+    val wfps100 = graft.ops.TextQueries.winnow(spark, dir100)
+      .select(col("doc_id"), col("fp"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("df") <= 50)
+      .select(col("doc_id"), col("fp"))
+    val wCand100 = groupPairs(wfps100, Seq("fp"))
+    if (wCand100 <= TimedRunCap) {
+      val (w100Out, w100Sec) = timed(graft.ops.TextQueries.winnowPairs(spark, dir100).count())
+      rows += (("text_winnow_pairs", "100x", 500000L, wCand100, w100Out, w100Sec))
+    } else rows += (("text_winnow_pairs", "100x", 500000L, wCand100, -1L, -1.0))
+
     genEmbeddings(spark, 200000L, dir100)
     val (pq100Out, pq100Sec) = timed(SimilarityQueries.annPq(spark, dir100).count())
     rows += (("ann_pq", "100x", 200000L, -1L, pq100Out, pq100Sec))
