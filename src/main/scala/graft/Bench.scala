@@ -122,31 +122,57 @@ object Bench {
       (times.sorted.apply(times.length / 2), times.min)
     }
 
+    // pollution fingerprint: median far above the fastest observed run
+    def polluted(med: Double, floor: Double): Boolean =
+      med > RerunRatio * floor && med - floor > 0.5
     val results = headline.filter(catalog.contains)
       .filter(n => wanted.forall(_.contains(n))).map { name =>
       val loadStart = load1()
       var (med, floor) = measure(name)
       // rerun guard: median >> fastest run = transient pollution, not the
-      // query — retry the measurement and keep the best median
+      // query — retry, REPLACING the polluted measurement with the rerun's
+      // own median (never best-of-N min: a genuinely bimodal query — e.g.
+      // one that occasionally spills — must keep its real median, not its
+      // fastest mode, or a regression hides). `floor` stays the global min
+      // so a rerun that is wholly slow still reads as polluted and retries;
+      // a query still polluted after MaxReruns is archived at its last
+      // measured median and flagged in the JSON.
       var reruns = 0
-      while (med > RerunRatio * floor && med - floor > 0.5 && reruns < MaxReruns) {
+      while (polluted(med, floor) && reruns < MaxReruns) {
         reruns += 1
         System.err.println(f"[bench] $name%-20s median $med%.2f s > ${RerunRatio}%.0fx floor $floor%.2f s — rerun $reruns (load ${load1()}%.2f)")
         val (m2, f2) = measure(name)
-        med = math.min(med, m2)
+        med = m2
         floor = math.min(floor, f2)
       }
+      val exhausted = polluted(med, floor)
+      if (exhausted)
+        System.err.println(f"[bench] $name%-20s STILL polluted after $MaxReruns reruns — archiving median $med%.2f s (floor $floor%.2f s)")
       System.err.println(f"[bench] $name%-20s median $med%8.2f s")
-      (name, med, loadStart)
+      (name, med, loadStart, exhausted)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val loads = results.map { case (k, _, l) => "\"" + k + f"\":$l%.2f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val loads = results.map { case (k, _, l, _) => "\"" + k + f"\":$l%.2f" }.mkString("{", ",", "}")
+    val flagged = results.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // honesty fields: totals recorded under external load are garbage (see
     // ROADMAP's bench cautions) — "loads" archives each query's 1-min load
     // average at measurement start (plus the run-level end value) so a
-    // polluted number is self-identifying in the archived JSON
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"loads":$loads,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}""")
+    // polluted number is self-identifying in the archived JSON;
+    // "rerun_exhausted" lists queries whose median never came within
+    // RerunRatio of their floor even after MaxReruns full re-measurements.
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"loads":$loads,"rerun_exhausted":$flagged,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}"""
+    println(line)
+    // tail-capture-proofing: archives that keep only the LAST N chars of
+    // output (the driver's does) would otherwise truncate the headline away
+    // behind the per-query dict — so (a) the full JSON is also written to a
+    // local file, and (b) a compact summary line prints AFTER the full line
+    // so any tail capture contains the total.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
+      line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] could not write BENCH_LOCAL.json: ${e.getMessage}") }
+    println(f"""{"metric":"total_tail","value":$total%.3f,"unit":"sec","n":${results.length},"rerun_exhausted":$flagged,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(ckptDir.toFile)
   }

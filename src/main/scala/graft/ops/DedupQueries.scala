@@ -64,9 +64,9 @@ object DedupQueries {
     * multilingual crawl where precomposed and decomposed forms of the same
     * text would otherwise never merge (see `text_nfc_dedup`). The pinned
     * catalog default is `false`: the ASCII corpus is NFC-invariant and the
-    * oracle fingerprint stays byte-for-byte; TextNormalizeSpec pins that
-    * both settings agree on ASCII and that only `nfc = true` merges
-    * constructed mixed-form docs.
+    * oracle fingerprint stays byte-for-byte; Round7Spec ("dedupExact nfc
+    * dial" / "nfc_normalize") pins that both settings agree on ASCII and
+    * that only `nfc = true` merges constructed mixed-form docs.
     */
   def dedupExactFrom(docs: DataFrame, nfc: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.registerAll(docs.sparkSession)
@@ -870,6 +870,134 @@ object DedupQueries {
         (col("id") === col("label")).as("is_survivor"))
   }
 
+  // --- exact-substring dedup (Lee et al. 2022 shape) ---------------------
+
+  /** Constructed-overlap corpus for [[dedupSubstring]] — the `rel_*` /
+    * `text_nfc_dedup` pattern: the synthetic `documents` table carries no
+    * ground-truth shared substrings, so the corpus with KNOWN planted runs
+    * is derived deterministically from `customer` inside the query and the
+    * oracle re-derives it. Per key g, two documents (2g, 2g+1) share a
+    * planted block of 4 + g%8 tokens at DIFFERENT offsets (prefix lengths
+    * differ per side), plus a second 7-token block when g%4 = 0; g%5 = 0
+    * puts a block at a document START and g%7 = 0 at a document END (the
+    * extension-boundary edge cases). All non-shared tokens embed the
+    * doc_id, so cross-document token equality happens ONLY inside planted
+    * blocks — which makes the pure token-level oracle below exact.
+    */
+  private[ops] def overlapCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").selectExpr("c_custkey AS g")
+      .selectExpr("g", "explode(array(0, 1)) AS side")
+      .selectExpr("2 * g + side AS doc_id", "g",
+        "CAST(CASE WHEN side = 0 THEN g % 5 ELSE 1 + g % 3 END AS INT) AS np",
+        "CAST(CASE WHEN side = 0 THEN 2 ELSE 1 END AS INT) AS nm",
+        "CAST(CASE WHEN side = 0 THEN 3 WHEN g % 7 = 0 THEN 0 ELSE 2 END AS INT) AS nq",
+        "CAST(4 + g % 8 AS INT) AS ns1",
+        "CAST(CASE WHEN g % 4 = 0 THEN 7 ELSE 0 END AS INT) AS ns2")
+      .selectExpr("doc_id",
+        """array_join(concat(
+          |  slice(transform(sequence(1, 4), i -> concat('d', doc_id, 'p', i)), 1, np),
+          |  slice(transform(sequence(1, 11), j -> concat('s', g, 'x', j)), 1, ns1),
+          |  slice(transform(sequence(1, 2), i -> concat('d', doc_id, 'm', i)), 1, nm),
+          |  slice(transform(sequence(1, 7), j -> concat('s', g, 'y', j)), 1, ns2),
+          |  slice(transform(sequence(1, 3), i -> concat('d', doc_id, 'q', i)), 1, nq)
+          |), ' ') AS text""".stripMargin)
+
+  /** Exact-substring dedup — the missing half of winnowed overlap
+    * DETECTION ([[TextQueries.winnowPairs]]): EXTRACT the maximal shared
+    * token runs themselves (Lee et al. 2022's exact-substring dedup,
+    * approximated at bounded state by winnow-anchored extension instead of
+    * a suffix array). Three stages, all equi-join/expression shaped:
+    *
+    *  1. anchors — winnowed fingerprints WITH positions
+    *     ([[TextQueries.winnowPositionsFrom]]) equi-joined on the
+    *     fingerprint (the LSH-band shape, with the same hot-fingerprint
+    *     `maxDocFreq` cap as the pair join); each anchor asserts "doc A
+    *     position i and doc B position j start the same k-gram".
+    *  2. verify + extend — join both documents' token arrays back and, per
+    *     anchor, (a) compare the anchor grams token-for-token (a 60-bit
+    *     hash collision can only ADD an anchor; this removes it), then
+    *     (b) extend left/right to the first mismatching token with one
+    *     zip_with/array_position expression per direction — bounded
+    *     per-pair work, no loop, no UDF.
+    *  3. emit maximal runs — (doc_a, doc_b, start_a, start_b, run_len),
+    *     distinct (every anchor inside one run extends to the same maximal
+    *     run), filtered to `minLen`.
+    *
+    * With `minLen = k + w - 1` (the default), the winnowing guarantee makes
+    * extraction COMPLETE on corpora whose shared regions contain no
+    * internally-repeated k-gram: every maximal shared run of >= minLen
+    * tokens contains a window selecting the same gram at the same offset
+    * in both documents, so an aligned anchor exists and extension recovers
+    * exactly the maximal run. (With in-region gram repeats the two sides
+    * can select different occurrences — the anchor then recovers a
+    * different, shorter-but-true shared run; emitted rows are verified
+    * token runs in every case.) The catalog entry runs on
+    * [[overlapCorpus]], whose construction guarantees the precondition, so
+    * its DuckDB oracle needs NO winnowing at all: it derives the maximal
+    * runs purely from token equality (diagonal gaps-and-islands) — the
+    * hash-match is an end-to-end proof of the MOSS guarantee through the
+    * whole anchor/extension pipeline.
+    *
+    * Scale shape: winnow + cap as in [[TextQueries.winnowPairsFrom]]; the
+    * extension join touches only candidate anchors (never the pair cross
+    * product), carries two token arrays per anchor row, and is linear in
+    * the anchor count — the same "verify candidates against the raw text"
+    * join every fuzzy path here already pays.
+    */
+  def dedupSubstringFrom(docs: DataFrame, k: Int = TextQueries.WinnowK,
+      w: Int = TextQueries.WinnowW, minLen: Int = -1,
+      maxDocFreq: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val minL = if (minLen > 0) minLen else k + w - 1
+    require(k >= 1 && w >= 1 && minL >= k && maxDocFreq >= 1)
+    val toksSql = Tokenize.Whitespace.sql("text")
+    // both anchor sides and the df cap read the positions; both extension
+    // sides read the token arrays — persist each once, release at the end
+    val toksF = docs.selectExpr("doc_id", s"$toksSql AS tks")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sel = TextQueries.winnowPositionsFrom(docs, k, w)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docFreq = sel.select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val kept = sel.join(docFreq.filter(col("df") <= maxDocFreq), Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("pos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val anchors = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val out = anchors
+      .join(toksF.select(col("doc_id").as("doc_a"), col("tks").as("ta")), Seq("doc_a"))
+      .join(toksF.select(col("doc_id").as("doc_b"), col("tks").as("tb")), Seq("doc_b"))
+      .filter(s"slice(ta, pa, $k) = slice(tb, pb, $k)") // hash-collision guard
+      .selectExpr("doc_a", "doc_b", "pa", "pb", "ta", "tb",
+        // tokens matched scanning LEFT from the anchor: first mismatch in
+        // the reversed prefixes; 0 mismatches found => the shorter prefix
+        // matched entirely
+        "coalesce(nullif(array_position(zip_with(" +
+          "reverse(slice(ta, 1, pa - 1)), reverse(slice(tb, 1, pb - 1)), " +
+          "(x, y) -> coalesce(x = y, false)), false), 0) - 1, least(pa, pb) - 1) AS ext_l",
+        // and scanning RIGHT from the anchor's end
+        s"coalesce(nullif(array_position(zip_with(" +
+          s"slice(ta, pa + $k, size(ta)), slice(tb, pb + $k, size(tb)), " +
+          s"(x, y) -> coalesce(x = y, false)), false), 0) - 1, " +
+          s"least(size(ta) - pa, size(tb) - pb) - ${k - 1}) AS ext_r")
+      .selectExpr("doc_a", "doc_b",
+        "CAST(pa - ext_l AS INT) AS start_a",
+        "CAST(pb - ext_l AS INT) AS start_b",
+        s"CAST(ext_l + $k + ext_r AS INT) AS run_len")
+      .filter(s"run_len >= $minL")
+      .distinct()
+    Lifecycle.released(out, toksF, sel, kept)
+  }
+
+  /** Catalog entry: extract every planted maximal shared run (>= k+w-1
+    * tokens) from the constructed-overlap corpus. See [[dedupSubstringFrom]]
+    * for why the oracle is pure token-level SQL.
+    */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    dedupSubstringFrom(overlapCorpus(s, dir))
+
   /** Public catalog: scale-safe paths only. The quadratic all-pairs
     * baselines live in [[oracleBaselines]] so a user browsing this map
     * cannot accidentally launch an all-pairs join over a 100 TB corpus.
@@ -887,6 +1015,7 @@ object DedupQueries {
     "dedup_jaccard_prefix" -> dedupJaccardPrefix,
     "dedup_simhash_lsh" -> ((s, dir) => simhashLsh(s, dir)),
     "dedup_embedding_lsh" -> ((s, dir) => dedupEmbeddingLsh(s, dir)),
+    "dedup_substring" -> dedupSubstring,
   )
 
   /** Test-only quadratic baselines (`oracle_` prefix): each is the provably
@@ -1115,6 +1244,40 @@ object DedupQueries {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin,
+    // Pure token-level maximal-run derivation (no winnowing): token match
+    // coordinates grouped into diagonal islands. Exact because the
+    // constructed corpus confines cross-document token equality to planted
+    // blocks with no in-region gram repeats — see dedupSubstringFrom.
+    "dedup_substring" ->
+      """WITH base AS (SELECT c_custkey AS g FROM customer),
+        |sides AS (SELECT g, unnest([0, 1]) AS side FROM base),
+        |params AS MATERIALIZED (SELECT 2*g + side AS doc_id, g,
+        |  CAST(CASE WHEN side = 0 THEN g % 5 ELSE 1 + g % 3 END AS INT) AS np,
+        |  CAST(CASE WHEN side = 0 THEN 2 ELSE 1 END AS INT) AS nm,
+        |  CAST(CASE WHEN side = 0 THEN 3 WHEN g % 7 = 0 THEN 0 ELSE 2 END AS INT) AS nq,
+        |  CAST(4 + g % 8 AS INT) AS ns1,
+        |  CAST(CASE WHEN g % 4 = 0 THEN 7 ELSE 0 END AS INT) AS ns2 FROM sides),
+        |docs AS MATERIALIZED (SELECT doc_id,
+        |  list_transform(range(1, 5), i -> 'd' || doc_id || 'p' || i)[1:np] ||
+        |  list_transform(range(1, 12), j -> 's' || g || 'x' || j)[1:ns1] ||
+        |  list_transform(range(1, 3), i -> 'd' || doc_id || 'm' || i)[1:nm] ||
+        |  list_transform(range(1, 8), j -> 's' || g || 'y' || j)[1:ns2] ||
+        |  list_transform(range(1, 4), i -> 'd' || doc_id || 'q' || i)[1:nq] AS toks
+        |  FROM params),
+        |pos AS MATERIALIZED (
+        |  SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS p
+        |  FROM docs),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
+        |      FROM pos a JOIN pos b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        |seg AS (SELECT da, db, pa, pb, pa - pb AS diag,
+        |        pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+        |        FROM m),
+        |runs AS (SELECT da AS doc_a, db AS doc_b,
+        |         CAST(min(pa) AS INT) AS start_a, CAST(min(pb) AS INT) AS start_b,
+        |         CAST(count(1) AS INT) AS run_len
+        |         FROM seg GROUP BY da, db, diag, grp)
+        |SELECT doc_a, doc_b, start_a, start_b, run_len FROM runs
+        |WHERE run_len >= 6""".stripMargin,
   )
 
   /** Oracles for the public scale-safe catalog, key-for-key with [[queries]]. */

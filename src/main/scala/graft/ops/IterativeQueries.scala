@@ -27,6 +27,21 @@ object IterativeQueries {
 
   private val JumpCheckpointInterval = 3
 
+  /** Interval for REAL (RDD-graph) lineage truncation. The every-3-rounds
+    * [[JumpCheckpointInterval]] rebuild resets only the LOGICAL plan; the
+    * underlying RDD dependency graph still chains one generation to the
+    * next, and task serialization walks it recursively — past ~50 rounds
+    * that recursion overflows the stack. Legal forests converge in
+    * O(log depth) rounds (≤ ~10 even for a 300-deep chain), so this
+    * interval is unreachable on valid input; it exists so the PATHOLOGICAL
+    * path (a cycle marching toward the depth-overflow guard at round 63)
+    * dies with the contract's cycle error instead of a StackOverflowError
+    * mid-serialization. Reliable checkpoint when the session has a
+    * checkpoint dir, else local — the Lifecycle fallback rule; any blocks
+    * the local branch leaves belong to an error path that ends in a throw.
+    */
+  private val DeepTruncateInterval = 24
+
   /** Hard cap on doubling rounds: depth doubles each round, so 64 rounds
     * resolve any acyclic chain shorter than 2^64 — unreachable for real
     * data. Hitting the cap therefore means the "forest" contract was
@@ -72,24 +87,46 @@ object IterativeQueries {
       // anc'(v) = anc(anc(v)); depth adds the jumped segment's length.
       // Left join + coalesce keeps rows whose ancestor id has no state row
       // (dangling parent) frozen instead of dropping them. A row changed
-      // this round iff the jumped segment had positive length (composing
+      // this round iff the jumped segment had NONZERO length (composing
       // with a root adds 0) — computable in the SAME projection, so the
-      // convergence check is a filter, not a second join per round.
+      // convergence check is a filter, not a second join per round. The
+      // nonzero (not positive) movement test and the `try_add` matter on a
+      // cycle: depth doubles per round, so round 63 overflows 2^63 — under
+      // ANSI mode a plain `+` would abort the job with an opaque
+      // ArithmeticException, and pre-fix (with `> 0` movement) a wrapped
+      // jump could read as "no movement" and exit with corrupted state.
+      // `try_add` turns the overflow into a NULL depth in any ANSI setting;
+      // depth counts edges, so a legal forest can never reach 2^63 of them
+      // — a NULL depth is proof of a cycle and throws immediately rather
+      // than waiting for the round cap.
       val next = state.as("x")
         .join(state.select(col("node").as("pnode"), col("anc").as("panc"),
             col("depth").as("pdepth")).as("p"),
           col("x.anc") === col("p.pnode"), "left")
         .select(col("x.node"),
           coalesce(col("p.panc"), col("x.anc")).as("anc"),
-          (col("x.depth") + coalesce(col("p.pdepth"), lit(0L))).as("depth"),
-          (coalesce(col("p.pdepth"), lit(0L)) > 0).as("moved"))
+          expr("try_add(x.depth, coalesce(p.pdepth, 0L))").as("depth"),
+          (coalesce(col("p.pdepth"), lit(0L)) =!= 0).as("moved"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      val overflowed = next.filter(col("depth").isNull).limit(1).count()
+      if (overflowed > 0) {
+        next.unpersist()
+        backing.unpersist()
+        throw new IllegalArgumentException(
+          "resolveRoots: depth overflow — path length exceeds 2^63 edges, " +
+            "which only a cycle can produce; the contract requires a " +
+            "forest (parent == node marks a root)")
+      }
       changed = next.filter(col("moved")).limit(1).count()
       val nextState = next.select(col("node"), col("anc"), col("depth"))
       backing.unpersist()
       backing = next
       state =
-        if (rounds % JumpCheckpointInterval == 0)
+        if (rounds % DeepTruncateInterval == 0) {
+          if (spark.sparkContext.getCheckpointDir.isDefined)
+            nextState.checkpoint(eager = true)
+          else nextState.localCheckpoint(eager = true)
+        } else if (rounds % JumpCheckpointInterval == 0)
           spark.createDataFrame(nextState.rdd, nextState.schema)
         else nextState
     }

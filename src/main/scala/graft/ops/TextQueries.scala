@@ -119,6 +119,32 @@ object TextQueries {
       .agg(count(lit(1)).as("n_windows"))
   }
 
+  /** Winnowing with the SELECTED POSITION kept: one row per distinct
+    * (doc, fingerprint, gram position), where `pos` is the 1-based token
+    * index of the gram each window selected (first occurrence of the window
+    * minimum — deterministic, and identical in any two documents whose
+    * window contents coincide, which is what anchor alignment in
+    * [[DedupQueries.dedupSubstringFrom]] relies on). [[winnowFrom]] discards
+    * positions because pair DETECTION only needs fingerprint identity;
+    * run EXTRACTION needs the anchor coordinates back.
+    */
+  private[ops] def winnowPositionsFrom(docs: DataFrame, k: Int = WinnowK,
+      w: Int = WinnowW): DataFrame = {
+    require(k >= 1 && w >= 1)
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    docs
+      .selectExpr("doc_id", s"graft_barrier($toks) AS tks")
+      .filter(s"size(tks) >= ${k + w - 1}")
+      .selectExpr("doc_id",
+        s"graft_barrier(transform(sequence(1, size(tks) - ${k - 1}), " +
+          s"i -> hash60(array_join(slice(tks, i, $k), ' ')))) AS hs")
+      .selectExpr("doc_id",
+        s"explode(array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
+          s"i -> named_struct('fp', array_min(slice(hs, i, $w)), " +
+          s"'pos', CAST(i - 1 + array_position(slice(hs, i, $w), array_min(slice(hs, i, $w))) AS INT))))) AS sel")
+      .selectExpr("doc_id", "sel.fp AS fp", "sel.pos AS pos")
+  }
+
   /** What winnowing is FOR: partial-overlap pairs. Two documents sharing
     * any winnowed fingerprint share a token run — ranked here by the count
     * of DISTINCT shared fingerprints (>= minShared prunes incidental
@@ -141,12 +167,10 @@ object TextQueries {
   def winnowPairsFrom(docs: DataFrame, minShared: Int = 2,
                       maxDocFreq: Int = 50): DataFrame = {
     require(minShared >= 1 && maxDocFreq >= 1)
-    // persist: the fingerprint build feeds the df window AND both join
-    // sides (without the barrier the whole winnow pipeline would run
-    // per consumer)
-    val fps = winnowFrom(docs).select(col("doc_id"), col("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = fps
+    // persist: only `kept` has two consumers (both sides of the pair
+    // join); the raw fingerprint build feeds exactly one consumer (the
+    // df window that builds `kept`), so it flows through unpersisted.
+    val kept = winnowFrom(docs).select(col("doc_id"), col("fp"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("df") <= maxDocFreq)
       .select(col("doc_id"), col("fp"))
@@ -156,7 +180,7 @@ object TextQueries {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-    Lifecycle.released(out, fps, kept)
+    Lifecycle.released(out, kept)
   }
 
   /** Unicode-canonicalized exact dedup — why normalization must precede
@@ -310,26 +334,40 @@ object TextQueries {
                          benchSource: String = "src0", n: Int = 4): DataFrame = {
     require(n >= 2)
     graft.functions.GraftFunctions.registerAll(s)
+    // The probe MUST be SQL: BloomFilterMightContain type-checks only a
+    // foldable or scalar-subquery bloom argument, so the sketch cannot
+    // arrive as a join column — and the DataFrame API has no scalar-subquery
+    // constructor. The temp view that carries the gram stream into SQL is
+    // therefore unavoidable; it is per-invocation-unique and dropped as soon
+    // as `sql()` has analyzed the plan (analysis inlines the view, so the
+    // returned DataFrame no longer references the catalog), keeping the
+    // entry side-effect-free and concurrency-safe like the rest of the
+    // catalog.
+    val view = s"graft_decon_grams_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     Tables(s, dir, "documents")
       .selectExpr("doc_id", "source", s"split(trim(lower(text)), '\\\\s+') AS t")
       .filter(s"size(t) >= $n")
       .selectExpr("doc_id", "source",
         s"explode(transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))) AS g")
-      .createOrReplaceTempView("graft_decon_grams")
-    s.sql(
-      s"""WITH bench AS (
-         |  SELECT DISTINCT g FROM graft_decon_grams WHERE source = '$benchSource'),
-         |probed AS (
-         |  SELECT doc_id, source, g,
-         |    graft_might_contain(
-         |      (SELECT graft_bloom_agg(hash60(g), 400000L, 3200000L) FROM bench),
-         |      hash60(g)) AS maybe
-         |  FROM graft_decon_grams WHERE source <> '$benchSource')
-         |SELECT p.doc_id, p.source,
-         |  count(DISTINCT p.g) AS n_hits, min(p.g) AS first_gram
-         |FROM (SELECT doc_id, source, g FROM probed WHERE maybe) p
-         |JOIN bench b ON p.g = b.g
-         |GROUP BY p.doc_id, p.source""".stripMargin)
+      .createTempView(view)
+    try {
+      s.sql(
+        s"""WITH bench AS (
+           |  SELECT DISTINCT g FROM $view WHERE source = '$benchSource'),
+           |probed AS (
+           |  SELECT doc_id, source, g,
+           |    graft_might_contain(
+           |      (SELECT graft_bloom_agg(hash60(g), 400000L, 3200000L) FROM bench),
+           |      hash60(g)) AS maybe
+           |  FROM $view WHERE source <> '$benchSource')
+           |SELECT p.doc_id, p.source,
+           |  count(DISTINCT p.g) AS n_hits, min(p.g) AS first_gram
+           |FROM (SELECT doc_id, source, g FROM probed WHERE maybe) p
+           |JOIN bench b ON p.g = b.g
+           |GROUP BY p.doc_id, p.source""".stripMargin)
+    } finally {
+      s.catalog.dropTempView(view)
+    }
   }
 
   /** Duplicated n-gram coverage: for every document, how many of its n-gram

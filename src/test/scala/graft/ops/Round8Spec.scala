@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 pins: the cycle-cap overflow regression (a cycle must throw even
+  * when the round cap exceeds 62 — pre-fix, the doubling depth wrapped
+  * negative at round 63, the `> 0` movement test read the wrap as
+  * convergence, and the loop exited with corrupted state), plus this
+  * round's operator additions.
+  */
+class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // --- resolveRoots cycle-cap overflow ------------------------------------
+
+  test("resolveRoots throws on a cycle even with a cap above the 2^63 wrap point") {
+    import spark.implicits._
+    val cyclic = Seq((1L, 2L), (2L, 1L), (3L, 3L)).toDF("node", "parent")
+    val e = intercept[IllegalArgumentException] {
+      // cap ABOVE 64: pre-fix this path never threw — depth wrapped negative
+      // at round 63, `moved` (then `pdepth > 0`) went false, and the loop
+      // exited "converged" with garbage anc/depth. The overflow guard must
+      // fire on the first negative depth, well before this cap.
+      IterativeQueries.resolveRootsWithRounds(cyclic, maxRounds = 100)._1.collect()
+    }
+    assert(e.getMessage.contains("cycle"), s"unexpected message: ${e.getMessage}")
+    assert(e.getMessage.contains("overflow"),
+      s"the negative-depth guard (not the round cap) must fire: ${e.getMessage}")
+  }
+
+  // --- dedup_substring ----------------------------------------------------
+
+  test("dedup_substring recovers EXACTLY the planted maximal runs (MOSS guarantee end-to-end)") {
+    // derive the expected run set from the overlapCorpus construction
+    // parameters: per key g, block S1 (4 + g%8 tokens) after prefixes of
+    // g%5 / 1+g%3 tokens, plus block S2 (7 tokens) after a 2- / 1-token mid
+    // section when g%4 = 0; runs shorter than k+w-1 = 6 must NOT appear.
+    val gs = Tables(spark, dir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val expected = gs.flatMap { g =>
+      val (npA, npB) = (g % 5, 1 + g % 3)
+      val ns1 = 4 + g % 8
+      val s1 = if (ns1 >= 6) Seq((2 * g, 2 * g + 1, npA + 1, npB + 1, ns1)) else Nil
+      val s2 = if (g % 4 == 0)
+        Seq((2 * g, 2 * g + 1, npA + ns1 + 2 + 1, npB + ns1 + 1 + 1, 7L)) else Nil
+      s1 ++ s2
+    }.toSet
+    val out = DedupQueries.dedupSubstring(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong,
+        r.getInt(3).toLong, r.getInt(4).toLong)).toSet
+    assert(out == expected,
+      s"missing: ${(expected -- out).take(5)}; extra: ${(out -- expected).take(5)}")
+    // edge coverage really present: blocks at a doc start (g%5=0) and at a
+    // doc end (g%7=0 kills side-b's suffix), and multi-run pairs (g%4=0)
+    assert(gs.exists(g => g % 5 == 0 && (4 + g % 8) >= 6), "doc-start edge case exercised")
+    assert(gs.exists(g => g % 7 == 0 && g % 4 == 0), "doc-end edge case exercised")
+    assert(out.groupBy(r => (r._1, r._2)).exists(_._2.size == 2), "multi-run pairs exercised")
+  }
+
+  test("dedup_substring emits only TRUE shared runs when a gram repeats inside the region") {
+    import spark.implicits._
+    // the shared region "X Y Z X Y Z W Q" repeats gram (X,Y,Z): the two
+    // sides may anchor different occurrences, so COMPLETENESS of the
+    // maximal run is not guaranteed — but every emitted row must still be
+    // a verified token run (the documented contract)
+    val docs = Seq(
+      (1L, "u1 u2 X Y Z X Y Z W Q u3"),
+      (2L, "v1 X Y Z X Y Z W Q v2 v3 v4")).toDF("doc_id", "text")
+    val rows = DedupQueries.dedupSubstringFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty, "the 8-token shared region must anchor at least one run")
+    val ta = docs.filter($"doc_id" === 1L).head().getString(1).split("\\s+")
+    val tb = docs.filter($"doc_id" === 2L).head().getString(1).split("\\s+")
+    rows.foreach { case (_, _, sa, sb, len) =>
+      assert(ta.slice(sa - 1, sa - 1 + len).sameElements(tb.slice(sb - 1, sb - 1 + len)),
+        s"emitted run (start_a=$sa start_b=$sb len=$len) is not a true shared run")
+    }
+    // on THIS construction the aligned anchor exists, so the full maximal
+    // run is in fact recovered
+    assert(rows.contains((1L, 2L, 3, 2, 8)), s"full 8-token run not recovered: ${rows.toSeq}")
+  }
+}
