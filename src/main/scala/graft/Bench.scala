@@ -36,9 +36,9 @@ object Bench {
     "doc_filter_quantile",
     "text_quality", "text_langid", "text_repetition", "text_tfidf", "text_vocab",
     "text_decontaminate", "text_decontaminate_bloom", "text_ngram_dup",
-    "text_winnow", "text_winnow_pairs", "text_nfc_dedup",
-    "text_quality_model", "text_lm_score",
-    "doc_pack", "doc_chunk", "doc_sample_stratified", "doc_sample_quota",
+    "text_winnow", "text_winnow_pairs", "text_nfc_dedup", "dedup_substring",
+    "text_quality_model", "text_lm_score", "text_bpe_learn", "text_bpe_tokens",
+    "doc_pack", "doc_pack_bpe", "doc_chunk", "doc_sample_stratified", "doc_sample_quota",
     "doc_sample_quota_sharded", "doc_mix_report", "doc_mix_rates", "q_ewma",
     "doc_upsample", "doc_shuffle_split", "doc_curate",
     "emb_kmeans", "emb_covariance", "emb_pca_power", "emb_pca_project",

@@ -29,7 +29,8 @@ object SparkEntry {
       ops.SimilarityQueries.queries ++
       ops.MultimodalQueries.queries ++
       ops.ProfileQueries.queries ++
-      ops.IterativeQueries.queries
+      ops.IterativeQueries.queries ++
+      ops.BpeTokenizer.queries
 
   /** Test-only quadratic baselines (`oracle_` prefix), fenced out of
     * [[queries]] so a user cannot accidentally run an all-pairs join at
@@ -51,7 +52,8 @@ object SparkEntry {
       ops.SimilarityQueries.oracleSql ++
       ops.MultimodalQueries.oracleSql ++
       ops.ProfileQueries.oracleSql ++
-      ops.IterativeQueries.oracleSql
+      ops.IterativeQueries.oracleSql ++
+      ops.BpeTokenizer.oracleSql
 
   /** Oracles for [[oracleBaselines]], key-for-key. */
   def baselineOracleSql: Map[String, String] =

@@ -79,12 +79,21 @@ object CurationQueries {
     * slot within its pack.
     */
   def packSequences(s: SparkSession, dir: String, budget: Long = 2048L,
-                    strata: Seq[String] = Seq("lang")): DataFrame =
+                    strata: Seq[String] = Seq("lang"),
+                    counter: BpeTokenizer.TokenCounter = BpeTokenizer.TokenCounter.Chars4): DataFrame =
     packTokens(
-      Tables(s, dir, "documents")
-        .selectExpr("doc_id", "lang",
-          s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS n_tok"),
+      counter.project(Tables(s, dir, "documents"), Seq("doc_id", "lang")),
       budget, strata)
+
+  /** [[packSequences]] budgeting in REAL subword tokens — the
+    * [[BpeTokenizer.TokenCounter.Bpe]] dial end-to-end: packs now hold
+    * ~2048 tokenizer tokens, the unit the training job actually pays. The
+    * pinned default everywhere else stays the chars/4 estimate so the
+    * existing oracles are untouched; this entry's oracle swaps the n_tok
+    * CTE for the generated BPE vocab chain.
+    */
+  def packSequencesBpe(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame =
+    packSequences(s, dir, budget, counter = BpeTokenizer.TokenCounter.Bpe)
 
   /** The packing kernel over any frame with (doc_id, <strata cols>, n_tok):
     * a prefix-sum window per stratum, `pack_id = floor(prefix_sum / budget)`,
@@ -125,12 +134,14 @@ object CurationQueries {
     * so the DuckDB oracle gates the sharded semantics end-to-end.
     */
   def packSequencesSharded(s: SparkSession, dir: String, budget: Long = 2048L,
-                           shards: Int = 4): DataFrame = {
+                           shards: Int = 4,
+                           counter: BpeTokenizer.TokenCounter = BpeTokenizer.TokenCounter.Chars4): DataFrame = {
     require(shards > 0)
     packTokens(
-      Tables(s, dir, "documents")
-        .selectExpr("doc_id", "lang", s"CAST(pmod(doc_id, $shards) AS BIGINT) AS shard",
-          s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS n_tok"),
+      counter.project(
+        Tables(s, dir, "documents")
+          .selectExpr("doc_id", "lang", s"CAST(pmod(doc_id, $shards) AS BIGINT) AS shard", "text"),
+        Seq("doc_id", "lang", "shard")),
       budget, Seq("lang", "shard"))
   }
 
@@ -268,10 +279,9 @@ object CurationQueries {
     * The share division is exact-int / exact-int — bit-identical across
     * engines.
     */
-  def mixReport(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .selectExpr("lang", "source",
-        s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS n_tok")
+  def mixReport(s: SparkSession, dir: String,
+                counter: BpeTokenizer.TokenCounter = BpeTokenizer.TokenCounter.Chars4): DataFrame =
+    counter.project(Tables(s, dir, "documents"), Seq("doc_id", "lang", "source"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .selectExpr("lang", "source", "n_docs", "n_tokens",
@@ -297,14 +307,13 @@ object CurationQueries {
     */
   def mixRates(s: SparkSession, dir: String,
                targets: Map[String, Double] = DefaultTargetShares._1,
-               default: Double = DefaultTargetShares._2): DataFrame = {
+               default: Double = DefaultTargetShares._2,
+               counter: BpeTokenizer.TokenCounter = BpeTokenizer.TokenCounter.Chars4): DataFrame = {
     require(default > 0 && targets.values.forall(_ > 0), "target shares are positive")
     val target = targets.toSeq.sortBy(_._1).foldLeft(lit(default)) {
       case (acc, (l, t)) => when(col("lang") === lit(l), lit(t)).otherwise(acc)
     }
-    Tables(s, dir, "documents")
-      .selectExpr("lang",
-        s"CAST(aggregate($toks, 0L, (acc, t) -> acc + (length(t) + 3) div 4) AS BIGINT) AS n_tok")
+    counter.project(Tables(s, dir, "documents"), Seq("doc_id", "lang"))
       .groupBy(col("lang"))
       .agg(sum(col("n_tok")).as("n_tokens"))
       // a lang whose docs are all empty has share 0 and no finite rate —
@@ -438,8 +447,9 @@ object CurationQueries {
     "doc_chunk" -> ((s, dir) => docChunk(s, dir)),
     "doc_sample_stratified" -> sampleStratified,
     "doc_pack" -> ((s, dir) => packSequences(s, dir)),
+    "doc_pack_bpe" -> ((s, dir) => packSequencesBpe(s, dir)),
     "doc_pack_sharded" -> ((s, dir) => packSequencesSharded(s, dir)),
-    "doc_mix_report" -> mixReport,
+    "doc_mix_report" -> ((s, dir) => mixReport(s, dir)),
     "doc_mix_rates" -> ((s, dir) => mixRates(s, dir)),
     "doc_upsample" -> upsample,
     "doc_shuffle_split" -> ((s, dir) => shuffleSplit(s, dir)),
@@ -526,6 +536,20 @@ object CurationQueries {
          |SELECT doc_id, lang, n_tok, pack_id,
          |  CAST(row_number() OVER (PARTITION BY lang, pack_id ORDER BY doc_id) AS INT) AS pack_pos
          |FROM packed""".stripMargin,
+    // doc_pack with the n_tok CTE swapped for the generated BPE vocab chain
+    "doc_pack_bpe" ->
+      ("WITH " + BpeTokenizer.applyCtes() + s""",
+         |toks AS (
+         |  SELECT t.doc_id, any_value(t.lang) AS lang, CAST(sum(c.n_sub) AS BIGINT) AS n_tok
+         |  FROM btok t JOIN bpe_wc c USING (w) GROUP BY t.doc_id),
+         |packed AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048 AS BIGINT) AS pack_id
+         |  FROM toks)
+         |SELECT doc_id, lang, n_tok, pack_id,
+         |  CAST(row_number() OVER (PARTITION BY lang, pack_id ORDER BY doc_id) AS INT) AS pack_pos
+         |FROM packed""".stripMargin),
     "doc_pack_sharded" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang, CAST(doc_id % 4 AS BIGINT) AS shard,

@@ -92,4 +92,81 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     // run is in fact recovered
     assert(rows.contains((1L, 2L, 3, 2, 8)), s"full 8-token run not recovered: ${rows.toSeq}")
   }
+
+  // --- BPE tokenizer ------------------------------------------------------
+
+  /** Independent reference implementation of the graft-BPE spec (merge-all
+    * of the best/lowest-ranked same-symbol-free pair) — plain sequential
+    * Scala, sharing no code with the expression chains it checks.
+    */
+  private object BpeRef {
+    def mergeAll(ss: List[String], x: String, y: String): List[String] = ss match {
+      case a :: b :: rest if a == x && b == y => (x + y) :: mergeAll(rest, x, y)
+      case a :: rest => a :: mergeAll(rest, x, y)
+      case Nil => Nil
+    }
+    def learn(vocab: Map[String, Long], n: Int): Seq[(Int, String, Long)] = {
+      var state = vocab.keys.map(w => w -> w.split("").toList).toMap
+      (1 to n).flatMap { r =>
+        val cnt = state.toSeq.flatMap { case (w, ss) =>
+          ss.zip(ss.tail).filter(p => p._1 != p._2).map(p => (p, vocab(w)))
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (cnt.isEmpty) None
+        else {
+          val mx = cnt.values.max
+          val (bx, by) = cnt.filter(_._2 == mx).keys.minBy(p => p._1 + " " + p._2)
+          state = state.view.mapValues(mergeAll(_, bx, by)).toMap
+          Some((r, s"$bx $by", mx))
+        }
+      }
+    }
+    def apply(w: String, mk: Seq[String], steps: Int): List[String] = {
+      var ss = w.split("").toList
+      var done = false
+      for (_ <- 1 to steps if !done) {
+        val rp = ss.zip(ss.tail).map { case (x, y) => mk.indexOf(x + " " + y) }
+        if (rp.forall(_ < 0)) done = true
+        else {
+          val i = rp.indexOf(rp.filter(_ >= 0).min)
+          ss = mergeAll(ss, ss(i), ss(i + 1))
+        }
+      }
+      ss
+    }
+  }
+
+  test("BPE learn matches the sequential reference on a constructed corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "the bat and the cat"),
+      (3L, "that mat that hat"), (4L, "xx yy the")).toDF("doc_id", "text")
+    val words = docs.collect().flatMap(_.getString(1).split("\\s+"))
+    val vocab = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = BpeRef.learn(vocab, BpeTokenizer.NMerges)
+    val got = BpeTokenizer.learnFrom(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected, s"learned:\n$got\nexpected:\n$expected")
+  }
+
+  test("BPE apply with the learned table matches the reference per word (learn->apply loop)") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "the bat and the cat"),
+      (3L, "that mat that hat"), (4L, "xx yy the")).toDF("doc_id", "text")
+    val learned = BpeTokenizer.learnFrom(docs).collect().map(_.getString(1)).toSeq
+    val words = docs.collect().flatMap(_.getString(1).split("\\s+")).distinct
+    val got = BpeTokenizer.applyWords(words.toSeq.toDF("w"), learned)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    words.foreach { w =>
+      val exp = BpeRef.apply(w, learned, BpeTokenizer.ApplySteps).length
+      assert(got(w) == exp, s"'$w': engine ${got(w)} subtokens, reference $exp")
+    }
+  }
+
+  test("BPE counting edge cases: empty text and single chars") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "a"), (3L, "a b")).toDF("doc_id", "text")
+    val got = BpeTokenizer.tokensFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    // "" tokenizes to one empty word of zero symbols
+    assert(got.toSeq == Seq((1L, 1, 0L), (2L, 1, 1L), (3L, 2, 2L)), got.toSeq.toString)
+  }
 }
