@@ -38,6 +38,7 @@ object Bench {
     "text_decontaminate", "text_decontaminate_bloom", "text_ngram_dup",
     "text_winnow", "text_winnow_pairs", "text_nfc_dedup", "dedup_substring",
     "text_quality_model", "text_lm_score", "text_bpe_learn", "text_bpe_tokens",
+    "text_quality_train", "text_quality_trained",
     "doc_pack", "doc_pack_bpe", "doc_chunk", "doc_sample_stratified", "doc_sample_quota",
     "doc_sample_quota_sharded", "doc_mix_report", "doc_mix_rates", "q_ewma",
     "doc_upsample", "doc_shuffle_split", "doc_curate",

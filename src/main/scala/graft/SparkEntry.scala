@@ -30,7 +30,8 @@ object SparkEntry {
       ops.MultimodalQueries.queries ++
       ops.ProfileQueries.queries ++
       ops.IterativeQueries.queries ++
-      ops.BpeTokenizer.queries
+      ops.BpeTokenizer.queries ++
+      ops.QualityTrain.queries
 
   /** Test-only quadratic baselines (`oracle_` prefix), fenced out of
     * [[queries]] so a user cannot accidentally run an all-pairs join at
@@ -53,7 +54,8 @@ object SparkEntry {
       ops.MultimodalQueries.oracleSql ++
       ops.ProfileQueries.oracleSql ++
       ops.IterativeQueries.oracleSql ++
-      ops.BpeTokenizer.oracleSql
+      ops.BpeTokenizer.oracleSql ++
+      ops.QualityTrain.oracleSql
 
   /** Oracles for [[oracleBaselines]], key-for-key. */
   def baselineOracleSql: Map[String, String] =

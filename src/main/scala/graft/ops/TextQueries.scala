@@ -454,7 +454,7 @@ object TextQueries {
   private def hexVal(src: String, i: Int): String =
     s"(instr('0123456789abcdef', substr($src, $i, 1)) - 1)"
   /** Feature bucket of token expression `t`: first 8 md5 bits mod [[ModelDim]]. */
-  private def bucketOf(t: String): String =
+  private[ops] def bucketOf(t: String): String =
     s"((${hexVal(s"md5($t)", 1)} * 16 + ${hexVal(s"md5($t)", 2)}) % $ModelDim)"
 
   /** Exact-integer model score — shared by [[qualityModelFrom]] and the

@@ -161,6 +161,21 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --- on-engine quality training -----------------------------------------
+
+  test("quality training learns: trained scorer beats the majority class on its labels") {
+    val rows = QualityTrain.qualityTrained(spark, dir).collect()
+      .map(r => (r.getString(4), r.getInt(5))) // (teacher, agree)
+    val n = rows.length
+    val majority = rows.groupBy(_._1).values.map(_.size).max
+    val agreed = rows.map(_._2).sum
+    assert(agreed > majority,
+      s"trained model must beat always-majority: agreed $agreed vs majority $majority of $n")
+    val w = QualityTrain.qualityTrain(spark, dir).collect()
+    assert(w.length == TextQueries.ModelDim)
+    assert(w.exists(_.getLong(2) != 0L), "training left every fixed-point weight at zero")
+  }
+
   test("BPE counting edge cases: empty text and single chars") {
     import spark.implicits._
     val docs = Seq((1L, ""), (2L, "a"), (3L, "a b")).toDF("doc_id", "text")
