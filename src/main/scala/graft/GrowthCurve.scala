@@ -152,6 +152,34 @@ object GrowthCurve {
       val (wOut, wSec) = timed(graft.ops.TextQueries.winnowPairs(spark, dir).count())
       rows += (("text_winnow_pairs", tag, n, wCand, wOut, wSec))
 
+      // the TIGHT hot-fp dial (df <= 10): the cap's payoff measured —
+      // candidate growth must drop toward the output's near-linear rate
+      // (the pinned 50 is inert on small corpora; 10 actually bites)
+      val wfpsTight = graft.ops.TextQueries.winnow(spark, dir)
+        .select(col("doc_id"), col("fp"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+        .filter(col("df") <= 10)
+        .select(col("doc_id"), col("fp"))
+      val wCandTight = groupPairs(wfpsTight, Seq("fp"))
+      val (wtOut, wtSec) = timed(
+        graft.ops.TextQueries.winnowPairs(spark, dir, maxDocFreq = 10).count())
+      rows += (("text_winnow_pairs[df<=10]", tag, n, wCandTight, wtOut, wtSec))
+
+      // substring extraction: candidate metric = the anchor self-join's
+      // input, C(position rows, 2) per capped fingerprint; output = maximal
+      // extracted runs (planted predecessor-copies share long prefixes, so
+      // the output tracks the planted pair count)
+      val ssPos = graft.ops.TextQueries.winnowPositionsFrom(
+        graft.ops.Tables(spark, dir, "documents"))
+      val ssKeptFps = ssPos.select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("ddf"))
+        .filter(col("ddf") <= 50) // the kernel's distinct-doc cap
+      val ssCand = groupPairs(ssPos.join(ssKeptFps, Seq("fp")), Seq("fp"))
+      val (ssOut, ssSec) = timed(DedupQueries.dedupSubstringFrom(
+        graft.ops.Tables(spark, dir, "documents")).count())
+      rows += (("dedup_substring", tag, n, ssCand, ssOut, ssSec))
+
       // paragraph dedup and bigram LM scoring: pure groupBy/window shuffles
       // keyed on segment/bigram strings — no candidate stage, so wall-clock
       // must track rows, not rows^2
@@ -223,6 +251,20 @@ object GrowthCurve {
       val (w100Out, w100Sec) = timed(graft.ops.TextQueries.winnowPairs(spark, dir100).count())
       rows += (("text_winnow_pairs", "100x", 500000L, wCand100, w100Out, w100Sec))
     } else rows += (("text_winnow_pairs", "100x", 500000L, wCand100, -1L, -1.0))
+
+    // the tight dial's payoff at 100x: candidate count under df <= 10
+    val wfps100Tight = graft.ops.TextQueries.winnow(spark, dir100)
+      .select(col("doc_id"), col("fp"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("df") <= 10)
+      .select(col("doc_id"), col("fp"))
+    val wCand100Tight = groupPairs(wfps100Tight, Seq("fp"))
+    if (wCand100Tight <= TimedRunCap) {
+      val (wt100Out, wt100Sec) = timed(
+        graft.ops.TextQueries.winnowPairs(spark, dir100, maxDocFreq = 10).count())
+      rows += (("text_winnow_pairs[df<=10]", "100x", 500000L, wCand100Tight, wt100Out, wt100Sec))
+    } else rows += (("text_winnow_pairs[df<=10]", "100x", 500000L, wCand100Tight, -1L, -1.0))
 
     genEmbeddings(spark, 200000L, dir100)
     val (pq100Out, pq100Sec) = timed(SimilarityQueries.annPq(spark, dir100).count())

@@ -128,7 +128,7 @@ object TextQueries {
     * positions because pair DETECTION only needs fingerprint identity;
     * run EXTRACTION needs the anchor coordinates back.
     */
-  private[ops] def winnowPositionsFrom(docs: DataFrame, k: Int = WinnowK,
+  private[graft] def winnowPositionsFrom(docs: DataFrame, k: Int = WinnowK,
       w: Int = WinnowW): DataFrame = {
     require(k >= 1 && w >= 1)
     graft.functions.GraftFunctions.registerAll(docs.sparkSession)
