@@ -22,6 +22,9 @@ object Bench {
     "q_join_big", "q_join_star", "q_left_join", "q_full_outer", "q_theta_join",
     "q_merge_upsert", "q_histogram", "q_edit_distance", "q_tpch_q3", "q_tpch_q5", "q_tpch_q18",
     "q_tpch_q17", "q_tpch_q19", "q_tpch_q21", "q_string_agg", "q_mode", "q_lateral_topn",
+    "q_tpch_q2", "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q20", "q_tpch_q22",
     "q_window_running", "q_window_rank", "q_window_range", "q_sessionize", "q_funnel", "q_retention", "q_pivot",
     "q_scd2", "q_gapfill", "q_interval_merge", "q_cumulative_distinct",
     "q_approx_distinct", "q_sketch_union", "q_approx_quantile", "q_heavy_hitters",

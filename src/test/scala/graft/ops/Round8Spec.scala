@@ -161,6 +161,24 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --- TPC-H suite completion ---------------------------------------------
+
+  test("tpch q4: the EXISTS correlation plans as a hash semi join, never a loop join") {
+    val plan = RelationalQueries.tpchQ4(spark, dir).queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the date inequality must ride the order-key equi-join:\n$plan")
+  }
+
+  test("tpch q13: customers with zero qualifying orders land in the 0 bucket") {
+    val rows = RelationalQueries.tpchQ13(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nCust = Tables(spark, dir, "customer").count()
+    assert(rows.values.sum == nCust,
+      s"distribution must cover every customer exactly once: ${rows.values.sum} vs $nCust")
+  }
+
   // --- on-engine quality training -----------------------------------------
 
   test("quality training learns: trained scorer beats the majority class on its labels") {
