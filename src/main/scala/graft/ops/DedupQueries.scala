@@ -998,6 +998,43 @@ object DedupQueries {
   def dedupSubstring(s: SparkSession, dir: String): DataFrame =
     dedupSubstringFrom(overlapCorpus(s, dir))
 
+  /** The REMOVAL half — what extraction is for (Lee et al. 2022 cut the
+    * duplicated spans out of the corpus): every extracted run is deleted
+    * from the LATER document (doc_b — the `doc_a < doc_b` orientation makes
+    * this the keep-first rule, like [[dedupExact]]), overlapping spans
+    * union'd, and the survivors reassembled in order. Docs that only ever
+    * appear as the EARLIER side keep their copy — exactly one copy of every
+    * duplicated passage survives corpus-wide for pair-local runs.
+    *
+    * Scale shape: [[dedupSubstringFrom]]'s output is pair-count-sized; the
+    * covered positions explode is bounded by removed tokens; the rewrite
+    * itself is a LEFT join of the corpus against the per-doc drop sets and
+    * a pure index-filter expression — one extra shuffle on doc_id, no
+    * window, no per-token join.
+    */
+  def dedupSubstringRewriteFrom(docs: DataFrame, k: Int = TextQueries.WinnowK,
+      w: Int = TextQueries.WinnowW, minLen: Int = -1,
+      maxDocFreq: Int = 50): DataFrame = {
+    val runs = dedupSubstringFrom(docs, k, w, minLen, maxDocFreq)
+    val drop = runs
+      .selectExpr("doc_b AS doc_id",
+        "explode(sequence(start_b, start_b + run_len - 1)) AS p")
+      .distinct()
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("drop"))
+    docs.selectExpr("doc_id", s"${Tokenize.Whitespace.sql("text")} AS tks")
+      .join(drop, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CAST(size(tks) AS INT) AS n_tokens",
+        "CAST(CASE WHEN drop IS NULL THEN 0 ELSE size(drop) END AS INT) AS n_removed",
+        "array_join(filter(tks, (t, i) -> drop IS NULL OR NOT array_contains(drop, i + 1)), ' ') AS text_clean")
+  }
+
+  /** Catalog entry: the constructed-overlap corpus rewritten with every
+    * >= k+w-1-token duplicated span removed from its later document.
+    */
+  def dedupSubstringRewrite(s: SparkSession, dir: String): DataFrame =
+    dedupSubstringRewriteFrom(overlapCorpus(s, dir))
+
   /** Public catalog: scale-safe paths only. The quadratic all-pairs
     * baselines live in [[oracleBaselines]] so a user browsing this map
     * cannot accidentally launch an all-pairs join over a 100 TB corpus.
@@ -1016,6 +1053,7 @@ object DedupQueries {
     "dedup_simhash_lsh" -> ((s, dir) => simhashLsh(s, dir)),
     "dedup_embedding_lsh" -> ((s, dir) => dedupEmbeddingLsh(s, dir)),
     "dedup_substring" -> dedupSubstring,
+    "dedup_substring_rewrite" -> dedupSubstringRewrite,
   )
 
   /** Test-only quadratic baselines (`oracle_` prefix): each is the provably
@@ -1062,6 +1100,37 @@ object DedupQueries {
        |JOIN d pa ON doc_a = pa.doc_id
        |JOIN d pb ON doc_b = pb.doc_id
        |WHERE len(list_intersect(pa.shs, pb.shs)) * 5 >= len(list_distinct(list_concat(pa.shs, pb.shs)))""".stripMargin
+
+  /** Shared CTE chain for the substring oracles: the constructed corpus,
+    * per-token positions, and the maximal diagonal islands (`runs`). */
+  private val substringRunsCtes: String =
+    """base AS (SELECT c_custkey AS g FROM customer),
+      |sides AS (SELECT g, unnest([0, 1]) AS side FROM base),
+      |params AS MATERIALIZED (SELECT 2*g + side AS doc_id, g,
+      |  CAST(CASE WHEN side = 0 THEN g % 5 ELSE 1 + g % 3 END AS INT) AS np,
+      |  CAST(CASE WHEN side = 0 THEN 2 ELSE 1 END AS INT) AS nm,
+      |  CAST(CASE WHEN side = 0 THEN 3 WHEN g % 7 = 0 THEN 0 ELSE 2 END AS INT) AS nq,
+      |  CAST(4 + g % 8 AS INT) AS ns1,
+      |  CAST(CASE WHEN g % 4 = 0 THEN 7 ELSE 0 END AS INT) AS ns2 FROM sides),
+      |docs AS MATERIALIZED (SELECT doc_id,
+      |  list_transform(range(1, 5), i -> 'd' || doc_id || 'p' || i)[1:np] ||
+      |  list_transform(range(1, 12), j -> 's' || g || 'x' || j)[1:ns1] ||
+      |  list_transform(range(1, 3), i -> 'd' || doc_id || 'm' || i)[1:nm] ||
+      |  list_transform(range(1, 8), j -> 's' || g || 'y' || j)[1:ns2] ||
+      |  list_transform(range(1, 4), i -> 'd' || doc_id || 'q' || i)[1:nq] AS toks
+      |  FROM params),
+      |pos AS MATERIALIZED (
+      |  SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS p
+      |  FROM docs),
+      |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
+      |      FROM pos a JOIN pos b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      |seg AS (SELECT da, db, pa, pb, pa - pb AS diag,
+      |        pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+      |        FROM m),
+      |runs AS (SELECT da AS doc_a, db AS doc_b,
+      |         CAST(min(pa) AS INT) AS start_a, CAST(min(pb) AS INT) AS start_b,
+      |         CAST(count(1) AS INT) AS run_len
+      |         FROM seg GROUP BY da, db, diag, grp)""".stripMargin
 
   private val allOracleSql: Map[String, String] = Map(
     "dedup_incremental" ->
@@ -1249,35 +1318,25 @@ object DedupQueries {
     // constructed corpus confines cross-document token equality to planted
     // blocks with no in-region gram repeats — see dedupSubstringFrom.
     "dedup_substring" ->
-      """WITH base AS (SELECT c_custkey AS g FROM customer),
-        |sides AS (SELECT g, unnest([0, 1]) AS side FROM base),
-        |params AS MATERIALIZED (SELECT 2*g + side AS doc_id, g,
-        |  CAST(CASE WHEN side = 0 THEN g % 5 ELSE 1 + g % 3 END AS INT) AS np,
-        |  CAST(CASE WHEN side = 0 THEN 2 ELSE 1 END AS INT) AS nm,
-        |  CAST(CASE WHEN side = 0 THEN 3 WHEN g % 7 = 0 THEN 0 ELSE 2 END AS INT) AS nq,
-        |  CAST(4 + g % 8 AS INT) AS ns1,
-        |  CAST(CASE WHEN g % 4 = 0 THEN 7 ELSE 0 END AS INT) AS ns2 FROM sides),
-        |docs AS MATERIALIZED (SELECT doc_id,
-        |  list_transform(range(1, 5), i -> 'd' || doc_id || 'p' || i)[1:np] ||
-        |  list_transform(range(1, 12), j -> 's' || g || 'x' || j)[1:ns1] ||
-        |  list_transform(range(1, 3), i -> 'd' || doc_id || 'm' || i)[1:nm] ||
-        |  list_transform(range(1, 8), j -> 's' || g || 'y' || j)[1:ns2] ||
-        |  list_transform(range(1, 4), i -> 'd' || doc_id || 'q' || i)[1:nq] AS toks
-        |  FROM params),
-        |pos AS MATERIALIZED (
-        |  SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS p
-        |  FROM docs),
-        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
-        |      FROM pos a JOIN pos b ON a.tok = b.tok AND a.doc_id < b.doc_id),
-        |seg AS (SELECT da, db, pa, pb, pa - pb AS diag,
-        |        pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
-        |        FROM m),
-        |runs AS (SELECT da AS doc_a, db AS doc_b,
-        |         CAST(min(pa) AS INT) AS start_a, CAST(min(pb) AS INT) AS start_b,
-        |         CAST(count(1) AS INT) AS run_len
-        |         FROM seg GROUP BY da, db, diag, grp)
+      (s"""WITH $substringRunsCtes
         |SELECT doc_a, doc_b, start_a, start_b, run_len FROM runs
-        |WHERE run_len >= 6""".stripMargin,
+        |WHERE run_len >= 6""".stripMargin),
+    // ... and the rewrite: spans union'd per later-doc, removal by position
+    // anti-join, in-order reassembly
+    "dedup_substring_rewrite" ->
+      (s"""WITH $substringRunsCtes,
+        |spans AS (SELECT doc_b AS doc_id, start_b, run_len FROM runs WHERE run_len >= 6),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(start_b, start_b + run_len)) AS p FROM spans),
+        |kept AS (
+        |  SELECT t.doc_id, t.p, t.tok FROM pos t
+        |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+        |  WHERE c.doc_id IS NULL)
+        |SELECT d.doc_id,
+        |  CAST(len(d.toks) AS INT) AS n_tokens,
+        |  CAST(len(d.toks) - count(k.p) AS INT) AS n_removed,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text_clean
+        |FROM docs d LEFT JOIN kept k ON k.doc_id = d.doc_id
+        |GROUP BY d.doc_id, len(d.toks)""".stripMargin),
   )
 
   /** Oracles for the public scale-safe catalog, key-for-key with [[queries]]. */

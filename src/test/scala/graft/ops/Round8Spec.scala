@@ -161,6 +161,31 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dedup_substring_rewrite: later docs lose exactly the planted spans, earlier docs keep them") {
+    val gs = Tables(spark, dir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val expectRemoved = gs.map { g =>
+      val ns1 = 4 + g % 8
+      (2 * g + 1) -> ((if (ns1 >= 6) ns1 else 0L) + (if (g % 4 == 0) 7L else 0L))
+    }.toMap
+    val out = DedupQueries.dedupSubstringRewrite(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    out.foreach { case (id, nTok, nRem, clean) =>
+      val expected = if (id % 2 == 0) 0L else expectRemoved(id)
+      assert(nRem == expected, s"doc $id removed $nRem, expected $expected")
+      assert(clean.split("\\s+").filter(_.nonEmpty).length == nTok - nRem,
+        s"doc $id clean text length mismatch")
+      // exactly one copy of every duplicated passage survives: the a-side
+      // keeps its shared tokens, the b-side's survivors contain none of the
+      // removed shared blocks
+      if (id % 2 == 1 && nRem > 0) {
+        val g = (id - 1) / 2
+        if (4 + g % 8 >= 6) assert(!clean.contains(s"s${g}x1"), s"doc $id kept a removed S1 token")
+        if (g % 4 == 0) assert(!clean.contains(s"s${g}y1"), s"doc $id kept a removed S2 token")
+      }
+    }
+  }
+
   // --- TPC-H suite completion ---------------------------------------------
 
   test("tpch q4: the EXISTS correlation plans as a hash semi join, never a loop join") {
