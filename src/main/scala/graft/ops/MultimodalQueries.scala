@@ -196,7 +196,75 @@ object MultimodalQueries {
     (out, sigs)
   }
 
+  /** Cross-video content-ID — what per-frame perceptual hashing is FOR:
+    * two videos match when they share near-identical FRAMES, regardless of
+    * surrounding content (the YouTube-Content-ID / clip-reuse shape).
+    * Videos are constructed frame-aligned from `customer` (the corpus has
+    * no real video payloads — the rel_* pattern): per key g, videos 2g and
+    * 2g+1 embed 1 + g%3 SHARED 64-byte frames at different positions
+    * between video-unique frames. The pipeline is the real one end-to-end:
+    * fixed-size frame extraction (posexplode of byte windows), the
+    * codegen'd `ahash60` per frame, the SAME lossless 4x15-bit pigeonhole
+    * banding as [[ahashDedupFrom]] keyed by (video, frame), exact
+    * bit_count verification, then aggregation to video pairs
+    * (n_shared_frames, min_hamming). The oracle verifies ALL cross-video
+    * frame pairs (quadratic is fine at gate scale; banding is lossless at
+    * hamming <= 3, so the sets must match exactly).
+    *
+    * Scale shape: frames are map-side; the join input is 4 band rows per
+    * frame, never frame-pairs; verification touches only banded
+    * candidates — the mm_ahash_dedup discipline, one level down the
+    * granularity ladder.
+    */
+  def frameDedup(s: SparkSession, dir: String, hammingMax: Int = 3): DataFrame = {
+    require(hammingMax >= 0 && hammingMax < 4,
+      "4x15 banding is lossless only for hamming <= 3")
+    graft.functions.GraftFunctions.registerAll(s)
+    // frame bytes are md5-derived from the frame's seed (4 x 16 bytes = a
+    // 64-byte pseudo-random payload): structured ASCII fill would make
+    // unrelated frames aHash-collide (above-mean bits track the fill, not
+    // the id), while hash bytes give 0 unintended hamming<=3 pairs across
+    // thousands of distinct frames (measured)
+    val frames = Tables(s, dir, "customer").selectExpr("c_custkey AS g")
+      .selectExpr("g", "explode(array(0, 1)) AS side")
+      .selectExpr("2 * g + side AS doc_id", "g", "side", "CAST(1 + g % 3 AS INT) AS k")
+      .selectExpr("doc_id",
+        """concat(
+          |  transform(sequence(1, CASE WHEN side = 0 THEN 2 ELSE 1 END),
+          |    j -> concat('u', doc_id, 'f', j)),
+          |  slice(transform(sequence(1, 3), j -> concat('s', g, 'f', j)), 1, k),
+          |  array(concat('u', doc_id, 'ft'))) AS fl""".stripMargin)
+      .selectExpr("doc_id", "posexplode(fl) AS (fi, seed)")
+      .selectExpr("doc_id", "CAST(fi + 1 AS INT) AS frame_idx",
+        "unhex(concat(md5(concat(seed, '0')), md5(concat(seed, '1')), " +
+          "md5(concat(seed, '2')), md5(concat(seed, '3')))) AS media")
+    val sigs = frames.selectExpr("doc_id", "frame_idx", "ahash60(media) AS sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.selectExpr("doc_id", "frame_idx",
+      "explode(transform(sequence(0, 3), b -> " +
+        "struct(b AS band, shiftright(sig, 15 * b) & 32767 AS bkey))) AS c")
+      .select(col("doc_id"), col("frame_idx"), col("c.band").as("band"), col("c.bkey").as("bkey"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.frame_idx").as("fa"),
+        col("b.doc_id").as("doc_b"), col("b.frame_idx").as("fb"))
+      .distinct()
+    val out = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("frame_idx").as("fa"),
+        col("sig").as("sig_a")), Seq("doc_a", "fa"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("frame_idx").as("fb"),
+        col("sig").as("sig_b")), Seq("doc_b", "fb"))
+      .selectExpr("doc_a", "doc_b", "CAST(bit_count(sig_a ^ sig_b) AS INT) AS hamming")
+      .filter(col("hamming") <= hammingMax)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_frames"), min(col("hamming")).as("min_hamming"))
+    Lifecycle.released(out, sigs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frame_dedup" -> ((s, dir) => frameDedup(s, dir)),
     "mm_meta" -> mediaMeta,
     "mm_ahash" -> ahashSigs,
     "mm_ahash_dedup" -> ((s, dir) => ahashDedup(s, dir)),
@@ -207,6 +275,45 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // all cross-video frame pairs verified exactly; banding is lossless at
+    // hamming <= 3, so the grouped sets must match the banded pipeline
+    "mm_frame_dedup" ->
+      """WITH base AS (SELECT c_custkey AS g FROM customer),
+        |sides AS (SELECT g, unnest([0, 1]) AS side FROM base),
+        |vids AS MATERIALIZED (SELECT 2*g + side AS doc_id, g, side,
+        |  CAST(1 + g % 3 AS INT) AS k FROM sides),
+        |fr AS MATERIALIZED (
+        |  SELECT doc_id, unnest(fl) AS seed, unnest(range(1, len(fl) + 1)) AS frame_idx
+        |  FROM (SELECT doc_id,
+        |    list_transform(range(1, CASE WHEN side = 0 THEN 3 ELSE 2 END),
+        |      j -> 'u' || doc_id || 'f' || j) ||
+        |    list_transform(range(1, k + 1), j -> 's' || g || 'f' || j) ||
+        |    ['u' || doc_id || 'ft'] AS fl
+        |  FROM vids) t),
+        |frb AS MATERIALIZED (
+        |  SELECT doc_id, frame_idx,
+        |    upper(md5(seed || '0') || md5(seed || '1') || md5(seed || '2') || md5(seed || '3')) AS hx
+        |  FROM fr),
+        |px AS MATERIALIZED (
+        |  SELECT doc_id, frame_idx,
+        |    list_transform(range(0, 60), kk ->
+        |      (instr('0123456789ABCDEF', substr(hx,
+        |         CAST(2 * (kk * 64 // 60) + 1 AS INT), 1)) - 1) * 16 +
+        |      instr('0123456789ABCDEF', substr(hx,
+        |         CAST(2 * (kk * 64 // 60) + 2 AS INT), 1)) - 1) AS p
+        |  FROM frb),
+        |sigs AS MATERIALIZED (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(list_sum(list_transform(range(0, 60), kk ->
+        |      CASE WHEN 60 * p[CAST(kk + 1 AS INT)] > list_sum(p)
+        |           THEN CAST(power(2, kk) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM px)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(1) AS BIGINT) AS n_shared_frames,
+        |  CAST(min(bit_count(xor(a.sig, b.sig))) AS INT) AS min_hamming
+        |FROM sigs a JOIN sigs b
+        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+        |GROUP BY 1, 2""".stripMargin,
     "mm_ahash" ->
       """WITH px AS (
         |  SELECT doc_id,

@@ -186,6 +186,22 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --- mm_frame_dedup -------------------------------------------------------
+
+  test("mm_frame_dedup finds exactly the planted shared-frame video pairs") {
+    val gs = Tables(spark, dir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val out = MultimodalQueries.frameDedup(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getInt(3)))).toMap
+    assert(out.keySet == gs.map(g => (2 * g, 2 * g + 1)).toSet,
+      "every pair is a planted (2g, 2g+1) video pair and nothing else matches")
+    gs.foreach { g =>
+      val (n, h) = out((2 * g, 2 * g + 1))
+      assert(n == 1 + g % 3, s"pair g=$g shares $n frames, planted ${1 + g % 3}")
+      assert(h == 0, s"identical planted frames must verify at hamming 0, got $h")
+    }
+  }
+
   // --- TPC-H suite completion ---------------------------------------------
 
   test("tpch q4: the EXISTS correlation plans as a hash semi join, never a loop join") {
