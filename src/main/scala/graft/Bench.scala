@@ -29,6 +29,7 @@ object Bench {
     "q_scd2", "q_gapfill", "q_interval_merge", "q_cumulative_distinct",
     "q_approx_distinct", "q_sketch_union", "q_approx_quantile", "q_heavy_hitters",
     "q_asof_join", "q_asof_nearest", "q_range_join", "q_grouping_id", "q_not_in",
+    "q_fuzzy_join",
     "dedup_exact", "dedup_paragraph", "dedup_incremental", "dedup_bloom",
     "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "emb_dup_clusters", "q_dq_violations",

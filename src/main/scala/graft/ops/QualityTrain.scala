@@ -61,13 +61,19 @@ object QualityTrain {
     */
   private def featuresFrom(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    // bucket each token ONCE (one md5 per token, behind a barrier), then
+    // histogram the small int array — the naive per-bucket filter over raw
+    // tokens re-ran the md5 64x per token (measured 42 s at sf0.1; this
+    // shape is ~1 s)
     docs
       .selectExpr("doc_id", s"graft_barrier($toks) AS t")
-      .selectExpr("doc_id", "t", "size(t) AS nt",
+      .selectExpr("doc_id", "size(t) AS nt",
+        s"graft_barrier(transform(t, tok -> CAST(${TextQueries.bucketOf("tok")} AS INT))) AS bks")
+      .selectExpr("doc_id", "nt", "bks",
         s"graft_barrier(transform(sequence(0, ${Dim - 1}), b -> " +
-          s"CAST((1000 * size(filter(t, tok -> ${TextQueries.bucketOf("tok")} = b))) div size(t) AS BIGINT))) AS f",
-        s"CAST(aggregate(t, 0L, (acc, tok) -> acc + element_at($wArr, CAST(${TextQueries.bucketOf("tok")} AS INT) + 1)) AS BIGINT) AS sraw")
-      .selectExpr("doc_id", "t", "nt", "f", "sraw", "IF(sraw >= 0, 1L, -1L) AS y")
+          "CAST((1000 * size(filter(bks, x -> x = b))) div size(bks) AS BIGINT))) AS f",
+        s"CAST(aggregate(bks, 0L, (acc, b) -> acc + element_at($wArr, b + 1)) AS BIGINT) AS sraw")
+      .selectExpr("doc_id", "nt", "f", "sraw", "IF(sraw >= 0, 1L, -1L) AS y")
   }
 
   /** The trained single-row frame: columns m (64x64 BIGINT), bv (64
@@ -107,9 +113,27 @@ object QualityTrain {
     cur
   }
 
+  /** The trained chain's single row is a KB statistic consumed by BOTH
+    * catalog entries — memoized per (session, dir) and replayed as a local
+    * relation, the PCA-chain discipline (kernels over arbitrary frames
+    * keep calling [[trainChainFrom]] directly).
+    */
+  private val trainMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]
+
+  private def trainChainCached(s: SparkSession, dir: String): DataFrame = {
+    val (schema, rows) = trainMemo.getOrElseUpdate((s, dir), {
+      val df = trainChainFrom(Tables(s, dir, "documents"))
+        .select(col("bv"), col("d"), col("w")) // drop the 64x64 matrix from the replayed row
+      (df.schema, df.collect())
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Catalog entry: the trained weight table — (i, weight, weight_fx). */
   def qualityTrain(s: SparkSession, dir: String): DataFrame =
-    trainChainFrom(Tables(s, dir, "documents"))
+    trainChainCached(s, dir)
       .selectExpr("posexplode(w) AS (p, weight)")
       .selectExpr("CAST(p + 1 AS INT) AS i", "weight",
         s"CAST(round(weight * ${FxScale}D) AS BIGINT) AS weight_fx")
@@ -121,7 +145,7 @@ object QualityTrain {
     */
   def qualityTrained(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val wrow = trainChainFrom(docs)
+    val wrow = trainChainCached(s, dir)
       .selectExpr(s"transform(w, x -> CAST(round(x * ${FxScale}D) AS BIGINT)) AS wfx")
     featuresFrom(docs)
       .crossJoin(broadcast(wrow))

@@ -1005,6 +1005,60 @@ object RelationalQueries {
     Lifecycle.released(out, pool)
   }
 
+  /** Fuzzy (edit-distance <= 1) record linkage via DELETION-NEIGHBORHOOD
+    * blocking — the scale-safe form of "join on typo'd keys": every key
+    * emits itself plus its single-character deletions; any two strings
+    * within edit distance 1 (insert, delete, or substitute) provably share
+    * a variant, so candidates come from ONE equi-join on the variant and a
+    * bounded `levenshtein` verifies them — never an all-pairs distance
+    * join. The dirty side is constructed from `customer` (the rel_*
+    * pattern): one deterministic deletion per key for custkey % 3 = 0, the
+    * exact name for % 3 = 1, and a 3-character mutilation for % 3 = 2 (the
+    * guaranteed-unmatched negative arm). The synthetic names are
+    * ADVERSARIAL for this operator — they differ only in digit positions,
+    * so distance-1 neighbors abound and multi-matches are real; the
+    * blocking stays lossless because substitution pairs share the deletion
+    * at the substituted position.
+    *
+    * Scale shape: variant fan-out is length+1 rows per key (linear), the
+    * join is a plain equi-join on the variant string, verification touches
+    * only candidates. A boilerplate-hot variant key behaves like an LSH
+    * hot band; unlike the winnow cap there is NO lossy dial here because
+    * distance-1 completeness is the contract — shard adversarial key
+    * distributions upstream instead.
+    */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = "CAST(1 + c_custkey % length(c_name) AS INT)"
+    val dirty = Tables(s, dir, "customer").selectExpr(
+      "c_custkey AS dirty_id",
+      s"""CASE
+         |  WHEN c_custkey % 3 = 0 THEN
+         |    concat(substring(c_name, 1, $p - 1), substring(c_name, $p + 1))
+         |  WHEN c_custkey % 3 = 1 THEN c_name
+         |  ELSE substring(concat(substring(c_name, 1, $p - 1), substring(c_name, $p + 1)), 3)
+         |END AS name_dirty""".stripMargin)
+    def variants(c: String) =
+      s"concat(array($c), transform(sequence(1, length($c)), " +
+        s"i -> concat(substring($c, 1, i - 1), substring($c, i + 1))))"
+    // candidates carry only the two ids through the hot-block join and the
+    // dedup (names rejoin after), and equal-variant pairs with length
+    // difference 2 (deletion-vs-deletion of different strings) are pruned
+    // ON the join — both shrink what levenshtein and the distinct touch
+    val cv = Tables(s, dir, "customer")
+      .selectExpr("c_custkey", "length(c_name) AS lc", s"explode(${variants("c_name")}) AS v")
+    val dv = dirty.selectExpr("dirty_id", "length(name_dirty) AS ld",
+      s"explode(${variants("name_dirty")}) AS v")
+    val cand = dv.join(cv, dv("v") === cv("v") && abs(col("ld") - col("lc")) <= 1)
+      .select(col("dirty_id"), col("c_custkey"))
+      .distinct()
+    cand
+      .join(dirty, Seq("dirty_id"))
+      .join(Tables(s, dir, "customer").select(col("c_custkey"), col("c_name")), Seq("c_custkey"))
+      .filter(levenshtein(col("name_dirty"), col("c_name")) <= 1)
+      .selectExpr("dirty_id", "c_custkey", "name_dirty",
+        "CAST(levenshtein(name_dirty, c_name) AS INT) AS distance")
+  }
+
   // --- subqueries -------------------------------------------------------
 
   def inSubquery(s: SparkSession, dir: String): DataFrame = {
@@ -1759,6 +1813,7 @@ object RelationalQueries {
     "q_tpch_q17" -> tpchQ17,
     "q_tpch_q21" -> tpchQ21,
     "q_tpch_q19" -> tpchQ19,
+    "q_fuzzy_join" -> fuzzyJoin,
     "q_tpch_q2" -> tpchQ2,
     "q_tpch_q4" -> tpchQ4,
     "q_tpch_q6" -> tpchQ6,
@@ -1981,6 +2036,25 @@ object RelationalQueries {
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // all-pairs oracle: quadratic is fine at gate scale; deletion-
+    // neighborhood blocking is lossless at distance <= 1, so the row sets
+    // must match exactly
+    "q_fuzzy_join" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS dirty_id,
+        |    CASE
+        |      WHEN c_custkey % 3 = 0 THEN
+        |        substr(c_name, 1, CAST(1 + c_custkey % length(c_name) AS INT) - 1) ||
+        |        substr(c_name, CAST(1 + c_custkey % length(c_name) AS INT) + 1)
+        |      WHEN c_custkey % 3 = 1 THEN c_name
+        |      ELSE
+        |        substr(substr(c_name, 1, CAST(1 + c_custkey % length(c_name) AS INT) - 1) ||
+        |               substr(c_name, CAST(1 + c_custkey % length(c_name) AS INT) + 1), 3)
+        |    END AS name_dirty
+        |  FROM customer)
+        |SELECT d.dirty_id, c.c_custkey, d.name_dirty,
+        |  CAST(levenshtein(d.name_dirty, c.c_name) AS INT) AS distance
+        |FROM dirty d JOIN customer c ON levenshtein(d.name_dirty, c.c_name) <= 1""".stripMargin,
     "q_tpch_q2" ->
       """WITH ps AS (
         |  SELECT DISTINCT l.l_partkey AS partkey, l.l_suppkey AS suppkey FROM lineitem l),

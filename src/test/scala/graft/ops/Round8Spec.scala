@@ -186,6 +186,29 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --- q_fuzzy_join ---------------------------------------------------------
+
+  test("q_fuzzy_join: candidates come from the variant equi-join, never a distance cross join") {
+    val plan = RelationalQueries.fuzzyJoin(spark, dir).queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs distance join leaked into the plan:\n$plan")
+    assert(plan.contains("Join"), s"no join at all?\n$plan")
+  }
+
+  test("q_fuzzy_join: the negative arm never matches; the identity arm matches itself at 0") {
+    val rows = RelationalQueries.fuzzyJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val byDirty = rows.groupBy(_._1)
+    Tables(spark, dir, "customer").select("c_custkey").collect().map(_.getLong(0)).foreach { id =>
+      if (id % 3 == 2) assert(!byDirty.contains(id), s"mutilated key $id must not match")
+      if (id % 3 == 1) assert(byDirty(id).exists(t => t._2 == id && t._3 == 0),
+        s"unchanged key $id must match itself at distance 0")
+      if (id % 3 == 0) assert(byDirty.get(id).exists(_.exists(t => t._2 == id && t._3 == 1)),
+        s"single-deletion key $id must match its own record at distance 1")
+    }
+  }
+
   // --- mm_frame_dedup -------------------------------------------------------
 
   test("mm_frame_dedup finds exactly the planted shared-frame video pairs") {
