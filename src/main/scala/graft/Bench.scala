@@ -41,7 +41,7 @@ object Bench {
     "text_quality", "text_langid", "text_repetition", "text_tfidf", "text_vocab",
     "text_decontaminate", "text_decontaminate_bloom", "text_ngram_dup",
     "text_winnow", "text_winnow_pairs", "text_nfc_dedup", "dedup_substring",
-    "dedup_substring_rewrite",
+    "dedup_substring_rewrite", "dedup_substring_docs",
     "text_quality_model", "text_lm_score", "text_bpe_learn", "text_bpe_tokens",
     "text_quality_train", "text_quality_trained",
     "doc_pack", "doc_pack_bpe", "doc_chunk", "doc_sample_stratified", "doc_sample_quota",

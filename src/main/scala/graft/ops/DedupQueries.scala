@@ -1035,6 +1035,19 @@ object DedupQueries {
   def dedupSubstringRewrite(s: SparkSession, dir: String): DataFrame =
     dedupSubstringRewriteFrom(overlapCorpus(s, dir))
 
+  /** [[dedupSubstringFrom]] on the NATURAL `documents` corpus. The
+    * constructed-corpus entry's pure token-level oracle proves the MOSS
+    * COMPLETENESS guarantee; this one proves ALGORITHM equivalence where
+    * that guarantee's precondition may not hold (real text can repeat a
+    * k-gram inside a shared region, letting the two sides anchor different
+    * occurrences): its DuckDB oracle re-runs the identical
+    * winnow-positions -> df-cap -> anchor -> verify -> extend pipeline in
+    * SQL, re-deriving hash60 from md5 hex bit-exactly. Every emitted row is
+    * a token-verified true shared run on any corpus.
+    */
+  def dedupSubstringDocs(s: SparkSession, dir: String): DataFrame =
+    dedupSubstringFrom(Tables(s, dir, "documents"))
+
   /** Public catalog: scale-safe paths only. The quadratic all-pairs
     * baselines live in [[oracleBaselines]] so a user browsing this map
     * cannot accidentally launch an all-pairs join over a 100 TB corpus.
@@ -1054,6 +1067,7 @@ object DedupQueries {
     "dedup_embedding_lsh" -> ((s, dir) => dedupEmbeddingLsh(s, dir)),
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_rewrite" -> dedupSubstringRewrite,
+    "dedup_substring_docs" -> dedupSubstringDocs,
   )
 
   /** Test-only quadratic baselines (`oracle_` prefix): each is the provably
@@ -1321,6 +1335,48 @@ object DedupQueries {
       (s"""WITH $substringRunsCtes
         |SELECT doc_a, doc_b, start_a, start_b, run_len FROM runs
         |WHERE run_len >= 6""".stripMargin),
+    // Algorithm-equivalence oracle for the natural corpus: the identical
+    // winnow-positions -> df-cap -> anchor -> verify -> extend pipeline in
+    // SQL (hash60 re-derived from md5 hex). The backward/forward
+    // first-mismatch scans cover exactly the valid extension range, with
+    // out-of-bounds comparisons coalesced false — value-identical to the
+    // Spark side's padded zip_with.
+    "dedup_substring_docs" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |hs AS MATERIALIZED (
+        |  SELECT doc_id, t, list_transform(range(1, len(t) - 1),
+        |    i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT)) AS hs
+        |  FROM tok WHERE len(t) >= 6),
+        |selpos AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, fp, pos FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))) AS fp,
+        |      unnest(list_transform(range(1, len(hs) - 2),
+        |        i -> CAST(i - 1 + list_position(hs[i:i+3], list_min(hs[i:i+3])) AS INT))) AS pos
+        |    FROM hs) u),
+        |dfc AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS df FROM selpos GROUP BY 1) x
+        |        WHERE df <= 50),
+        |kept AS MATERIALIZED (SELECT s.* FROM selpos s JOIN dfc USING (fp)),
+        |anch AS MATERIALIZED (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |ext AS MATERIALIZED (
+        |  SELECT da, db, pa, pb,
+        |    coalesce(nullif(list_position(list_transform(range(1, CAST(least(pa, pb) AS BIGINT)),
+        |      j -> coalesce(ta[CAST(pa - j AS INT)] = tb[CAST(pb - j AS INT)], false)), false), 0) - 1,
+        |      least(pa, pb) - 1) AS ext_l,
+        |    coalesce(nullif(list_position(list_transform(range(1, CAST(greatest(len(ta) - pa - 1, len(tb) - pb - 1) + 1 AS BIGINT)),
+        |      j -> coalesce(ta[CAST(pa + 2 + j AS INT)] = tb[CAST(pb + 2 + j AS INT)], false)), false), 0) - 1,
+        |      least(len(ta) - pa, len(tb) - pb) - 2) AS ext_r
+        |  FROM (
+        |    SELECT an.da, an.db, an.pa, an.pb, x.t AS ta, y.t AS tb
+        |    FROM anch an JOIN tok x ON x.doc_id = an.da JOIN tok y ON y.doc_id = an.db
+        |    WHERE x.t[an.pa : an.pa + 2] = y.t[an.pb : an.pb + 2]) v)
+        |SELECT DISTINCT da AS doc_a, db AS doc_b,
+        |  CAST(pa - ext_l AS INT) AS start_a, CAST(pb - ext_l AS INT) AS start_b,
+        |  CAST(ext_l + 3 + ext_r AS INT) AS run_len
+        |FROM ext WHERE ext_l + 3 + ext_r >= 6""".stripMargin,
     // ... and the rewrite: spans union'd per later-doc, removal by position
     // anti-join, in-order reassembly
     "dedup_substring_rewrite" ->
