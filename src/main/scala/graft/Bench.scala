@@ -44,7 +44,7 @@ object Bench {
     "dedup_substring_rewrite", "dedup_substring_docs",
     "text_quality_model", "text_lm_score", "text_bpe_learn", "text_bpe_tokens",
     "text_quality_train", "text_quality_trained",
-    "doc_pack", "doc_pack_bpe", "doc_chunk", "doc_sample_stratified", "doc_sample_quota",
+    "doc_pack", "doc_pack_bpe", "doc_chunk", "doc_chunk_bpe", "doc_sample_stratified", "doc_sample_quota",
     "doc_sample_quota_sharded", "doc_mix_report", "doc_mix_rates", "q_ewma",
     "doc_upsample", "doc_shuffle_split", "doc_curate",
     "emb_kmeans", "emb_covariance", "emb_pca_power", "emb_pca_project",

@@ -364,6 +364,43 @@ object CurationQueries {
         "size(split(chunk, ' ')) AS n_tokens")
   }
 
+  /** Context-window chunking in REAL subword tokens — [[docChunk]] splits
+    * by word count; a training job's context limit is TOKENIZER tokens, so
+    * this variant budgets each chunk at `budgetTokens` BPE subwords
+    * ([[BpeTokenizer.PinnedMerges]]): per-word subword counts from the
+    * vocabulary join, an in-document prefix sum, and the same OFFSET
+    * boundary rule as [[packTokens]] (a word straddling the budget stays in
+    * the chunk it started in — prefix-sum parallelizable, never a
+    * sequential fold). Non-overlapping (stride = budget): the overlap dial
+    * belongs to word-window chunking; token-budget chunking is the
+    * concat-then-chunk layout.
+    *
+    * Scale shape: one vocab-sized BPE application + a per-document window
+    * over word positions (bounded by doc length) + one groupBy — linear,
+    * and the window partitions by doc_id so no stratum lands on one task.
+    */
+  val ChunkBpeTokens = 64L
+  def docChunkBpe(s: SparkSession, dir: String,
+                  budgetTokens: Long = ChunkBpeTokens): DataFrame = {
+    require(budgetTokens >= 1)
+    val toksSql = Tokenize.Whitespace.sql("text")
+    val tok = Tables(s, dir, "documents")
+      .selectExpr("doc_id", s"posexplode($toksSql) AS (pos, w)")
+    val wSum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tok.join(BpeTokenizer.applyWords(tok.select(col("w")).distinct()), Seq("w"))
+      .withColumn("__start", sum(col("n_sub")).over(wSum) - col("n_sub"))
+      .withColumn("chunk_idx", expr(s"CAST(__start div ${budgetTokens}L AS INT)"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, w))), x -> x.w), ' ')")
+          .as("chunk"),
+        count(lit(1)).cast("int").as("n_words"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
+  }
+
   /** Percentile-threshold quality filtering — the form quality cutoffs
     * actually take in production ("drop the bottom decile by model score"):
     * static thresholds go stale as the corpus shifts, a quantile tracks it.
@@ -445,6 +482,7 @@ object CurationQueries {
     "doc_sample_quota_sharded" -> ((s, dir) => sampleQuotaSharded(s, dir)),
     "doc_filter_quantile" -> ((s, dir) => filterQuantile(s, dir)),
     "doc_chunk" -> ((s, dir) => docChunk(s, dir)),
+    "doc_chunk_bpe" -> ((s, dir) => docChunkBpe(s, dir)),
     "doc_sample_stratified" -> sampleStratified,
     "doc_pack" -> ((s, dir) => packSequences(s, dir)),
     "doc_pack_bpe" -> ((s, dir) => packSequencesBpe(s, dir)),
@@ -536,6 +574,20 @@ object CurationQueries {
          |SELECT doc_id, lang, n_tok, pack_id,
          |  CAST(row_number() OVER (PARTITION BY lang, pack_id ORDER BY doc_id) AS INT) AS pack_pos
          |FROM packed""".stripMargin,
+    // word positions + per-word subword counts + in-doc offset boundaries
+    "doc_chunk_bpe" ->
+      ("WITH " + BpeTokenizer.applyCtes() + s""",
+         |wpos AS (
+         |  SELECT doc_id, unnest(t) AS w, CAST(unnest(range(0, len(t))) AS INT) AS pos
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) z),
+         |j AS (SELECT p.doc_id, p.pos, p.w, c.n_sub FROM wpos p JOIN bpe_wc c USING (w)),
+         |b AS (SELECT doc_id, pos, w, n_sub,
+         |  CAST((sum(n_sub) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_sub) // 64 AS INT) AS chunk_idx
+         |  FROM j)
+         |SELECT doc_id, chunk_idx, string_agg(w, ' ' ORDER BY pos) AS chunk,
+         |  CAST(count(1) AS INT) AS n_words, CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+         |FROM b GROUP BY 1, 2""".stripMargin),
     // doc_pack with the n_tok CTE swapped for the generated BPE vocab chain
     "doc_pack_bpe" ->
       ("WITH " + BpeTokenizer.applyCtes() + s""",
