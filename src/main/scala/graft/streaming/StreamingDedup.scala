@@ -200,4 +200,71 @@ object StreamingDedup {
           out.result().iterator
       }
   }
+
+  /** A winnow-fingerprint collision: `doc_id` shares a MOSS fingerprint —
+    * hence a token run — with `anchor`, the fingerprint's earliest-seen
+    * document.
+    */
+  final case class WinnowCandidate(doc_id: Long, anchor: Long, fp: Long)
+
+  /** Per-bucket state for [[winnowCandidates]]: the earliest doc plus how
+    * many candidates this fingerprint has already emitted (the streaming
+    * form of the batch hot-fingerprint cap).
+    */
+  final case class WinnowBucket(anchor: Long, emitted: Int)
+
+  /** Streaming PARTIAL-overlap detection — the incremental form of
+    * `text_winnow_pairs`: the per-document winnowed fingerprints
+    * ([[graft.ops.TextQueries.winnowFrom]]'s selection, computed here as
+    * stateless per-row expressions — the distinct runs INSIDE the row via
+    * array_distinct, since a second stateful operator is off-limits), keyed
+    * by fingerprint with one (anchor, count) state per bucket. Any later
+    * arrival sharing a fingerprint is a candidate against the earliest
+    * carrier: by the winnowing guarantee, every pair of documents sharing a
+    * >= k+w-1-token run WILL collide on some fingerprint. `maxEmitsPerFp`
+    * is the batch `maxDocFreq` cap in streaming form — a boilerplate
+    * fingerprint stops emitting (not accumulating) past the cap, so a hot
+    * bucket's output is bounded while its state stays one (long, int).
+    * Downstream, `minShared`-style ranking is a batch aggregation over the
+    * candidate stream, and run EXTRACTION (`dedup_substring`) is the
+    * offline join against the corpus store — the same online-cheap /
+    * offline-exact split as [[minhashCandidates]].
+    */
+  def winnowCandidates(docs: DataFrame, k: Int = graft.ops.TextQueries.WinnowK,
+                       w: Int = graft.ops.TextQueries.WinnowW,
+                       maxEmitsPerFp: Int = 50): Dataset[WinnowCandidate] = {
+    require(k >= 1 && w >= 1 && maxEmitsPerFp >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val toks = graft.ops.Tokenize.Whitespace.sql("text")
+    docs
+      .selectExpr("doc_id", s"graft_barrier($toks) AS tks")
+      .filter(s"size(tks) >= ${k + w - 1}")
+      .selectExpr("doc_id",
+        s"graft_barrier(transform(sequence(1, size(tks) - ${k - 1}), " +
+          s"i -> hash60(array_join(slice(tks, i, $k), ' ')))) AS hs")
+      .selectExpr("doc_id",
+        s"explode(array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
+          s"i -> array_min(slice(hs, i, $w))))) AS fp")
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[WinnowBucket, WinnowCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (fp, rows, state: GroupState[WinnowBucket]) =>
+          val ids = rows.map(_._1).toArray.distinct.sorted
+          var WinnowBucket(anchor, emitted) =
+            state.getOption.getOrElse(WinnowBucket(Long.MaxValue, 0))
+          val out = Array.newBuilder[WinnowCandidate]
+          ids.foreach { id =>
+            if (anchor != Long.MaxValue && id != anchor && emitted < maxEmitsPerFp) {
+              out += WinnowCandidate(id, anchor, fp)
+              emitted += 1
+            }
+            if (id < anchor) anchor = id
+          }
+          if (anchor != Long.MaxValue) state.update(WinnowBucket(anchor, emitted))
+          out.result().iterator
+      }
+  }
 }

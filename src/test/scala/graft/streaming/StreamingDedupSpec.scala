@@ -150,6 +150,57 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streaming flagged ${pairs.map(_._1)}, static expects $expectedFlagged")
   }
 
+  test("streaming winnow candidates: partial overlap collides within and across batches; cap bounds a hot fingerprint") {
+    val run = "r1 r2 r3 r4 r5 r6 r7" // 7 shared tokens >= k+w-1 = 6
+    val tmp = Files.createTempDirectory("graft-swinnow").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    // batch 0: doc 1 carries the run mid-document, doc 2 at a different
+    // offset (within-batch), doc 5 shares nothing
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b0.jsonl"), Seq(
+      s"""{"doc_id": 1, "text": "a1 a2 $run a3"}""",
+      s"""{"doc_id": 2, "text": "b1 $run b2 b3"}""",
+      s"""{"doc_id": 5, "text": "c1 c2 c3 c4 c5 c6 c7 c8"}""").mkString("\n"))
+    // batch 1: doc 7 carries the run at yet another offset (cross-batch)
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b1.jsonl"), Seq(
+      s"""{"doc_id": 7, "text": "d1 d2 d3 $run"}""",
+      s"""{"doc_id": 8, "text": "e1 e2 e3 e4 e5 e6 e7 e8"}""").mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def runQuery(name: String, cap: Int): Set[(Long, Long)] = {
+      val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(s"$tmp/in")
+      val q = StreamingDedup.winnowCandidates(stream, maxEmitsPerFp = cap).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt-$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table(name).select(col("doc_id"), col("anchor")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val pairs = runQuery("swinnow", cap = 50)
+    // the winnowing guarantee: the shared >= 6-token run collides both docs
+    // with the anchor; the non-overlapping docs stay silent
+    assert(pairs == Set((2L, 1L), (7L, 1L)), s"candidates: $pairs")
+    // static cross-check: flagged docs = docs sharing a winnow fingerprint
+    // with a smaller doc on the union corpus
+    import spark.implicits._
+    val static = Seq((1L, s"a1 a2 $run a3"), (2L, s"b1 $run b2 b3"),
+      (5L, "c1 c2 c3 c4 c5 c6 c7 c8"), (7L, s"d1 d2 d3 $run"),
+      (8L, "e1 e2 e3 e4 e5 e6 e7 e8")).toDF("doc_id", "text")
+    val fps = graft.ops.TextQueries.winnowFrom(static)
+      .select(col("doc_id"), col("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = fps.groupBy(_._2).values
+      .flatMap { b => val ids = b.map(_._1).distinct; ids.filter(_ != ids.min) }.toSet
+    assert(pairs.map(_._1) == expected,
+      s"streaming flagged ${pairs.map(_._1)}, static winnow expects $expected")
+    // the hot-fingerprint cap: at 1 emit per fp, doc 2 exhausts every
+    // shared fingerprint's budget within batch 0, so doc 7 is suppressed
+    val capped = runQuery("swinnowcap", cap = 1)
+    assert(capped == Set((2L, 1L)), s"capped candidates: $capped")
+  }
+
   test("in-stream verification: matching-minhash estimate, threshold suppression, no text in state") {
     import graft.ops.DedupQueries.MinHashConfig
     val tmp = Files.createTempDirectory("graft-sverify").toString
