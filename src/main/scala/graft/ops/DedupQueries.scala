@@ -947,6 +947,16 @@ object DedupQueries {
   def dedupSubstringFrom(docs: DataFrame, k: Int = TextQueries.WinnowK,
       w: Int = TextQueries.WinnowW, minLen: Int = -1,
       maxDocFreq: Int = 50): DataFrame = {
+    val (out, barriers) = dedupSubstringPlanFrom(docs, k, w, minLen, maxDocFreq)
+    Lifecycle.released(out, barriers: _*)
+  }
+
+  /** Lazy twin for plan inspection: (result, persisted barriers) — callers
+    * release the barriers themselves (the public entry checkpoints).
+    */
+  private[graft] def dedupSubstringPlanFrom(docs: DataFrame, k: Int = TextQueries.WinnowK,
+      w: Int = TextQueries.WinnowW, minLen: Int = -1,
+      maxDocFreq: Int = 50): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val minL = if (minLen > 0) minLen else k + w - 1
     require(k >= 1 && w >= 1 && minL >= k && maxDocFreq >= 1)
@@ -988,7 +998,7 @@ object DedupQueries {
         s"CAST(ext_l + $k + ext_r AS INT) AS run_len")
       .filter(s"run_len >= $minL")
       .distinct()
-    Lifecycle.released(out, toksF, sel, kept)
+    (out, Seq(toksF, sel, kept))
   }
 
   /** Catalog entry: extract every planted maximal shared run (>= k+w-1

@@ -235,6 +235,27 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"the date inequality must ride the order-key equi-join:\n$plan")
   }
 
+  test("tpch q6: every predicate reaches the parquet scan as a pushed filter") {
+    val plan = RelationalQueries.tpchQ6(spark, dir).queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("PushedFilters:"), s"no pushdown section:\n$plan")
+    val pushed = plan.split("PushedFilters:")(1).split("\\]")(0)
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c), s"$c not pushed to the scan: [$pushed]")
+    }
+  }
+
+  test("dedup_substring: anchors and extension are equi-joins, never a pair cross product") {
+    // the LAZY plan twin (the public entry returns a checkpointed LogicalRDD)
+    val (out, barriers) = DedupQueries.dedupSubstringPlanFrom(
+      DedupQueries.overlapCorpus(spark, dir).limit(50))
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    barriers.foreach(_.unpersist())
+    assert(plan.contains("Join"), s"no join in the substring pipeline?\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair cross product leaked into the substring pipeline:\n$plan")
+  }
+
   test("tpch q13: customers with zero qualifying orders land in the 0 bucket") {
     val rows = RelationalQueries.tpchQ13(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
