@@ -50,6 +50,43 @@ object RelationalizeQueries {
     (joined, res)
   }
 
+  /** Deletion cascade through the relationalized table family — the
+    * GDPR-/retention-shape every warehouse downstream of this transform
+    * needs: given root documents to delete (here orderkey % 7 = 0), remove
+    * their parent rows AND every child row, with the child side deleted
+    * THROUGH THE RID LINEAGE (an anti join on the parent's synthetic
+    * `items` rid against `items__rid_`), not by re-deriving from business
+    * keys — proving the synthetic FK actually supports the cascade. Output
+    * is the surviving parent-child join (the [[relExplode]] shape); the
+    * oracle re-derives it relationally with the deleted keys filtered out,
+    * so a cascade that orphaned or leaked any child row hash-mismatches.
+    *
+    * Scale shape: two anti joins (parent by key, child by rid — the rid set
+    * is deletion-sized and broadcastable) on top of the relationalize
+    * pipeline; no new shuffles beyond the joins.
+    */
+  def relDeleteCascade(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val docs = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("items"))
+      .select(to_json(struct(col("l_orderkey").as("orderkey"), col("items"))).as("doc"))
+      .as(Encoders.STRING)
+    val res = RelationalizeSpark(docs, "orders")
+    val root = res("orders").select(col("orderkey"), col("items"))
+    val child = res("orders_items")
+    // the cascade: the deletion set's RIDs drive the child-side anti join
+    val deadRids = root.filter(col("orderkey") % 7 === 0)
+      .select(col("items").as("dead_rid"))
+    val keptRoot = root.filter(col("orderkey") % 7 =!= 0)
+    val keptChild = child.join(broadcast(deadRids),
+      col("items__rid_") === col("dead_rid"), "left_anti")
+    val joined = keptRoot.join(keptChild, keptRoot("items") === keptChild("items__rid_"))
+      .select(col("orderkey"), col("items__index_"),
+        col("items_l_linenumber"), col("items_l_quantity"))
+    Lifecycle.releasedBy(joined)(res.release())
+  }
+
   /** Choice-type split: a field that is int / str / null depending on the row
     * becomes v_int / v_str output columns.
     */
@@ -139,6 +176,7 @@ object RelationalizeQueries {
     "rel_sql_generator" -> relSqlGenerator,
     "rel_flat" -> relFlat,
     "rel_explode" -> relExplode,
+    "rel_delete_cascade" -> relDeleteCascade,
     "rel_choice" -> relChoice,
     "rel_schema" -> relSchema,
     "rel_ddl" -> relDdl,
@@ -153,6 +191,15 @@ object RelationalizeQueries {
     "rel_flat" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
         |FROM events""".stripMargin,
+    // rel_explode's derivation with the deleted roots filtered out: an
+    // orphaned or leaked child row after the rid-lineage cascade would
+    // hash-mismatch
+    "rel_delete_cascade" ->
+      """SELECT l_orderkey AS orderkey,
+        |       CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS BIGINT) AS items__index_,
+        |       CAST(l_linenumber AS BIGINT) AS items_l_linenumber,
+        |       l_quantity AS items_l_quantity
+        |FROM lineitem WHERE l_orderkey % 7 <> 0""".stripMargin,
     "rel_explode" ->
       """SELECT l_orderkey AS orderkey,
         |       CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS BIGINT) AS items__index_,

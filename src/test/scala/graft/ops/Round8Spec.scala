@@ -279,6 +279,16 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.exists(_.getLong(2) != 0L), "training left every fixed-point weight at zero")
   }
 
+  test("rel_delete_cascade: deleted roots' children all gone, survivors fully intact") {
+    val rows = RelationalizeQueries.relDeleteCascade(spark, dir).collect()
+    assert(rows.forall(_.getLong(0) % 7 != 0),
+      "a deleted root's child row leaked through the rid-lineage cascade")
+    val expected = Tables(spark, dir, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") % 7 =!= 0).count()
+    assert(rows.length.toLong == expected,
+      s"cascade orphaned surviving children: ${rows.length} vs $expected")
+  }
+
   test("BPE counting edge cases: empty text and single chars") {
     import spark.implicits._
     val docs = Seq((1L, ""), (2L, "a"), (3L, "a b")).toDF("doc_id", "text")
