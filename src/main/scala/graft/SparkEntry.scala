@@ -30,6 +30,7 @@ object SparkEntry {
       ops.MultimodalQueries.queries ++
       ops.ProfileQueries.queries ++
       ops.IterativeQueries.queries ++
+      ops.LayoutQueries.queries ++
       ops.BpeTokenizer.queries ++
       ops.QualityTrain.queries
 
@@ -54,6 +55,7 @@ object SparkEntry {
       ops.MultimodalQueries.oracleSql ++
       ops.ProfileQueries.oracleSql ++
       ops.IterativeQueries.oracleSql ++
+      ops.LayoutQueries.oracleSql ++
       ops.BpeTokenizer.oracleSql ++
       ops.QualityTrain.oracleSql
 

@@ -168,12 +168,116 @@ object IterativeQueries {
       .agg(count(lit(1)).as("n_parts"), max(col("depth")).as("max_depth"),
         sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("subtree_price"))
 
+  /** Fixed-point iteration count for [[pagerank]] — enough rounds for the
+    * rank ordering to stabilize on the test graph while keeping the oracle's
+    * unrolled CTE chain small.
+    */
+  private val PagerankIters = 10
+
+  /** Rank scale for [[pagerank]]'s fixed-point arithmetic: ranks live in
+    * [0, 10^12] as BIGINTs, so every sum is exact and order-independent —
+    * float PageRank can never hash-match across engines (sum order differs),
+    * integer PageRank matches bit-for-bit.
+    */
+  private val PagerankScale = 1000000000000L
+
+  /** PageRank over the part co-occurrence graph (parts are linked when they
+    * appear in the same order — the "bought together" graph), the canonical
+    * iterative-centrality workload a warehouse cannot express at all
+    * (recursive CTEs forbid aggregation in the recursive arm; the reference
+    * delegates even plain recursion to the downstream warehouse, see
+    * `sql_dialects.py`). Damping 0.85, [[PagerankIters]] synchronous rounds,
+    * all arithmetic in scaled-BIGINT fixed point ([[PagerankScale]]) with
+    * floor division on non-negative values — Spark `div` and DuckDB `//`
+    * agree exactly, so the DuckDB oracle (the same rounds unrolled as
+    * MATERIALIZED CTEs) hash-matches bit-for-bit. The co-occurrence edge set
+    * is symmetric, so every node has out-degree ≥ 1 — no dangling-mass
+    * redistribution term needed.
+    *
+    * Scale shape: the edge frame (with its source's out-degree attached) is
+    * shuffled onto `src` ONCE and persisted; each round is then one join
+    * that reuses that partitioning (only the rank vector — one long per
+    * node, orders of magnitude smaller than the edges — shuffles) plus one
+    * partial-aggregated groupBy on `dst`. The graph-wide constants (node
+    * count, teleport base) ride along as a broadcast 1-row frame, never a
+    * driver scalar. Per-order edge fan-out is quadratic only in the order's
+    * line count (bounded ≤ 7 in TPC-H shapes).
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    pagerankFrom(edges)
+  }
+
+  /** [[pagerank]]'s kernel over an arbitrary (src, dst) edge frame. The
+    * edge set must contain every node as a source (symmetric edges satisfy
+    * this) — PageRank without dangling-mass redistribution.
+    */
+  private[graft] def pagerankFrom(edges: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(outdeg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // graph-wide constants as a broadcast 1-row frame: n nodes, the teleport
+    // base (1-d)/n, and the uniform initial rank — all in fixed point
+    val consts = broadcast(outdeg.agg(count(lit(1)).as("n")).select(
+      expr(s"((CAST($PagerankScale AS BIGINT) * 15) div 100) div n").as("base"),
+      expr(s"CAST($PagerankScale AS BIGINT) div n").as("init")))
+    var ranks = edgesDeg.select(col("src").as("node")).distinct()
+      .crossJoin(consts)
+      .select(col("node"), col("init").as("rank"))
+    for (_ <- 1 to PagerankIters) {
+      ranks = edgesDeg.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank div deg")).as("contrib"))
+        .crossJoin(consts)
+        .select(col("dst").as("node"),
+          expr("base + (85 * contrib) div 100").as("rank"))
+    }
+    val out = ranks.select(col("node").as("partkey"), col("rank").as("pr_fixed"))
+    Lifecycle.released(out, edgesDeg)
+  }
+
+  /** The same rounds as [[pagerank]], unrolled as a MATERIALIZED CTE chain
+    * (DuckDB inlines single-reference CTEs — an un-materialized chain where
+    * each round references the previous round's whole plan twice goes
+    * exponential).
+    */
+  private def pagerankOracle: String = {
+    val scale = s"CAST($PagerankScale AS BIGINT)"
+    val base = s"(($scale * 15) // 100) // (SELECT n FROM nn)"
+    val head = Seq(
+      """edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)""".stripMargin,
+      "outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+      "nn AS MATERIALIZED (SELECT count(*) AS n FROM outdeg)",
+      s"r0 AS MATERIALIZED (SELECT src AS node, $scale // (SELECT n FROM nn) AS rank FROM outdeg)")
+    val rounds = (0 until PagerankIters).map { t =>
+      s"""r${t + 1} AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |         CAST($base + (85 * sum(r.rank // d.deg)) // 100 AS BIGINT) AS rank
+         |  FROM edges e JOIN r$t r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    (head ++ rounds).mkString("WITH ", ",\n", "") +
+      s"\nSELECT node AS partkey, rank AS pr_fixed FROM r$PagerankIters"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hierarchy" -> hierarchy,
     "q_hierarchy_rollup" -> hierarchyRollup,
+    "q_pagerank" -> pagerank,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> pagerankOracle,
     "q_hierarchy" ->
       """WITH RECURSIVE walk AS (
         |  SELECT p_partkey AS node, p_partkey AS anc, 0 AS d FROM part

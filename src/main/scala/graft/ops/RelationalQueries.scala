@@ -296,6 +296,31 @@ object RelationalQueries {
       .unionAll(proj(broadcast(dl).join(dor, col("l_orderkey") === col("o_orderkey")), "dLdO"))
   }
 
+  /** Incremental AGGREGATE view maintenance — the other half of [[ivmJoin]]:
+    * a sum/count materialized view is maintained by merging the base view
+    * with the delta batch's PARTIAL aggregate (full outer join on the group
+    * keys, coalesce-add), never rescanning base rows. Sums are decimal so
+    * the merged result is bit-identical to a full recompute — which is
+    * exactly what the DuckDB oracle runs, making the gate the
+    * delta-merge ≡ recompute equivalence proof. Scale shape: the base side
+    * of the merge is the VIEW (one row per group, not per base row); only
+    * the delta batch is scanned and partially aggregated.
+    */
+  def ivmAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    def part(df: DataFrame) = df.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+        count(lit(1)).as("n"))
+    val base = part(li.filter(pmod(col("l_linenumber"), lit(7)) =!= 3))
+    val delta = part(li.filter(pmod(col("l_linenumber"), lit(7)) === 3))
+    base.as("b").join(delta.as("d"), Seq("l_returnflag", "l_linestatus"), "full_outer")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (coalesce(col("b.sq"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("d.sq"), lit(0).cast("decimal(18,2)")))
+          .cast("double").as("sum_qty"),
+        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n_rows"))
+  }
+
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables(s, dir, "customer")
     val orders = Tables(s, dir, "orders")
@@ -1797,6 +1822,7 @@ object RelationalQueries {
     "q_join_big" -> joinBig,
     "q_salted_join" -> ((s, dir) => saltedJoin(s, dir)),
     "q_ivm_join" -> ivmJoin,
+    "q_ivm_agg" -> ivmAgg,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_not_in" -> notIn,
@@ -1949,6 +1975,13 @@ object RelationalQueries {
         |WHERE l_orderkey < 1000
         |WINDOW w AS (PARTITION BY l_returnflag
         |  ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount)""".stripMargin,
+    // the delta-merge path must equal the full recompute bit-for-bit —
+    // the oracle IS the recompute
+    "q_ivm_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_ivm_join" ->
       """WITH dl AS (SELECT * FROM lineitem WHERE l_linenumber % 7 = 3),
         |bl AS (SELECT * FROM lineitem WHERE l_linenumber % 7 <> 3),
