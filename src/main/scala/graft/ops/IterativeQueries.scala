@@ -243,6 +243,71 @@ object IterativeQueries {
     Lifecycle.released(out, edgesDeg)
   }
 
+  /** Per-node triangle counts + local clustering coefficient over the
+    * strong part co-occurrence graph (parts co-appearing in ≥ 2 orders —
+    * the support threshold keeps the graph at meaningful association
+    * strength). The all-pairs-of-neighbors formulation is quadratic in
+    * degree; this is the degree-ORIENTED formulation: orient every
+    * undirected edge from its lower-(degree, id) endpoint to its higher
+    * one, enumerate length-2 oriented paths, and close each against the
+    * oriented edge set — every triangle is found exactly once, and the
+    * path-join fan-out is bounded by the oriented out-degree, which the
+    * orientation caps at O(sqrt(E)) per node (the classic O(E^1.5) bound;
+    * a hub of degree d contributes paths only through its LOW-degree
+    * incident edges, so power-law hubs stop being quadratic bombs).
+    * All three triangle legs are equi-joins on node ids — shuffle-friendly,
+    * no cross product (plan-pinned in LayoutSpec).
+    *
+    * Coefficient = 2·tri / (d·(d−1)) on exact integers, one IEEE division —
+    * deterministic across engines.
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val (out, barriers) =
+      trianglesPlan(Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
+    Lifecycle.released(out, barriers: _*)
+  }
+
+  /** [[triangles]]'s lazy plan twin over an (l_orderkey, l_partkey) frame —
+    * for plan-shape inspection (the public entry returns a checkpointed
+    * LogicalRDD). Caller unpersists the returned barriers.
+    */
+  private[graft] def trianglesPlan(li: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.storage.StorageLevel
+    val pe = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(countDistinct(col("a.l_orderkey")).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("u"), col("v"))
+    val deg = pe.select(col("u").as("node"))
+      .unionAll(pe.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val ori = pe
+      .join(deg.select(col("node").as("nu"), col("d").as("du")), col("u") === col("nu"))
+      .join(deg.select(col("node").as("nv"), col("d").as("dv")), col("v") === col("nv"))
+      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // three join legs consume it
+    val tri = ori.as("e1")
+      .join(ori.as("e2"), col("e1.t") === col("e2.s"))
+      .join(ori.as("e3"), col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+      .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
+    val perNode = tri.select(col("x").as("node"))
+      .unionAll(tri.select(col("y").as("node")))
+      .unionAll(tri.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val out = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("d"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("d") > 1,
+          (lit(2.0) * coalesce(col("n_tri"), lit(0L))) / (col("d") * (col("d") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+    (out, Seq(deg, ori))
+  }
+
   /** The same rounds as [[pagerank]], unrolled as a MATERIALIZED CTE chain
     * (DuckDB inlines single-reference CTEs — an un-materialized chain where
     * each round references the previous round's whole plan twice goes
@@ -274,10 +339,40 @@ object IterativeQueries {
     "q_hierarchy" -> hierarchy,
     "q_hierarchy_rollup" -> hierarchyRollup,
     "q_pagerank" -> pagerank,
+    "q_triangles" -> triangles,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+    "q_triangles" ->
+      """WITH pe AS MATERIALIZED (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+        |deg AS MATERIALIZED (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT u AS node FROM pe UNION ALL SELECT v FROM pe) GROUP BY node),
+        |ori AS MATERIALIZED (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |              THEN e.u ELSE e.v END AS s,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |              THEN e.v ELSE e.u END AS t
+        |  FROM pe e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+        |  FROM ori e1 JOIN ori e2 ON e1.t = e2.s
+        |  JOIN ori e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |per_node AS MATERIALIZED (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) GROUP BY node)
+        |SELECT deg.node, deg.d,
+        |       CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+        |       CASE WHEN deg.d > 1
+        |            THEN (2.0 * coalesce(p.n_tri, 0)) / (deg.d * (deg.d - 1))
+        |            ELSE CAST(0.0 AS DOUBLE) END AS clustering
+        |FROM deg LEFT JOIN per_node p ON p.node = deg.node""".stripMargin,
     "q_hierarchy" ->
       """WITH RECURSIVE walk AS (
         |  SELECT p_partkey AS node, p_partkey AS anc, 0 AS d FROM part

@@ -111,6 +111,33 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("pid"), s"partition-local window key missing:\n$plan")
   }
 
+  test("triangles: known-answer graph (one K3 at support 2, one triangle-free edge)") {
+    import spark.implicits._
+    // orders 1,2 each hold parts {1,2,3} -> K3 with pair support 2;
+    // orders 3,4 each hold parts {4,5} -> one edge, no triangle; order 5's
+    // single co-occurrence of {1,4} stays below the support threshold
+    val li = (Seq(1L, 2L).flatMap(o => Seq(1L, 2L, 3L).map(p => (o, p))) ++
+      Seq(3L, 4L).flatMap(o => Seq(4L, 5L).map(p => (o, p))) ++
+      Seq((5L, 1L), (5L, 4L))).toDF("l_orderkey", "l_partkey")
+    val (out, barriers) = IterativeQueries.trianglesPlan(li)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    barriers.foreach(_.unpersist())
+    val want = Set((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0), (3L, 2L, 1L, 1.0),
+      (4L, 1L, 0L, 0.0), (5L, 1L, 0L, 0.0))
+    assert(got == want, s"got $got")
+  }
+
+  test("triangles: every leg is an equi-join, never a cross product") {
+    import spark.implicits._
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("l_orderkey", "l_partkey")
+    val (out, barriers) = IterativeQueries.trianglesPlan(li)
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    barriers.foreach(_.unpersist())
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle enumeration leaked a cross product:\n$plan")
+  }
+
   test("pagerank: hub out-ranks leaves on a star, ranks conserve mass") {
     import spark.implicits._
     val leaves = (1L to 9L)
