@@ -226,6 +226,26 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), col("split_id"), col("seq"))
   }
 
+  /** Cluster-aware train/test split — the leakage-proof variant of
+    * [[shuffleSplitFrom]]. A per-document hash split puts two NEAR-DUPLICATE
+    * documents in different splits with probability (splits−1)/splits: the
+    * classic eval-contamination path (the held-out split "novel" document
+    * has a training-set twin). Here the split key is the document's
+    * transitive near-dup cluster id ([[DedupQueries.dedupClusters]]), so
+    * every duplicate group travels as one unit — a pair straddling
+    * train/test cannot exist by construction (pinned end-to-end in
+    * Round8Spec against the verified pair stream). Singleton clusters (the
+    * overwhelming majority) hash exactly like documents, so balance matches
+    * the per-document split asymptotically. One extra shuffle over the
+    * cluster resolution it composes.
+    */
+  def splitGrouped(s: SparkSession, dir: String, splits: Int = 8): DataFrame = {
+    require(splits > 0 && splits <= 65536, "splits in [1, 65536] (16-bit hash)")
+    val h = "md5(concat('gsplit:', CAST(cluster_id AS STRING)))"
+    DedupQueries.dedupClusters(s, dir).selectExpr(
+      "doc_id", "cluster_id", s"CAST(${hashModOf(h, splits)} AS INT) AS split_id")
+  }
+
   /** The end-to-end curation funnel: one per-document verdict combining the
     * three filters a production corpus actually chains — near-dup removal,
     * model-based quality, and repetition — with per-stage pass flags so the
@@ -491,6 +511,7 @@ object CurationQueries {
     "doc_mix_rates" -> ((s, dir) => mixRates(s, dir)),
     "doc_upsample" -> upsample,
     "doc_shuffle_split" -> ((s, dir) => shuffleSplit(s, dir)),
+    "doc_split_grouped" -> ((s, dir) => splitGrouped(s, dir)),
     "doc_curate" -> ((s, dir) => curate(s, dir)),
   )
 
@@ -648,6 +669,14 @@ object CurationQueries {
          |       WHEN pass_rep = 0 THEN 'repetitive'
          |       ELSE 'keep' END AS verdict
          |FROM flags""".stripMargin,
+    // the cluster resolution is dedup_clusters' own oracle, nested as a
+    // subquery; the split hash then reads the CLUSTER id
+    "doc_split_grouped" ->
+      s"""SELECT doc_id, cluster_id,
+         |  CAST(${hashModOf("md5('gsplit:' || CAST(cluster_id AS VARCHAR))", 8)} AS INT) AS split_id
+         |FROM (
+         |${DedupQueries.oracleSql("dedup_clusters")}
+         |) c""".stripMargin,
     "doc_shuffle_split" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hk

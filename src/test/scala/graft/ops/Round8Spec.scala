@@ -279,6 +279,20 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(w.exists(_.getLong(2) != 0L), "training left every fixed-point weight at zero")
   }
 
+  test("doc_split_grouped: no verified near-dup pair straddles a split boundary") {
+    val split = CurationQueries.splitGrouped(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val pairs = DedupQueries.dedupJaccardPrefix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup pairs at sf0.001 — pin is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dup pair ($a, $b) split across ${split(a)}/${split(b)} — eval leakage")
+    }
+    // and it is still a SPLIT: more than one split id in use
+    assert(split.values.toSet.size > 1, "all docs landed in one split")
+  }
+
   test("rel_delete_cascade: deleted roots' children all gone, survivors fully intact") {
     val rows = RelationalizeQueries.relDeleteCascade(spark, dir).collect()
     assert(rows.forall(_.getLong(0) % 7 != 0),
