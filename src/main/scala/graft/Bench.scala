@@ -38,6 +38,7 @@ object Bench {
     "q_agg_filter", "q_profile", "q_dq_report", "q_salted_join", "q_hierarchy",
     "q_ivm_join", "q_ivm_agg", "q_agg_corr", "q_regression", "q_ab_test", "q_merge_cdc", "q_temporal_join",
     "q_pagerank", "q_triangles", "q_zorder", "q_skyline", "rel_delete_cascade",
+    "q_pseudonymize", "doc_split_grouped",
     "doc_filter_quantile",
     "text_quality", "text_langid", "text_repetition", "text_tfidf", "text_vocab",
     "text_decontaminate", "text_decontaminate_bloom", "text_ngram_dup",

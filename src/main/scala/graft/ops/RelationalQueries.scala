@@ -321,6 +321,28 @@ object RelationalQueries {
         (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n_rows"))
   }
 
+  /** Keyed pseudonymization + masking + generalization — the privacy
+    * transform run before data leaves the governed zone (the GDPR
+    * minimization companion to `rel_delete_cascade`'s erasure):
+    *
+    *   - `pid`: a salted-hash pseudonymous key — stable, so downstream
+    *     joins/groupBys still work, but only the salt holder can re-link
+    *     (rotate the salt = crypto-shred the linkage);
+    *   - `name_masked`: format-preserving partial mask (prefix kept,
+    *     remainder starred) — utility for eyeballing, no identity;
+    *   - `acctbal_band`: banded generalization of the numeric
+    *     quasi-identifier (k-anonymity's classic move).
+    *
+    * Pure projection — codegen'd, zero shuffles; at 100 TB this is a
+    * map-only pass that parallelizes perfectly.
+    */
+  def pseudonymize(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").selectExpr(
+      "substring(md5(concat('pseud:', CAST(c_custkey AS STRING))), 1, 16) AS pid",
+      "concat(substring(c_name, 1, 4), repeat('*', greatest(length(c_name) - 4, 0))) AS name_masked",
+      "CAST(floor(c_acctbal / 1000) AS BIGINT) * 1000 AS acctbal_band",
+      "c_mktsegment")
+
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables(s, dir, "customer")
     val orders = Tables(s, dir, "orders")
@@ -1823,6 +1845,7 @@ object RelationalQueries {
     "q_salted_join" -> ((s, dir) => saltedJoin(s, dir)),
     "q_ivm_join" -> ivmJoin,
     "q_ivm_agg" -> ivmAgg,
+    "q_pseudonymize" -> pseudonymize,
     "q_semi_join" -> semiJoin,
     "q_anti_join" -> antiJoin,
     "q_not_in" -> notIn,
@@ -1975,6 +1998,12 @@ object RelationalQueries {
         |WHERE l_orderkey < 1000
         |WINDOW w AS (PARTITION BY l_returnflag
         |  ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount)""".stripMargin,
+    "q_pseudonymize" ->
+      """SELECT substring(md5('pseud:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS pid,
+        |       substring(c_name, 1, 4) || repeat('*', greatest(length(c_name) - 4, 0)) AS name_masked,
+        |       CAST(floor(c_acctbal / 1000) AS BIGINT) * 1000 AS acctbal_band,
+        |       c_mktsegment
+        |FROM customer""".stripMargin,
     // the delta-merge path must equal the full recompute bit-for-bit —
     // the oracle IS the recompute
     "q_ivm_agg" ->
