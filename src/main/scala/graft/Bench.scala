@@ -25,7 +25,7 @@ object Bench {
     "q_tpch_q2", "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
     "q_tpch_q10", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
     "q_tpch_q16", "q_tpch_q20", "q_tpch_q22",
-    "q_window_running", "q_window_rank", "q_window_range", "q_sessionize", "q_funnel", "q_retention", "q_pivot",
+    "q_window_running", "q_window_rank", "q_window_range", "q_sessionize", "q_session_window", "q_anomaly_mad", "q_forecast_seasonal", "q_funnel", "q_retention", "q_pivot",
     "q_scd2", "q_gapfill", "q_interval_merge", "q_cumulative_distinct",
     "q_approx_distinct", "q_sketch_union", "q_approx_quantile", "q_heavy_hitters",
     "q_asof_join", "q_asof_nearest", "q_range_join", "q_grouping_id", "q_not_in",
@@ -38,7 +38,7 @@ object Bench {
     "q_agg_filter", "q_profile", "q_dq_report", "q_salted_join", "q_hierarchy",
     "q_ivm_join", "q_ivm_agg", "q_agg_corr", "q_regression", "q_ab_test", "q_merge_cdc", "q_temporal_join",
     "q_pagerank", "q_triangles", "q_zorder", "q_skyline", "rel_delete_cascade",
-    "q_pseudonymize", "doc_split_grouped",
+    "q_pseudonymize",
     "doc_filter_quantile",
     "text_quality", "text_langid", "text_repetition", "text_tfidf", "text_vocab",
     "text_decontaminate", "text_decontaminate_bloom", "text_ngram_dup",

@@ -49,6 +49,19 @@ object GrowthCurve {
     */
   private val TimedRunCap = 150000000L
 
+  /** Synthetic order→part incidence for the graph arms: 5 hashed parts per
+    * order over a part universe of n/10, so the co-occurrence edge count
+    * grows ~linearly with orders while degrees stay heterogeneous.
+    */
+  private def genGraphOrders(s: SparkSession, nOrders: Long, path: String): Unit = {
+    val nParts = math.max(nOrders / 10L, 10L)
+    s.range(nOrders).selectExpr("id AS l_orderkey")
+      .selectExpr("l_orderkey", "explode(array(1, 2, 3, 4, 5)) AS k")
+      .selectExpr("l_orderkey",
+        s"pmod(hash(l_orderkey * 5 + k), ${nParts}L) AS l_partkey")
+      .write.mode("overwrite").parquet(s"$path/lineitem.parquet")
+  }
+
   private def genDocuments(s: SparkSession, n: Long, path: String): Unit = {
     graft.functions.GraftFunctions.registerAll(s)
     def tokens(base: String) =
@@ -187,6 +200,28 @@ object GrowthCurve {
       rows += (("dedup_paragraph", tag, n, -1L, pgOut, pgSec))
       val (lmOut, lmSec) = timed(graft.ops.TextQueries.lmScore(spark, dir).count())
       rows += (("text_lm_score", tag, n, -1L, lmOut, lmSec))
+    }
+
+    // --- graph ops (derived-edge workloads) -----------------------------
+    // PageRank: per-round cost = one join against the once-partitioned
+    // edge frame + a rank-vector shuffle (one long of state per node), so
+    // wall-clock must track the EDGE count; triangles: the degree
+    // orientation caps per-node path fan-out at O(sqrt E), so the closing
+    // join's input tracks edges, never sum(deg^2). Candidate column = the
+    // derived co-occurrence edge count.
+    docScales.foreach { case (tag, n) =>
+      val dir = s"$base/graph-$tag"
+      genGraphOrders(spark, n, dir)
+      val li = graft.ops.Tables(spark, dir, "lineitem")
+      val edgeCount = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct().count()
+      val (prOut, prSec) = timed(graft.ops.IterativeQueries.pagerank(spark, dir).count())
+      rows += (("q_pagerank", tag, n, edgeCount, prOut, prSec))
+      val (trOut, trSec) = timed(graft.ops.IterativeQueries.triangles(spark, dir).count())
+      rows += (("q_triangles", tag, n, edgeCount, trOut, trSec))
     }
 
     embScales.foreach { case (tag, n) =>

@@ -22,24 +22,24 @@ object LayoutQueries {
     */
   private val ZBits = 16
 
-  /** Morton (Z-order) interleave of the low [[ZBits]] bits of two BIGINT
-    * dimensions — bit i of `x` lands at 2i+1, bit i of `y` at 2i, so
+  /** Morton (Z-order) interleave of two BIGINT dimensions, clamped to
+    * [[ZBits]] bits — bit i of `x` lands at 2i+1, bit i of `y` at 2i, so
     * sorting by the result interleaves the two dimensions' localities
     * instead of nesting one inside the other (a lexicographic sort clusters
     * perfectly on the leading column and not at all on the second; Z-order
     * keeps a range predicate on EITHER column selective at the file level).
-    * Unrolled pure-integer expression — codegen'd end to end, no UDF; the
-    * DuckDB oracle writes the same terms with `>>`/`<<` operators.
+    * Delegates to [[graft.functions.GraftFunctions.zorderKey]] — the
+    * magic-mask bit spread (8 codegen'd integer ops per dimension, no UDF);
+    * the DuckDB oracle writes the equivalent bit-by-bit terms over the same
+    * clamped inputs.
     */
-  def zvalue(x: String, y: String): Column = {
-    val xTerms = (0 until ZBits)
-      .map(i => s"shiftleft(shiftright($x, $i) & 1, ${2 * i + 1})")
-    val yTerms = (0 until ZBits)
-      .map(i => s"shiftleft(shiftright($y, $i) & 1, ${2 * i})")
-    expr((xTerms ++ yTerms).mkString("(", " + ", ")"))
-  }
+  def zvalue(x: String, y: String): Column =
+    graft.functions.GraftFunctions.zorderKey(col(x), col(y))
 
-  /** The same interleave as a DuckDB SQL fragment (operator spelling). */
+  /** The same interleave as a DuckDB SQL fragment (bit-by-bit spelling —
+    * portable, and bit-equivalence with the magic-mask spread is exactly
+    * what the oracle gate then proves). Callers clamp the inputs.
+    */
   private def zvalueSql(x: String, y: String): String = {
     val xTerms = (0 until ZBits).map(i => s"((($x >> $i) & 1) << ${2 * i + 1})")
     val yTerms = (0 until ZBits).map(i => s"((($y >> $i) & 1) << ${2 * i})")
@@ -57,8 +57,7 @@ object LayoutQueries {
     Tables(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey")).distinct()
       .select(col("l_partkey"), col("l_suppkey"),
-        zvalue(s"l_partkey & ${(1 << ZBits) - 1}", s"l_suppkey & ${(1 << ZBits) - 1}")
-          .cast("bigint").as("zval"))
+        zvalue("l_partkey", "l_suppkey").cast("bigint").as("zval"))
 
   /** Range-partition + locally sort `df` by the Z-value of two columns —
     * the write-side layout operator ([[zorder]] computes the key; this
@@ -66,13 +65,11 @@ object LayoutQueries {
     * small box in the (x, y) plane, so its footer min/max on BOTH columns
     * is tight and a reader's box predicate skips most files.
     */
-  def zorderLayout(df: DataFrame, x: String, y: String, numFiles: Int): DataFrame = {
-    val mask = (1 << ZBits) - 1
-    df.withColumn("__z", zvalue(s"$x & $mask", s"$y & $mask"))
+  def zorderLayout(df: DataFrame, x: String, y: String, numFiles: Int): DataFrame =
+    df.withColumn("__z", zvalue(x, y))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-  }
 
   /** Catalog entry: 2-D skyline (Pareto frontier) of the part catalog —
     * the (price, size) pairs no other pair beats on both dimensions
@@ -129,8 +126,11 @@ object LayoutQueries {
   val oracleSql: Map[String, String] = Map(
     "q_zorder" ->
       s"""SELECT l_partkey, l_suppkey,
-         |       CAST(${zvalueSql(s"(l_partkey & ${(1 << ZBits) - 1})", s"(l_suppkey & ${(1 << ZBits) - 1})")} AS BIGINT) AS zval
-         |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)""".stripMargin,
+         |       CAST(${zvalueSql("cx", "cy")} AS BIGINT) AS zval
+         |FROM (SELECT l_partkey, l_suppkey,
+         |             least(greatest(l_partkey, 0), ${(1 << ZBits) - 1}) AS cx,
+         |             least(greatest(l_suppkey, 0), ${(1 << ZBits) - 1}) AS cy
+         |      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)) t""".stripMargin,
     "q_skyline" ->
       """WITH pairs AS MATERIALIZED (
         |  SELECT p_retailprice AS price, p_size AS size,

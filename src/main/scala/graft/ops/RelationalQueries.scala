@@ -1619,6 +1619,201 @@ object RelationalQueries {
       .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Per-session rows from the native merging `session_window` aggregation
+    * (the operator [[graft.streaming.StreamingSessionize]] runs on streams),
+    * exercised in BATCH mode and oracle-gated: the DuckDB twin re-derives
+    * sessions with the lag/cumulative-sum decomposition under the shared
+    * merge-on-touch boundary (only diff > gap opens a session — pinned in
+    * StreamingSessionizeSpec), so the two formulations are proven
+    * value-identical, not just spec-sampled. Complements [[sessionize]],
+    * which reports per-user session counts; this emits the sessions
+    * themselves. One shuffle on user_id.
+    */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingSessionize.sessions(Tables(s, dir, "events"))
+
+  /** Seasonal-mean forecasting baseline: monthly revenue per order
+    * priority, with each month's forecast = the mean of all PRIOR
+    * same-calendar-month revenues (the expanding seasonal window every
+    * forecasting system ships as its sanity baseline — next January is
+    * predicted by past Januaries). Determinism: monthly revenue is a
+    * decimal-exact sum, the history is a decimal-exact windowed sum, and
+    * the mean is ONE double division at the end — no float accumulation
+    * anywhere. The seasonal window partitions by (priority,
+    * month-of-year): per-key state is bounded by years-of-history, and the
+    * whole query is one shuffle on the cardinality-bounded monthly frame —
+    * the fact scan aggregates first.
+    */
+  def forecastSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window
+      .partitionBy(col("priority"), month(col("month")))
+      .orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    m.withColumn("hist_sum", sum(col("rev")).over(w))
+      .withColumn("hist_n", count(col("rev")).over(w))
+      .filter(col("hist_n") > 0)
+      .select(col("priority"), col("month"),
+        col("rev").cast("double").as("revenue"),
+        (col("hist_sum").cast("double") / col("hist_n")).as("forecast"))
+  }
+
+  /** Robust per-key anomaly detection: MAD (median-absolute-deviation)
+    * z-scores — the outlier flag that survives the outliers themselves
+    * (mean/stddev are dragged by the very anomalies they should flag; the
+    * median pair is breakdown-resistant to 50 % contamination). Flags
+    * `|x − med| > 3·1.4826·mad` (1.4826 rescales MAD to σ under normality).
+    *
+    * Determinism-by-construction: the median is the explicit LOWER median —
+    * the row at rank `(n+1) div 2` in (value, event_id) order — an
+    * integer-indexed ordered statistic with zero float interpolation, so
+    * Spark and DuckDB agree bit-for-bit (builtin `median`/`percentile`
+    * interpolate even-count groups with DIFFERENT float expressions:
+    * `a+(b−a)·0.5` vs `(a+b)/2` — ULP-divergent). Both medians and the
+    * deviation pass share ONE per-key shuffle chain; per-key state is
+    * window-local — no global sort, no collect.
+    */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events").select(col("user_id"), col("event_id"), col("value"))
+    val wAll = Window.partitionBy(col("user_id"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col(v), col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("user_id"), col(v).as(out))
+    }
+    val med = lowerMedian(ev, "value", "med")
+    val dev = ev.join(med, "user_id")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(mad, "user_id")
+      .groupBy(col("user_id"), col("med"), col("mad"))
+      .agg(sum(when(col("dev") > (lit(3.0) * lit(1.4826)) * col("mad"), 1)
+          .otherwise(0)).cast("bigint").as("n_anomalies"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Partition-parallel exact global rank: range-partition on the
+    * (group, order) key, `row_number` WITHIN each physical partition, then
+    * the per-(group, partition) row counts — a bounded frame, one row per
+    * task — carry cumulative offsets back by broadcast join. The result is
+    * the exact rank a single-partition window would give, with no task ever
+    * holding more than its range slice (the q_skyline boundary-carry
+    * discipline generalized from running-min to rank). `orderCols` must end
+    * in a unique tiebreak: ranks are then determined by the total order
+    * alone, so the (sampled) range boundaries cannot affect the result.
+    */
+  private def parallelRank(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], rankName: String): DataFrame = {
+    val keys = (groupCols ++ orderCols).map(col)
+    val ranged = df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window
+      .partitionBy(groupCols.map(col) :+ col("__pid"): _*)
+      .orderBy(orderCols.map(col): _*)
+    val local = ranged.withColumn("__rn", row_number().over(localW))
+    // one row per (group, partition): the offset window is bounded by the
+    // task count, same shape as q_skyline's per-partition carry frame
+    val offW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local
+      .groupBy(groupCols.map(col) :+ col("__pid"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+      .select(groupCols.map(col) :+ col("__pid") :+ col("__off"): _*)
+    local.join(broadcast(offs), groupCols :+ "__pid")
+      .withColumn(rankName, col("__off") + col("__rn"))
+      .drop("__pid", "__rn", "__off")
+  }
+
+  /** Event-type transition matrix (first-order Markov estimate): for every
+    * (state, next-state) pair, the transition count and probability from
+    * the per-user event sequences — the session-flow / journey-mining
+    * primitive. One shuffle on user_id for the lead, then a
+    * cardinality-bounded groupBy (|event_type|² rows at most); the
+    * probability is exact-integer counts with ONE final division.
+    */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val c = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+    c.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("prob"))
+  }
+
+  /** RFM customer segmentation (recency / frequency / monetary quintiles):
+    * the classic CRM scoring — each customer ranked on the three metrics,
+    * quintile scores 1–5 assigned by the explicit rank formula
+    * `((rank−1)·5) div n + 1` (spelled out rather than `ntile` so both
+    * engines compute the identical front-loaded bucketing from first
+    * principles). Every ranking runs through [[parallelRank]] — exact
+    * global quintiles with NO single-partition sort, the thing a naive
+    * `ntile() OVER (ORDER BY …)` cannot avoid. Monetary sums are
+    * decimal-exact; ranks and scores are pure integers.
+    */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val agg = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // three rank passes consume it
+    // integer quintile: ((rank-1)*5) div n + 1 — front-loaded buckets,
+    // same assignment ntile makes, but from an explicit integer formula
+    def scoreExpr(orderCols: Seq[String], name: String): DataFrame =
+      parallelRank(agg, Nil, orderCols, "__r")
+        .crossJoin(broadcast(agg.agg(count(lit(1)).as("__cnt"))))
+        .selectExpr("custkey", s"((__r - 1) * 5) div __cnt + 1 AS $name")
+    val r = scoreExpr(Seq("last_order", "custkey"), "r_score")
+    val f = scoreExpr(Seq("frequency", "custkey"), "f_score")
+    val m = scoreExpr(Seq("monetary", "custkey"), "m_score")
+    val out = agg.select(col("custkey"), col("monetary"))
+      .join(r, "custkey").join(f, "custkey").join(m, "custkey")
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).cast("double").as("total_monetary"))
+    Lifecycle.released(out, agg)
+  }
+
+  /** Revenue-concentration (Gini coefficient) per market segment: how
+    * unequally customer spend is distributed — the skew dashboard before
+    * salting/partitioning decisions, and the standard inequality statistic.
+    * Uses the rank identity G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) on
+    * spend sorted ascending: Σ i·xᵢ and Σ xᵢ are decimal-exact (rank is an
+    * integer, spend a decimal), so the ONLY IEEE arithmetic is the final
+    * division — deterministic across engines. Ranks come from
+    * [[parallelRank]] (per-segment, range-parallel — no per-segment
+    * single-task sort even when one segment holds most of the corpus).
+    */
+  def gini(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("segment"), col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    parallelRank(spend, Seq("segment"), Seq("spend", "custkey"), "i")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("total_dec"),
+        sum(col("i") * col("spend")).as("isum"))
+      .select(col("segment"), col("n_customers"),
+        col("total_dec").cast("double").as("total_spend"),
+        ((lit(2) * col("isum") - (col("n_customers") + 1) * col("total_dec")).cast("double")
+          / (col("n_customers").cast("double") * col("total_dec").cast("double"))).as("gini"))
+  }
+
   /** Slowly-changing-dimension (type 2) build from an event changelog: per
     * entity, consecutive runs of the same attribute value collapse to one
     * version row with [eff_from, eff_to) validity (NULL eff_to = current
@@ -1906,6 +2101,12 @@ object RelationalQueries {
     "q_case_expr" -> caseExpr,
     "q_pivot" -> pivotEvents,
     "q_sessionize" -> sessionize,
+    "q_session_window" -> sessionWindow,
+    "q_anomaly_mad" -> anomalyMad,
+    "q_forecast_seasonal" -> forecastSeasonal,
+    "q_transition_matrix" -> transitionMatrix,
+    "q_rfm" -> rfm,
+    "q_gini" -> gini,
     "q_ewma" -> ewma,
     "q_scd2" -> scd2,
     "q_gapfill" -> ((s, dir) => gapFill(s, dir)),
@@ -2772,6 +2973,118 @@ object RelationalQueries {
         |    list(CAST(l_quantity AS DOUBLE) ORDER BY l_linenumber, l_quantity)),
         |    (a, b) -> (a + b) / 2) AS ewma
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_forecast_seasonal" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT priority, month, rev,
+        |    sum(rev) OVER (PARTITION BY priority, EXTRACT(month FROM month)
+        |                   ORDER BY month
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hist_sum,
+        |    count(rev) OVER (PARTITION BY priority, EXTRACT(month FROM month)
+        |                     ORDER BY month
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hist_n
+        |  FROM m)
+        |SELECT priority, month, CAST(rev AS DOUBLE) AS revenue,
+        |       CAST(hist_sum AS DOUBLE) / hist_n AS forecast
+        |FROM w WHERE hist_n > 0""".stripMargin,
+    // lower medians at integer rank (n+1)//2 — zero float interpolation,
+    // so the two engines agree bit-for-bit (see anomalyMad scaladoc)
+    "q_anomaly_mad" ->
+      """WITH ev AS (SELECT user_id, event_id, value FROM events),
+        |r1 AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+        |    count(1) OVER (PARTITION BY user_id) AS n
+        |  FROM ev),
+        |med AS MATERIALIZED (SELECT user_id, value AS med FROM r1 WHERE rn = (n + 1) // 2),
+        |d AS MATERIALIZED (
+        |  SELECT e.user_id, e.event_id, m.med, abs(e.value - m.med) AS dev
+        |  FROM ev e JOIN med m ON e.user_id = m.user_id),
+        |r2 AS (
+        |  SELECT user_id, med, dev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rn,
+        |    count(1) OVER (PARTITION BY user_id) AS n
+        |  FROM d),
+        |mad AS MATERIALIZED (SELECT user_id, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.user_id, d.med, a.mad,
+        |  CAST(sum(CASE WHEN d.dev > (CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)) * a.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  CAST(count(1) AS BIGINT) AS n_events
+        |FROM d JOIN mad a ON d.user_id = a.user_id
+        |GROUP BY d.user_id, d.med, a.mad""".stripMargin,
+    // the lag/cumulative-sum decomposition of the merging session_window
+    // aggregation (merge-on-touch: only diff > gap opens a session);
+    // session_end = last event + gap, Spark's window-end convention
+    "q_session_window" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_id,
+        |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    SUM(CASE WHEN prev_ts IS NULL
+        |             OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM w)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 1800 SECOND AS session_end,
+        |       CAST(count(1) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS MATERIALIZED (
+        |  SELECT event_type, next_type, count(1) AS n
+        |  FROM w WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.event_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+        |       CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob
+        |FROM c JOIN t ON c.event_type = t.event_type""".stripMargin,
+    // quintile scores via the explicit integer formula ((rank-1)*5)//n + 1,
+    // not builtin ntile — the Spark side derives ranks partition-parallel
+    "q_rfm" ->
+      """WITH agg AS MATERIALIZED (
+        |  SELECT o_custkey AS custkey,
+        |         max(o_orderdate) AS last_order,
+        |         count(1) AS frequency,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT count(1) AS cnt FROM agg),
+        |s AS (
+        |  SELECT custkey, monetary,
+        |    ((row_number() OVER (ORDER BY last_order, custkey) - 1) * 5) // cnt + 1 AS r_score,
+        |    ((row_number() OVER (ORDER BY frequency, custkey) - 1) * 5) // cnt + 1 AS f_score,
+        |    ((row_number() OVER (ORDER BY monetary, custkey) - 1) * 5) // cnt + 1 AS m_score
+        |  FROM agg CROSS JOIN n)
+        |SELECT r_score, f_score, m_score,
+        |       CAST(count(1) AS BIGINT) AS n_customers,
+        |       CAST(sum(monetary) AS DOUBLE) AS total_monetary
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
+    // exact-decimal Gini numerator; the ONLY IEEE step is the final divide
+    "q_gini" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+        |         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT segment, spend,
+        |    row_number() OVER (PARTITION BY segment ORDER BY spend, custkey) AS i,
+        |    count(1) OVER (PARTITION BY segment) AS n
+        |  FROM v)
+        |SELECT segment, CAST(max(n) AS BIGINT) AS n_customers,
+        |  CAST(sum(spend) AS DOUBLE) AS total_spend,
+        |  CAST(2 * sum(i * spend) - (max(n) + 1) * sum(spend) AS DOUBLE)
+        |    / (CAST(max(n) AS DOUBLE) * CAST(sum(spend) AS DOUBLE)) AS gini
+        |FROM r GROUP BY segment""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(1) AS n_events FROM (
         |  SELECT user_id,
