@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterate-to-fixpoint query surface: the recursive-CTE workloads
@@ -219,13 +220,18 @@ object IterativeQueries {
     */
   private[graft] def pagerankFrom(edges: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(outdeg, "src")
-      .repartition(col("src"))
+    // out-degree via a window over the SAME shuffle that co-locates the
+    // edges on src — the edge build (an expensive self-join + distinct)
+    // runs exactly once; a groupBy+join spelling would recompute it for
+    // each join side and again for the constants frame below
+    val edgesDeg = edges
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // graph-wide constants as a broadcast 1-row frame: n nodes, the teleport
-    // base (1-d)/n, and the uniform initial rank — all in fixed point
-    val consts = broadcast(outdeg.agg(count(lit(1)).as("n")).select(
+    // base (1-d)/n, and the uniform initial rank — all in fixed point,
+    // derived from the persisted frame (no re-derivation of the edge set)
+    val consts = broadcast(edgesDeg.agg(countDistinct(col("src")).as("n")).select(
       expr(s"((CAST($PagerankScale AS BIGINT) * 15) div 100) div n").as("base"),
       expr(s"CAST($PagerankScale AS BIGINT) div n").as("init")))
     var ranks = edgesDeg.select(col("src").as("node")).distinct()
