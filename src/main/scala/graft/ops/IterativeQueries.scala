@@ -206,10 +206,18 @@ object IterativeQueries {
     */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    // per-order pair expansion via ONE groupBy + explode instead of a
+    // self-join: the fact table is read and shuffled once (a self-join
+    // reads it twice and sorts both sides); fan-out is quadratic only in
+    // the order's line count (bounded ≤ 7 in TPC-H shapes). collect_list
+    // order is partition-dependent, but the expansion is immediately
+    // distinct-ed into a SET of pairs — order-independent by construction.
+    val edges = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> transform(filter(ps, y -> y != x), " +
+          "y -> struct(x AS src, y AS dst))))")).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .distinct()
     pagerankFrom(edges)
   }
@@ -279,11 +287,18 @@ object IterativeQueries {
     */
   private[graft] def trianglesPlan(li: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
-    val pe = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(countDistinct(col("a.l_orderkey")).as("n"))
+    // per-order ordered-pair expansion via ONE groupBy + explode instead of
+    // a self-join (reads/shuffles the fact table once, no join sorts);
+    // collect_set dedupes parts within the order, so each (u < v) pair
+    // appears exactly once per order and the support count is a plain
+    // count — the self-join spelling needed countDistinct(orderkey) here
+    val pe = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> transform(filter(ps, y -> x < y), " +
+          "y -> struct(x AS u, y AS v))))")).as("e"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select(col("u"), col("v"))
     val deg = pe.select(col("u").as("node"))
