@@ -497,7 +497,54 @@ object CurationQueries {
         col("rk").cast("int").as("rk"))
   }
 
+  /** Weighted (probability-proportional-to-size) systematic sampling: every
+    * document's inclusion probability is proportional to its token count —
+    * the sampler a token-budgeted eval set or a "sample 1 % of the TOKENS,
+    * not 1 % of the docs" request needs (uniform doc sampling over-weights
+    * short documents token-wise). Classic systematic PPS: lay the documents
+    * on a line in content-hash order (the hash is the shuffle — layout-
+    * independent, no RNG state), each occupying its token weight, and
+    * select every document whose interval crosses a multiple of
+    * `step = total_tokens div target`. All arithmetic is exact integers,
+    * so both engines pick the identical sample; docs heavier than `step`
+    * are always selected (the PPS certainty stratum).
+    *
+    * Scale: the global prefix sum is partition-parallel — range-partition
+    * on the hash order, a local running sum per partition, then the
+    * per-partition token totals (one row per task) carry cumulative offsets
+    * back by broadcast join. No single-partition window anywhere; the same
+    * boundary-carry discipline as q_skyline / q_rfm's parallelRank.
+    */
+  def sampleWeighted(s: SparkSession, dir: String, target: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    require(target > 0)
+    val w = Tables(s, dir, "documents")
+      .selectExpr("doc_id", "(length(text) + 3) div 4 AS tokens", "md5(text) AS h")
+    val ranged = w.repartitionByRange(col("h"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the rows AND the offsets
+    val localW = Window.partitionBy(col("__pid")).orderBy(col("h"), col("doc_id"))
+    val local = ranged.withColumn("__cum", sum(col("tokens")).over(localW))
+    // one row per partition: offsets and the grand total off one tiny frame
+    val perPart = ranged.groupBy(col("__pid")).agg(sum(col("tokens")).as("__n"))
+    val offW = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perPart
+      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val tot = perPart.agg(sum(col("__n")).as("__tot"))
+    val out = local.join(broadcast(offs), "__pid")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", col("__off") + col("__cum"))
+      .withColumn("__step", greatest(expr(s"__tot div $target"), lit(1L)))
+      .filter(expr("(cum div __step) > ((cum - tokens) div __step)"))
+      .select(col("doc_id"), col("tokens").cast("bigint").as("tokens"),
+        col("cum").cast("bigint").as("cum"))
+    Lifecycle.released(out, ranged)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_sample_weighted" -> ((s, dir) => sampleWeighted(s, dir)),
     "doc_sample_quota" -> ((s, dir) => sampleQuota(s, dir)),
     "doc_sample_quota_sharded" -> ((s, dir) => sampleQuotaSharded(s, dir)),
     "doc_filter_quantile" -> ((s, dir) => filterQuantile(s, dir)),
@@ -518,6 +565,20 @@ object CurationQueries {
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracleSql: Map[String, String] = Map(
+    // exact-integer systematic PPS: select where the token interval
+    // crosses a multiple of step = total // target
+    "doc_sample_weighted" ->
+      """WITH w AS (
+        |  SELECT doc_id, (length(text) + 3) // 4 AS tokens, md5(text) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tokens,
+        |    sum(tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+        |    greatest(sum(tokens) OVER () // 100, 1) AS step
+        |  FROM w)
+        |SELECT doc_id, CAST(tokens AS BIGINT) AS tokens, CAST(cum AS BIGINT) AS cum
+        |FROM c
+        |WHERE (cum // step) > ((cum - tokens) // step)""".stripMargin,
     "doc_sample_quota" ->
       """SELECT doc_id, lang, source, CAST(rk AS INT) AS rk FROM (
         |  SELECT doc_id, lang, source,

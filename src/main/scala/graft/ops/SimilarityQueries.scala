@@ -462,6 +462,121 @@ object SimilarityQueries {
       "element_at(embedding, 1) AS e1", "element_at(embedding, 64) AS e64",
       "label")
 
+  /** Scalar (int8) quantization of the embedding corpus: per-dimension
+    * min/max over the whole corpus, each component mapped to a 0–255 code —
+    * the standard 4x memory shrink (float32 → uint8) applied to ANN index
+    * state before the fancier PQ codebooks, plus the per-vector squared
+    * reconstruction error (the fidelity monitor that says whether SQ8 is
+    * enough or PQ/IVF-PQ is needed).
+    *
+    * Scale shape: pass 1 explodes by dimension and partial-aggregates
+    * min/max map-side (the shuffle carries `dim` rows per partition); the
+    * 64-dim stats collapse to ONE broadcast row. Pass 2 is a pure map-side
+    * projection — no shuffle touches the corpus. Determinism: components
+    * are quantized to the exact int64 grid (floor(x*10000), the IVF/
+    * covariance grid), so codes are pure integer arithmetic
+    * (`((q−min)·255) div range`, all operands non-negative — Spark `div`
+    * and DuckDB `//` agree) and the reconstruction error is an exact
+    * integer sum — both engines produce bit-identical rows. The codes
+    * array sits behind a graft_barrier: inlined, the error lambda would
+    * re-run the code transform per component (the CollapseProject hazard).
+    */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val q = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$qExpr AS qv")
+    q.crossJoin(broadcast(sq8Stats(q)))
+      .selectExpr("vec_id", "qv", "mins", "rngs",
+        "graft_barrier(transform(sequence(0, size(qv) - 1), i -> " +
+          "CASE WHEN rngs[i] = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE ((qv[i] - mins[i]) * 255) div rngs[i] END)) AS codes")
+      .selectExpr("vec_id", "codes",
+        "aggregate(transform(sequence(0, size(qv) - 1), i -> " +
+          "CASE WHEN rngs[i] = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "(qv[i] - (mins[i] + (codes[i] * rngs[i]) div 255)) * " +
+          "(qv[i] - (mins[i] + (codes[i] * rngs[i]) div 255)) END), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x) AS sq_err")
+  }
+
+  /** [[embQuantize]]'s per-dimension statistics as ONE broadcastable row:
+    * (mins, ranges) on the exact milli grid, from a single exploded
+    * partial-aggregated pass over the quantized corpus.
+    */
+  private def sq8Stats(q: DataFrame): DataFrame =
+    q.select(posexplode(col("qv")))
+      .groupBy(col("pos")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("ps"))
+      .selectExpr("transform(ps, p -> p.mn) AS mins",
+        "transform(ps, p -> p.mx - p.mn) AS rngs")
+
+  /** SQ8-reconstructed corpus: the exact integer each 0–255 code decodes to
+    * on the milli grid, widened to DOUBLE for the search dot products (the
+    * values are integers ≤ 10⁴, so the widening — and every product/sum
+    * downstream — is exact).
+    */
+  private def sq8Recon(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val q = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$qExpr AS qv")
+    q.crossJoin(broadcast(sq8Stats(q)))
+      .selectExpr("vec_id", "qv",
+        "transform(sequence(0, size(qv) - 1), i -> " +
+          "CASE WHEN rngs[i] = 0 THEN CAST(mins[i] AS DOUBLE) " +
+          "ELSE CAST(mins[i] + ((((qv[i] - mins[i]) * 255) div rngs[i]) * rngs[i]) div 255 AS DOUBLE) END) AS rvd")
+  }
+
+  /** Asymmetric SQ8 search: top-5 cosine of each full-precision query
+    * (exact milli grid) against the RECONSTRUCTED corpus — what an ANN
+    * serving tier does after shrinking its index 4x with [[embQuantize]].
+    * Every dot product is a sum of exact-integer-valued doubles (< 2⁵³),
+    * so the scores — and the ranking — are bit-deterministic across
+    * engines. The reconstructed frame is built once behind a persist
+    * barrier; queries broadcast against it (one corpus pass, no shuffle).
+    */
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val recon = sq8ReconNormed(s, dir)
+    Lifecycle.released(sq8TopFrom(recon), recon)
+  }
+
+  private def sq8ReconNormed(s: SparkSession, dir: String): DataFrame =
+    sq8Recon(s, dir)
+      .selectExpr("vec_id", "qv", "rvd", s"${norm("rvd")} AS nr")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def sq8TopFrom(recon: DataFrame): DataFrame = {
+    val queries = recon.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS query_id", "transform(qv, x -> CAST(x AS DOUBLE)) AS qd")
+      .selectExpr("query_id", "qd", s"${norm("qd")} AS nq")
+    val sims = broadcast(queries).join(recon, col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id",
+        s"${dot("qd", "rvd")} / (nq * nr) AS sim")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk").cast("int").as("rk"))
+  }
+
+  /** Per-query hits of the SQ8 top-5 against the exact brute-force top-5 —
+    * the fidelity monitor paired with [[embQuantize]]'s reconstruction
+    * error: SQ8 holds recall ~0.9+ on the random corpus where PQ's coarse
+    * codebooks drop much lower, at 4x memory instead of PQ's 32x — the
+    * measured trade the two entries exist to expose.
+    */
+  def annSq8Recall(s: SparkSession, dir: String): DataFrame = {
+    val recon = sq8ReconNormed(s, dir)
+    val top = sq8TopFrom(recon)
+    val emb = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$toDouble AS v")
+      .selectExpr("vec_id", "v", s"${norm("v")} AS nv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf = bruteForceFrom(emb).select(col("query_id"), col("neighbor_id"))
+    val hits = bf.join(top.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val recall = bf.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .selectExpr("query_id", "CAST(coalesce(hits, 0) AS BIGINT) AS hits",
+        "CAST(coalesce(hits, 0) AS DOUBLE) / 5.0 AS recall")
+    Lifecycle.released(recall, recon, emb)
+  }
+
   /** Exact covariance matrix of the embedding corpus — the one-pass
     * statistic behind PCA/whitening-based dimensionality reduction (the
     * standard preprocessing before IVF/PQ at corpus scale). Emits the upper
@@ -782,6 +897,9 @@ object SimilarityQueries {
     "ann_recall_alt" -> ((s, dir) => annRecall(s, dir, AltConfig)),
     "emb_kmeans" -> ((s, dir) => embKmeans(s, dir)),
     "emb_stats" -> embStats,
+    "emb_quantize" -> embQuantize,
+    "ann_sq8" -> annSq8,
+    "ann_sq8_recall" -> annSq8Recall,
     "ann_pq" -> ((s, dir) => annPq(s, dir)),
     "ann_pq_recall" -> ((s, dir) => annPqRecall(s, dir)),
     "ann_ivfpq" -> ((s, dir) => annIvfPq(s, dir)),
@@ -1167,6 +1285,41 @@ object SimilarityQueries {
        |  ${sumFold("list_transform(range(1, 65), k -> CAST(embedding[k] AS DOUBLE) * v[k])")} AS pc1
        |FROM embeddings, ray""".stripMargin
 
+  /** Shared CTE chain for the SQ8 oracles: quantize → per-dim stats →
+    * reconstruct → asymmetric top-5 (`sq_top`). Mirrors [[sq8Recon]] /
+    * [[sq8TopFrom]] term for term; every value before the final cosine
+    * division is an exact integer, so `//` vs `div` and list order are
+    * immaterial.
+    */
+  private val sq8TopCtes: String =
+    """q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |d AS (
+      |  SELECT i.i AS dim, min(qv[i.i]) AS mn, max(qv[i.i]) AS mx
+      |  FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i GROUP BY 1),
+      |s AS (SELECT list(mn ORDER BY dim) AS mins, list(mx - mn ORDER BY dim) AS rngs FROM d),
+      |r AS MATERIALIZED (
+      |  SELECT vec_id, qv,
+      |    list_transform(range(1, 65), i -> CASE WHEN rngs[i] = 0 THEN CAST(mins[i] AS DOUBLE)
+      |      ELSE CAST(mins[i] + ((((qv[i] - mins[i]) * 255) // rngs[i]) * rngs[i]) // 255 AS DOUBLE) END) AS rvd
+      |  FROM q CROSS JOIN s),
+      |rn AS MATERIALIZED (
+      |  SELECT vec_id, rvd, sqrt(list_sum(list_transform(range(1, 65), i -> rvd[i] * rvd[i]))) AS nr FROM r),
+      |qq AS (
+      |  SELECT vec_id AS query_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qd FROM q WHERE vec_id < 10),
+      |qn AS (SELECT query_id, qd, sqrt(list_sum(list_transform(range(1, 65), i -> qd[i] * qd[i]))) AS nq FROM qq),
+      |sims AS (
+      |  SELECT query_id, rn.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65), i -> qd[i] * rvd[i])) / (nq * nr) AS sim
+      |  FROM qn JOIN rn ON rn.vec_id <> qn.query_id),
+      |sq_top AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id, rk FROM (
+      |    SELECT query_id, neighbor_id,
+      |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rk
+      |    FROM sims) t WHERE rk <= 5)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "ann_pq" ->
       s"""WITH $duckPqCtes
@@ -1191,6 +1344,53 @@ object SimilarityQueries {
          |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
          |FROM (SELECT DISTINCT query_id FROM bf_top) q
          |LEFT JOIN hit_counts h ON h.query_id = q.query_id""".stripMargin,
+    // all-integer SQ8: codes and reconstruction error on the exact
+    // floor(x*10000) grid — non-negative operands, so // matches Spark div
+    "ann_sq8" ->
+      s"""WITH $sq8TopCtes
+         |SELECT query_id, neighbor_id, rk FROM sq_top""".stripMargin,
+    "ann_sq8_recall" ->
+      s"""WITH $sq8TopCtes,
+         |e AS (SELECT vec_id, $duckV AS v FROM embeddings),
+         |bq AS (SELECT vec_id AS query_id, v AS bqv FROM e WHERE vec_id < 10),
+         |bsims AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    ${duckDot("bqv", "v")} / (sqrt(${duckDot("bqv", "bqv")}) * sqrt(${duckDot("v", "v")})) AS sim
+         |  FROM bq JOIN e ON e.vec_id <> bq.query_id),
+         |bf_top AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |    FROM bsims) t WHERE rk <= 5),
+         |hit_counts AS (
+         |  SELECT b.query_id, count(1) AS hits
+         |  FROM bf_top b JOIN sq_top p
+         |    ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+         |  GROUP BY 1)
+         |SELECT qy.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM bf_top) qy
+         |LEFT JOIN hit_counts h ON h.query_id = qy.query_id""".stripMargin,
+    "emb_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT i.i AS dim, min(qv[i.i]) AS mn, max(qv[i.i]) AS mx
+        |  FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT list(mn ORDER BY dim) AS mins, list(mx - mn ORDER BY dim) AS rngs FROM d)
+        |SELECT vec_id,
+        |  list_transform(range(1, 65),
+        |    i -> CASE WHEN rngs[i] = 0 THEN CAST(0 AS BIGINT)
+        |              ELSE ((qv[i] - mins[i]) * 255) // rngs[i] END) AS codes,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN rngs[i] = 0 THEN CAST(0 AS BIGINT) ELSE
+        |      (qv[i] - (mins[i] + ((((qv[i] - mins[i]) * 255) // rngs[i]) * rngs[i]) // 255))
+        |      * (qv[i] - (mins[i] + ((((qv[i] - mins[i]) * 255) // rngs[i]) * rngs[i]) // 255)) END)) AS BIGINT) AS sq_err
+        |FROM q CROSS JOIN s""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, $duckV AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

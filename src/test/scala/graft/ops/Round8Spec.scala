@@ -311,4 +311,97 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     // "" tokenizes to one empty word of zero symbols
     assert(got.toSeq == Seq((1L, 1, 0L), (2L, 1, 1L), (3L, 2, 2L)), got.toSeq.toString)
   }
+
+  // --- round-8 second batch: gini / PPS sampler / SQ8 / transitions -------
+
+  test("q_gini's parallelRank matches a sequential single-threaded re-derivation") {
+    val got = RelationalQueries.gini(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // re-derive per segment on collected data: sort by (spend, custkey),
+    // rank sequentially, apply the same formula with BigDecimal-exact sums
+    val spend = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .groupBy("c_mktsegment", "o_custkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+    spend.groupBy(_._1).foreach { case (seg, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val n = sorted.length
+      val total = sorted.map(_._3).sum
+      val isum = sorted.zipWithIndex.map { case (r, i) => r._3 * (i + 1) }.sum
+      val gini = ((2 * isum - (n + 1) * total) / (BigDecimal(n) * total)).toDouble
+      val (gn, gt, gg) = got(seg)
+      assert(gn == n.toLong && math.abs(gt - total.toDouble) < 1e-6,
+        s"$seg: n/total mismatch ($gn, $gt) vs ($n, $total)")
+      assert(math.abs(gg - gini) < 1e-9, s"$seg: gini $gg vs sequential $gini")
+    }
+  }
+
+  test("doc_sample_weighted is exactly the sequential systematic-PPS walk") {
+    val got = CurationQueries.sampleWeighted(spark, dir, target = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // sequential re-derivation: hash order, running token sum, select where
+    // the interval crosses a multiple of step = total div target
+    val docs = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "(length(text) + 3) div 4 AS tokens", "md5(text) AS h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(r => (r._3, r._1))
+    val total = docs.map(_._2).sum
+    val step = math.max(total / 20, 1L)
+    var cum = 0L
+    val expected = docs.flatMap { case (id, w, _) =>
+      val before = cum / step; cum += w
+      if (cum / step > before) Some((id, w, cum)) else None
+    }
+    assert(got.toSeq == expected.toSeq.sortBy(_._1),
+      s"PPS sample diverged: got ${got.length}, expected ${expected.length}")
+    // certainty stratum: every doc at least one full step heavy IS selected
+    val selected = got.map(_._1).toSet
+    docs.filter(_._2 >= step).foreach { case (id, w, _) =>
+      assert(selected.contains(id), s"doc $id with weight $w >= step $step not selected")
+    }
+  }
+
+  test("emb_quantize: codes in [0,255], error within the per-dimension grid bound") {
+    val rows = SimilarityQueries.embQuantize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // derive the same stats the operator used, sequentially
+    val qvs = Tables(spark, dir, "embeddings")
+      .selectExpr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv")
+      .collect().map(_.getSeq[Long](0))
+    val dims = qvs.head.length
+    val rngs = (0 until dims).map(d => qvs.map(_(d)).max - qvs.map(_(d)).min)
+    // per-dim |err| <= rng div 255 + 1 (floor-division remainder bound)
+    val bound = rngs.map(r => { val e = r / 255 + 1; e * e }).sum
+    rows.foreach { r =>
+      val codes = r.getSeq[Long](1)
+      assert(codes.length == dims && codes.forall(c => c >= 0 && c <= 255),
+        s"vec ${r.getLong(0)}: code out of byte range")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= bound,
+        s"vec ${r.getLong(0)}: sq_err ${r.getLong(2)} above grid bound $bound")
+    }
+  }
+
+  test("ann_sq8 recall stays high where PQ's coarse codebooks cannot") {
+    val rec = SimilarityQueries.annSq8Recall(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rec.nonEmpty)
+    val avg = rec.values.sum / rec.size
+    assert(avg >= 0.5, s"SQ8 avg recall $avg < 0.5 — 8-bit-per-dim should hold rank order")
+    assert(rec.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("q_transition_matrix rows are per-state probability distributions") {
+    val rows = RelationalQueries.transitionMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (state, rs) =>
+      val psum = rs.map(_._3).sum
+      assert(math.abs(psum - 1.0) < 1e-9, s"$state: probabilities sum to $psum")
+    }
+  }
 }
