@@ -49,7 +49,8 @@ object Bench {
     "doc_pack", "doc_pack_bpe", "doc_chunk", "doc_chunk_bpe", "doc_sample_stratified", "doc_sample_quota", "doc_sample_weighted",
     "doc_sample_quota_sharded", "doc_mix_report", "doc_mix_rates", "q_ewma",
     "doc_upsample", "doc_shuffle_split", "doc_curate",
-    "emb_kmeans", "emb_covariance", "emb_quantize", "ann_sq8", "ann_sq8_recall", "emb_pca_power", "emb_pca_project",
+    "emb_kmeans", "emb_covariance", "emb_quantize", "ann_sq8", "ann_sq8_recall",
+    "ann_matryoshka", "ann_matryoshka_recall", "emb_pca_power", "emb_pca_project",
     "emb_pca_topk", "emb_pca_project_topk", "emb_pca_whiten",
     "mm_features", "mm_ahash", "mm_ahash_dedup", "mm_frame_dedup")
 

@@ -577,6 +577,86 @@ object SimilarityQueries {
     Lifecycle.released(recall, recon, emb)
   }
 
+  /** Matryoshka (prefix-dimension) search: rank ALL candidates by cosine
+    * over only the first [[MatPrefixDim]] components, keep the top
+    * [[MatCandidates]], then rerank just those with the exact full-dimension
+    * cosine — the adaptive-retrieval pattern for nested (matryoshka-trained)
+    * embeddings, where the leading components carry most of the signal. The
+    * coarse pass touches every pair but at prefix/full of the compute per
+    * pair, and carries only (query, neighbor, score) — the full vectors
+    * rejoin for the bounded rerank set only. Coarse scores are exact-integer
+    * sums on the milli grid; the rerank is the identical expression to
+    * [[annBruteForce]] — bit-deterministic end to end.
+    *
+    * Honesty note: the synthetic corpus is random (NOT matryoshka-trained),
+    * so a 16-dim prefix keeps only part of the rank signal — the recall
+    * monitor reports exactly that, which is the signal it exists to surface
+    * (on real nested embeddings the prefix is constructed to preserve it).
+    */
+  def annMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val emb = matIndex(s, dir)
+    Lifecycle.released(matTopFrom(emb), emb)
+  }
+
+  private val MatPrefixDim = 16
+  private val MatCandidates = 20
+
+  /** Per-vector matryoshka projections: full-precision vector + norm, and
+    * the exact-int prefix slice (as doubles) + its norm — one persisted
+    * corpus pass shared by the coarse and rerank stages.
+    */
+  private def matIndex(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    Tables(s, dir, "embeddings")
+      .selectExpr("vec_id", s"$toDouble AS v", s"$qExpr AS qm")
+      .selectExpr("vec_id", "v",
+        s"transform(slice(qm, 1, $MatPrefixDim), x -> CAST(x AS DOUBLE)) AS p")
+      .selectExpr("vec_id", "v", "p", s"${norm("v")} AS nv", s"${norm("p")} AS np")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def matTopFrom(emb: DataFrame): DataFrame = {
+    val queries = emb.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS query_id", "p AS qp", "np AS nqp")
+    // coarse pass: prefix-dim cosine only; carries 3 narrow columns per pair
+    val coarse = broadcast(queries).join(emb, col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id",
+        s"${dot("qp", "p")} / (nqp * np) AS csim")
+    val cw = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("neighbor_id").asc)
+    val cand = coarse.withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= MatCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    // rerank: the bounded candidate set rejoins the full vectors
+    val qFull = emb.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS query_id", "v AS qv", "nv AS nq")
+    val reranked = cand
+      .join(emb.selectExpr("vec_id AS neighbor_id", "v", "nv"), "neighbor_id")
+      .join(broadcast(qFull), "query_id")
+      .selectExpr("query_id", "neighbor_id", s"${dot("qv", "v")} / (nq * nv) AS sim")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    reranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk").cast("int").as("rk"))
+  }
+
+  /** Recall@5 of the matryoshka two-stage search against brute force — the
+    * prefix-fidelity dial's monitor (see [[annMatryoshka]]'s honesty note).
+    */
+  def annMatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = matIndex(s, dir)
+    val top = matTopFrom(emb)
+    val bf = bruteForceFrom(emb.select(col("vec_id"), col("v"), col("nv")))
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = bf.join(top.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val recall = bf.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .selectExpr("query_id", "CAST(coalesce(hits, 0) AS BIGINT) AS hits",
+        "CAST(coalesce(hits, 0) AS DOUBLE) / 5.0 AS recall")
+    Lifecycle.released(recall, emb)
+  }
+
   /** Exact covariance matrix of the embedding corpus — the one-pass
     * statistic behind PCA/whitening-based dimensionality reduction (the
     * standard preprocessing before IVF/PQ at corpus scale). Emits the upper
@@ -900,6 +980,8 @@ object SimilarityQueries {
     "emb_quantize" -> embQuantize,
     "ann_sq8" -> annSq8,
     "ann_sq8_recall" -> annSq8Recall,
+    "ann_matryoshka" -> annMatryoshka,
+    "ann_matryoshka_recall" -> annMatryoshkaRecall,
     "ann_pq" -> ((s, dir) => annPq(s, dir)),
     "ann_pq_recall" -> ((s, dir) => annPqRecall(s, dir)),
     "ann_ivfpq" -> ((s, dir) => annIvfPq(s, dir)),
@@ -1320,7 +1402,72 @@ object SimilarityQueries {
       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rk
       |    FROM sims) t WHERE rk <= 5)""".stripMargin
 
+  /** Shared CTE chain for the matryoshka oracles: full + exact-int prefix
+    * projections with norms → coarse prefix-cosine top-[[MatCandidates]] →
+    * exact full-dimension rerank (`mat_top`). Mirrors [[matIndex]] /
+    * [[matTopFrom]] term for term.
+    */
+  private val matTopCtes: String =
+    s"""mq AS (
+       |  SELECT vec_id, $duckV AS v,
+       |    list_transform(list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))[1:$MatPrefixDim],
+       |      x -> CAST(x AS DOUBLE)) AS p
+       |  FROM embeddings),
+       |mn AS MATERIALIZED (
+       |  SELECT vec_id, v, p,
+       |    sqrt(${duckDot("v", "v")}) AS nv,
+       |    sqrt(list_sum(list_transform(range(1, ${MatPrefixDim + 1}), i -> p[i] * p[i]))) AS np
+       |  FROM mq),
+       |mqq AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, p AS qp, np AS nqp, v AS qv, nv AS nq
+       |  FROM mn WHERE vec_id < 10),
+       |mcoarse AS (
+       |  SELECT query_id, mn.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, ${MatPrefixDim + 1}), i -> qp[i] * p[i])) / (nqp * np) AS csim
+       |  FROM mqq JOIN mn ON mn.vec_id <> mqq.query_id),
+       |mcand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, neighbor_id ASC) AS crk
+       |    FROM mcoarse) t WHERE crk <= $MatCandidates),
+       |mrr AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${duckDot("q2.qv", "n2.v")} / (q2.nq * n2.nv) AS sim
+       |  FROM mcand c JOIN mn n2 ON n2.vec_id = c.neighbor_id
+       |  JOIN mqq q2 ON q2.query_id = c.query_id),
+       |mat_top AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rk FROM (
+       |    SELECT query_id, neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rk
+       |    FROM mrr) t WHERE rk <= 5)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ann_matryoshka" ->
+      s"""WITH $matTopCtes
+         |SELECT query_id, neighbor_id, rk FROM mat_top""".stripMargin,
+    "ann_matryoshka_recall" ->
+      s"""WITH $matTopCtes,
+         |e AS (SELECT vec_id, $duckV AS v FROM embeddings),
+         |bq AS (SELECT vec_id AS query_id, v AS bqv FROM e WHERE vec_id < 10),
+         |bsims AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    ${duckDot("bqv", "v")} / (sqrt(${duckDot("bqv", "bqv")}) * sqrt(${duckDot("v", "v")})) AS sim
+         |  FROM bq JOIN e ON e.vec_id <> bq.query_id),
+         |bf_top AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |    FROM bsims) t WHERE rk <= 5),
+         |hit_counts AS (
+         |  SELECT b.query_id, count(1) AS hits
+         |  FROM bf_top b JOIN mat_top p
+         |    ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+         |  GROUP BY 1)
+         |SELECT qy.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM bf_top) qy
+         |LEFT JOIN hit_counts h ON h.query_id = qy.query_id""".stripMargin,
     "ann_pq" ->
       s"""WITH $duckPqCtes
          |SELECT query_id, neighbor_id, rk FROM pq_top""".stripMargin,
