@@ -110,6 +110,46 @@ object RelationalizeQueries {
       .toDF("column", "coltype").orderBy("column")
   }
 
+  /** Schema DRIFT report between two corpus snapshots — the evolution
+    * dashboard a continuously-ingesting relationalize pipeline needs before
+    * re-running DDL: infer the choice schema over the old and new snapshot
+    * independently (the same distributed [[graft.relationalize.RelationalizeSpark.inferSchemas]]
+    * merge as `rel_schema`), then full-outer-diff the column lattices —
+    * `added` / `removed` / `changed` (type widened or narrowed, e.g.
+    * int → c-int-str when a producer starts sending strings) / `same`.
+    * The snapshots here are deterministic halves of the events stream with
+    * a constructed regime change (a new bool field appears, a field is
+    * dropped, an int field starts receiving strings). Schemas are KB-sized
+    * driver statistics (the only collect the relationalizer does); the diff
+    * itself is a local 2-frame join.
+    */
+  def relSchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def infer(docs: DataFrame): Seq[(String, String)] =
+      RelationalizeSpark.inferSchemas(
+        RelationalizeSpark.emit(docs.as(Encoders.STRING), "events"))("events")
+        .columns.toSeq.map { case (c, t) => (c, t.repr) }
+    val ev = Tables(spark, dir, "events")
+    val oldDocs = ev.filter(col("event_id") % 2 === 0).select(
+      concat(lit("{\"event_id\":"), col("event_id"),
+        lit(",\"a\":"), col("event_id"),
+        lit(",\"c\":\"t\"}")).as("doc"))
+    val newDocs = ev.filter(col("event_id") % 2 === 1).select(
+      concat(lit("{\"event_id\":"), col("event_id"), lit(",\"a\":"),
+        when(col("event_id") % 3 === 1,
+          concat(lit("\""), col("event_type"), lit("\"")))
+          .otherwise(col("event_id").cast("string")),
+        lit(",\"b\":true}")).as("doc"))
+    val oldDf = infer(oldDocs).toDF("column", "old_type")
+    val newDf = infer(newDocs).toDF("column", "new_type")
+    oldDf.join(newDf, Seq("column"), "full_outer")
+      .select(col("column"), col("old_type"), col("new_type"),
+        when(col("old_type").isNull, lit("added"))
+          .when(col("new_type").isNull, lit("removed"))
+          .when(col("old_type") === col("new_type"), lit("same"))
+          .otherwise(lit("changed")).as("change"))
+  }
+
   private def choiceDocs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events").select(
       concat(lit("{\"event_id\":"), col("event_id"), lit(",\"v\":"),
@@ -179,6 +219,7 @@ object RelationalizeQueries {
     "rel_delete_cascade" -> relDeleteCascade,
     "rel_choice" -> relChoice,
     "rel_schema" -> relSchema,
+    "rel_schema_drift" -> relSchemaDrift,
     "rel_ddl" -> relDdl,
     "rel_quarantine" -> relQuarantine,
   )
@@ -227,6 +268,40 @@ object RelationalizeQueries {
         |            WHEN len(ms) = 1 THEN ms[1]
         |            ELSE 'c-' || array_to_string(ms, '-') END AS coltype
         |FROM per ORDER BY col""".stripMargin,
+    // the same lattice-merge logic as rel_schema's oracle, over both halves
+    "rel_schema_drift" ->
+      """WITH obs_old(col, t) AS (
+        |  SELECT 'event_id', 'int' FROM events WHERE event_id % 2 = 0
+        |  UNION ALL SELECT 'a', 'int' FROM events WHERE event_id % 2 = 0
+        |  UNION ALL SELECT 'c', 'str' FROM events WHERE event_id % 2 = 0
+        |), obs_new(col, t) AS (
+        |  SELECT 'event_id', 'int' FROM events WHERE event_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 'a', CASE WHEN event_id % 3 = 1 THEN 'str' ELSE 'int' END
+        |  FROM events WHERE event_id % 2 = 1
+        |  UNION ALL SELECT 'b', 'bool' FROM events WHERE event_id % 2 = 1
+        |), po AS (
+        |  SELECT col, CASE WHEN len(ms) = 0 THEN 'none'
+        |                   WHEN len(ms) = 1 THEN ms[1]
+        |                   ELSE 'c-' || array_to_string(ms, '-') END AS t
+        |  FROM (SELECT col,
+        |          list_sort(list_filter(list(DISTINCT t), x -> x <> 'none')) AS ms
+        |        FROM obs_old GROUP BY col) x
+        |), pn AS (
+        |  SELECT col, CASE WHEN len(ms) = 0 THEN 'none'
+        |                   WHEN len(ms) = 1 THEN ms[1]
+        |                   ELSE 'c-' || array_to_string(ms, '-') END AS t
+        |  FROM (SELECT col,
+        |          list_sort(list_filter(list(DISTINCT t), x -> x <> 'none')) AS ms
+        |        FROM obs_new GROUP BY col) x
+        |)
+        |SELECT coalesce(po.col, pn.col) AS "column",
+        |       po.t AS old_type, pn.t AS new_type,
+        |       CASE WHEN po.t IS NULL THEN 'added'
+        |            WHEN pn.t IS NULL THEN 'removed'
+        |            WHEN po.t = pn.t THEN 'same'
+        |            ELSE 'changed' END AS change
+        |FROM po FULL JOIN pn ON po.col = pn.col""".stripMargin,
     // rel_ddl: rows-only (DDL strings not derivable in SQL) — no oracle entry.
     "rel_quarantine" ->
       """SELECT 'quarantined' AS kind,
