@@ -263,7 +263,87 @@ object MultimodalQueries {
     Lifecycle.released(out, sigs)
   }
 
+  /** Fixed-point orthonormal 8-point DCT-II matrix, scaled by 2¹²: the
+    * irrational cosine basis becomes 64 integer literals, generated ONCE
+    * here and spliced verbatim into BOTH the Spark expressions and the
+    * DuckDB oracle — so the whole pHash pipeline below is exact integer
+    * arithmetic with no cross-engine cosine to disagree about.
+    */
+  private val PhashM: IndexedSeq[Long] =
+    for (u <- 0 until 8; x <- 0 until 8) yield
+      math.round(4096.0 * (if (u == 0) math.sqrt(1.0 / 8) else 0.5) *
+        math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val phashMLit = PhashM.mkString(", ")
+
+  /** Engine-shared pHash expression fragments. `div` is the Spark spelling,
+    * `//` DuckDB's; indexing is 1-based in both (`element_at` / `[]`), so
+    * the index arithmetic strings are identical.
+    */
+  private def phashHexByte(div: String, pos: String) =
+    s"CAST((instr('0123456789abcdef', substring(hx, 2 * ($pos) + 1, 1)) - 1) * 16 + " +
+      s"instr('0123456789abcdef', substring(hx, 2 * ($pos) + 2, 1)) - 1 AS BIGINT)"
+  private def phashStage1(el: (String, String) => String, div: String) =
+    (0 until 8).map(x =>
+      s"${el("m", s"(i $div 8) * 8 + $x + 1")} * ${el("px", s"$x * 8 + (i % 8) + 1")}")
+      .mkString(" + ")
+  private def phashStage2(el: (String, String) => String, div: String) =
+    (0 until 8).map(x =>
+      s"${el("m", s"(i % 8) * 8 + $x + 1")} * ${el("t", s"(i $div 8) * 8 + $x + 1")}")
+      .mkString(" + ")
+
+  /** Perceptual DCT hash (pHash) over the binary media column — the
+    * frequency-domain upgrade of [[ahashSigsFrom aHash]]: sample an 8x8
+    * byte grid, 2-D DCT via two integer matrix multiplies ([[PhashM]]),
+    * drop the DC coefficient, threshold the 60 lowest-frequency
+    * coefficients at their exact lower median → a 60-bit signature that
+    * keys on the payload's coarse FREQUENCY structure, not on individual
+    * samples: each bit aggregates all 64 pixels, so a localized edit
+    * perturbs every coefficient slightly instead of deterministically
+    * flipping the bits whose samples it touched (aHash's per-sample
+    * mean-threshold bits). Every AC row of [[PhashM]] sums to exactly 0
+    * (spec-pinned), so a uniform brightness shift provably cannot change
+    * ANY bit — for aHash that invariance holds only until rounding moves a
+    * sample across the mean. Same 60-bit layout as aHash, so the 4x15
+    * pigeonhole banding applies unchanged. On a real image corpus only the
+    * pixel-sampling line changes (decode + luma grid).
+    *
+    * One map-side pass: hex + three barriered bounded folds per row, no
+    * shuffle, no UDF. Every coefficient is an exact BIGINT (|coef| < 2³⁷),
+    * the median is an ordered statistic at integer rank, and the bit fold
+    * is integer — DuckDB re-derives signatures bit-for-bit.
+    */
+  def phashSigsFrom(media: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(media.sparkSession)
+    // element_at requires an INT index; the lambda's div arithmetic is BIGINT
+    def el(a: String, i: String) = s"element_at($a, CAST($i AS INT))"
+    media
+      .selectExpr("doc_id", "graft_barrier(lower(hex(media))) AS hx",
+        "octet_length(media) AS n")
+      .filter(col("n") > 0)
+      .selectExpr("doc_id",
+        s"graft_barrier(transform(sequence(0, 63), k -> ${phashHexByte("div", "(k * n) div 64")})) AS px")
+      .selectExpr("doc_id", s"array($phashMLit) AS m", "px")
+      .selectExpr("doc_id", "m",
+        s"graft_barrier(transform(sequence(0, 63), i -> ${phashStage1(el, "div")})) AS t")
+      .selectExpr("doc_id",
+        s"graft_barrier(transform(sequence(0, 63), i -> ${phashStage2(el, "div")})) AS cf")
+      .selectExpr("doc_id", "slice(cf, 2, 60) AS sel")
+      .selectExpr("doc_id", "sel", "element_at(array_sort(sel), 30) AS med")
+      .selectExpr("doc_id",
+        "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (a, k) -> " +
+          "a + IF(element_at(sel, k + 1) > med, shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT))) AS sig")
+  }
+
+  /** Per-document pHash signatures as a catalog entry — hash-compared
+    * against the DuckDB re-derivation (any divergence anywhere in the
+    * sample/DCT/median/bit pipeline fails the gate).
+    */
+  def phashSigs(s: SparkSession, dir: String): DataFrame =
+    phashSigsFrom(Tables(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS media"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash" -> phashSigs,
     "mm_frame_dedup" -> ((s, dir) => frameDedup(s, dir)),
     "mm_meta" -> mediaMeta,
     "mm_ahash" -> ahashSigs,
@@ -275,6 +355,32 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // integer DCT over the hex-parsed 8x8 byte grid — the same PhashM
+    // literals, 1-based [] instead of element_at, // instead of div
+    "mm_phash" -> {
+      def el(a: String, i: String) = s"$a[$i]"
+      s"""WITH raw AS (
+         |  SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx,
+         |         octet_length(CAST(text AS BLOB)) AS n FROM documents),
+         |px AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 64), k -> ${phashHexByte("//", "(k * n) // 64")}) AS px
+         |  FROM raw WHERE n > 0),
+         |m0 AS (SELECT [$phashMLit] AS m),
+         |t1 AS MATERIALIZED (
+         |  SELECT doc_id, list_transform(range(0, 64), i -> ${phashStage1(el, "//")}) AS t
+         |  FROM px CROSS JOIN m0),
+         |c1 AS MATERIALIZED (
+         |  SELECT doc_id, list_transform(range(0, 64), i -> ${phashStage2(el, "//")}) AS cf
+         |  FROM t1 CROSS JOIN m0),
+         |sel AS (SELECT doc_id, cf[2:61] AS sel FROM c1),
+         |med AS (SELECT doc_id, sel, list_sort(sel)[30] AS med FROM sel)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(0, 60), k ->
+         |    CASE WHEN sel[k + 1] > med THEN (CAST(1 AS BIGINT) << k)
+         |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+         |FROM med""".stripMargin
+    },
     // all cross-video frame pairs verified exactly; banding is lossless at
     // hamming <= 3, so the grouped sets must match the banded pipeline
     "mm_frame_dedup" ->

@@ -395,6 +395,29 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rec.values.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("mm_phash: uniform brightness shift provably changes no bit; identity holds") {
+    import spark.implicits._
+    // controlled payloads: 128 bytes with a deterministic pattern, and the
+    // same payload shifted +40 on every byte (all stay < 256)
+    def hexOf(bytes: Seq[Int]) = bytes.map(b => f"$b%02x").mkString
+    val base = (0 until 128).map(i => (i * 7) % 200 + 10)
+    val shifted = base.map(_ + 40)
+    val local = (0 until 128).map(i => if (i == 40) 250 else base(i))
+    val docs = Seq(
+      (1L, hexOf(base)), (2L, hexOf(base)), (3L, hexOf(shifted)), (4L, hexOf(local)))
+      .toDF("doc_id", "hx").selectExpr("doc_id", "unhex(hx) AS media")
+    val sigs = MultimodalQueries.phashSigsFrom(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical payloads must hash identically")
+    // every AC row of the fixed-point DCT matrix sums to 0, so +c on all
+    // pixels shifts ONLY the dropped DC coefficient — a theorem, not luck
+    assert(sigs(1L) == sigs(3L),
+      s"uniform shift changed the signature: ${sigs(1L)} vs ${sigs(3L)}")
+    val hamming = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hamming > 0, "a real local edit must be visible")
+    assert(hamming <= 20, s"localized edit flipped $hamming/60 bits — not perceptual")
+  }
+
   test("q_transition_matrix rows are per-state probability distributions") {
     val rows = RelationalQueries.transitionMatrix(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
