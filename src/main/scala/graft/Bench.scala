@@ -47,7 +47,7 @@ object Bench {
     "text_quality_model", "text_lm_score", "text_bpe_learn", "text_bpe_tokens",
     "text_quality_train", "text_quality_trained",
     "doc_pack", "doc_pack_bpe", "doc_chunk", "doc_chunk_bpe", "doc_sample_stratified", "doc_sample_quota", "doc_sample_weighted",
-    "doc_sample_quota_sharded", "doc_mix_report", "doc_mix_rates", "q_ewma",
+    "doc_sample_quota_sharded", "doc_mix_report", "doc_mix_rates", "q_ewma", "q_holt",
     "doc_upsample", "doc_shuffle_split", "doc_curate",
     "emb_kmeans", "emb_covariance", "emb_quantize", "ann_sq8", "ann_sq8_recall",
     "ann_matryoshka", "ann_matryoshka_recall", "emb_pca_power", "emb_pca_project",

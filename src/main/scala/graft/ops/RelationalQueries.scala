@@ -1608,6 +1608,31 @@ object RelationalQueries {
           " x -> CAST(x.l_quantity AS DOUBLE)), CAST(0 AS DOUBLE), (acc, x) -> (acc + x) / 2)")
           .as("ewma"))
 
+  /** Holt double exponential smoothing (level + trend) per key — [[ewma]]'s
+    * trend-aware upgrade and [[forecastSeasonal]]'s short-horizon
+    * complement: `l' = (x + (l + t))/2, t' = ((l' − l) + t)/2` with
+    * α = β = ½, initialized at (first observation, 0). Every operation is
+    * an IEEE add/subtract/halving in a pinned left-to-right fold, so the
+    * states are exact dyadic rationals and DuckDB's `list_reduce` twin
+    * reproduces them bit-for-bit — the same determinism contract as the
+    * EWMA fold. One shuffle; per-key fold state is two doubles. The
+    * one-step forecast is `level + trend`.
+    */
+  def holt(s: SparkSession, dir: String): DataFrame = {
+    val fold = "aggregate(" +
+      "transform(array_sort(collect_list(struct(l_linenumber, l_quantity))), " +
+      "x -> CAST(x.l_quantity AS DOUBLE)), " +
+      "named_struct('l', CAST(NULL AS DOUBLE), 't', CAST(0 AS DOUBLE)), " +
+      "(a, x) -> CASE WHEN a.l IS NULL THEN named_struct('l', x, 't', CAST(0 AS DOUBLE)) " +
+      "ELSE named_struct('l', (x + (a.l + a.t)) / 2, " +
+      "'t', (((x + (a.l + a.t)) / 2 - a.l) + a.t) / 2) END)"
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("key"))
+      .agg(count(lit(1)).as("n"), expr(fold).as("st"))
+      .selectExpr("key", "n", "st.l AS level", "st.t AS trend",
+        "st.l + st.t AS forecast")
+  }
+
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables(s, dir, "events")
@@ -2108,6 +2133,7 @@ object RelationalQueries {
     "q_rfm" -> rfm,
     "q_gini" -> gini,
     "q_ewma" -> ewma,
+    "q_holt" -> holt,
     "q_scd2" -> scd2,
     "q_gapfill" -> ((s, dir) => gapFill(s, dir)),
     "q_agg_variance" -> aggVariance,
@@ -2973,6 +2999,23 @@ object RelationalQueries {
         |    list(CAST(l_quantity AS DOUBLE) ORDER BY l_linenumber, l_quantity)),
         |    (a, b) -> (a + b) / 2) AS ewma
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // the same pinned left-to-right halving fold as q_ewma, with a
+    // 2-element LIST state [level, trend] — every value a dyadic rational,
+    // bit-exact cross-engine. The state is a list, NOT a struct: DuckDB
+    // 1.0.0 mis-evaluates struct accumulators under CASE inside
+    // list_reduce (verified: struct state returns non-dyadic garbage, list
+    // state matches the reference fold exactly). Seeding with the first
+    // element (no prepend) IS the init rule: level = first x, trend = 0.
+    "q_holt" ->
+      """SELECT key, n, st[1] AS level, st[2] AS trend, st[1] + st[2] AS forecast FROM (
+        |  SELECT l_orderkey AS key, CAST(count(1) AS BIGINT) AS n,
+        |    list_reduce(
+        |      list_transform(list(CAST(l_quantity AS DOUBLE) ORDER BY l_linenumber, l_quantity),
+        |        x -> [x, 0.0]),
+        |      (a, b) -> [(b[1] + (a[1] + a[2])) / 2,
+        |                 (((b[1] + (a[1] + a[2])) / 2 - a[1]) + a[2]) / 2]
+        |    ) AS st
+        |  FROM lineitem GROUP BY 1) q""".stripMargin,
     "q_forecast_seasonal" ->
       """WITH m AS MATERIALIZED (
         |  SELECT o_orderpriority AS priority,

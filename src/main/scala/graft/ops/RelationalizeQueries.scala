@@ -129,6 +129,57 @@ object RelationalizeQueries {
       RelationalizeSpark.inferSchemas(
         RelationalizeSpark.emit(docs.as(Encoders.STRING), "events"))("events")
         .columns.toSeq.map { case (c, t) => (c, t.repr) }
+    val (oldDocs, newDocs) = driftDocs(spark, dir)
+    val oldDf = infer(oldDocs).toDF("column", "old_type")
+    val newDf = infer(newDocs).toDF("column", "new_type")
+    oldDf.join(newDf, Seq("column"), "full_outer")
+      .select(col("column"), col("old_type"), col("new_type"),
+        when(col("old_type").isNull, lit("added"))
+          .when(col("new_type").isNull, lit("removed"))
+          .when(col("old_type") === col("new_type"), lit("same"))
+          .otherwise(lit("changed")).as("change"))
+  }
+
+  /** Warehouse MIGRATION generator — the ALTER-statement half of the
+    * reference's DDL surface (`sql_dialects.py` renders CREATE TABLE; a
+    * continuously-ingesting pipeline also needs the delta when the schema
+    * drifts): diff the two snapshots' CONVERTED output columns (choice
+    * columns expand to `<col>_<member>` exactly as `convert_object` writes
+    * them) and emit `ADD COLUMN` DDL for new columns plus a retire notice
+    * for vanished ones — e.g. an int column widening to c-int-str retires
+    * `a` and adds `a_int` + `a_str`, the warehouse-side shape of the choice
+    * split. Statements render through [[graft.core.PostgresDialect]]'s type
+    * map; the DuckDB oracle re-derives the column diff AND the statement
+    * strings. Schemas are KB-sized driver statistics; the diff is local.
+    */
+  def relMigrate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def outTags(docs: DataFrame): Map[String, String] =
+      RelationalizeSpark.inferSchemas(
+        RelationalizeSpark.emit(docs.as(Encoders.STRING), "events"))("events")
+        .outputBindings.map(b => b._1 -> b._3).toMap
+    val (oldDocs, newDocs) = driftDocs(spark, dir)
+    val old = outTags(oldDocs)
+    val nw = outTags(newDocs)
+    val rows = (old.keySet ++ nw.keySet).toSeq.sorted.flatMap { c =>
+      (old.get(c), nw.get(c)) match {
+        case (None, Some(tag)) =>
+          val t = graft.core.PostgresDialect.typeMapping(tag)
+          Some((c, "added",
+            s"""ALTER TABLE "public"."events" ADD COLUMN "$c" $t;"""))
+        case (Some(_), None) =>
+          Some((c, "removed", s"""-- retire column "$c" (kept for backfill)"""))
+        case _ => None
+      }
+    }
+    rows.toDF("column", "change", "stmt")
+  }
+
+  /** The constructed drift snapshots shared by [[relSchemaDrift]] and
+    * [[relMigrate]]: a field dropped, a bool field added, an int field
+    * starting to receive strings.
+    */
+  private def driftDocs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = Tables(spark, dir, "events")
     val oldDocs = ev.filter(col("event_id") % 2 === 0).select(
       concat(lit("{\"event_id\":"), col("event_id"),
@@ -140,14 +191,7 @@ object RelationalizeQueries {
           concat(lit("\""), col("event_type"), lit("\"")))
           .otherwise(col("event_id").cast("string")),
         lit(",\"b\":true}")).as("doc"))
-    val oldDf = infer(oldDocs).toDF("column", "old_type")
-    val newDf = infer(newDocs).toDF("column", "new_type")
-    oldDf.join(newDf, Seq("column"), "full_outer")
-      .select(col("column"), col("old_type"), col("new_type"),
-        when(col("old_type").isNull, lit("added"))
-          .when(col("new_type").isNull, lit("removed"))
-          .when(col("old_type") === col("new_type"), lit("same"))
-          .otherwise(lit("changed")).as("change"))
+    (oldDocs, newDocs)
   }
 
   private def choiceDocs(spark: SparkSession, dir: String): DataFrame =
@@ -220,6 +264,7 @@ object RelationalizeQueries {
     "rel_choice" -> relChoice,
     "rel_schema" -> relSchema,
     "rel_schema_drift" -> relSchemaDrift,
+    "rel_migrate" -> relMigrate,
     "rel_ddl" -> relDdl,
     "rel_quarantine" -> relQuarantine,
   )
@@ -302,6 +347,47 @@ object RelationalizeQueries {
         |            WHEN po.t = pn.t THEN 'same'
         |            ELSE 'changed' END AS change
         |FROM po FULL JOIN pn ON po.col = pn.col""".stripMargin,
+    // the drift diff at CONVERTED-output-column granularity, statements
+    // re-derived as strings — int widening to c-int-str retires `a` and
+    // adds a_int + a_str
+    "rel_migrate" ->
+      """WITH obs_old(col, t) AS (
+        |  SELECT 'event_id', 'int' FROM events WHERE event_id % 2 = 0
+        |  UNION ALL SELECT 'a', 'int' FROM events WHERE event_id % 2 = 0
+        |  UNION ALL SELECT 'c', 'str' FROM events WHERE event_id % 2 = 0
+        |), obs_new(col, t) AS (
+        |  SELECT 'event_id', 'int' FROM events WHERE event_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 'a', CASE WHEN event_id % 3 = 1 THEN 'str' ELSE 'int' END
+        |  FROM events WHERE event_id % 2 = 1
+        |  UNION ALL SELECT 'b', 'bool' FROM events WHERE event_id % 2 = 1
+        |), po AS (
+        |  SELECT col, list_sort(list_filter(list(DISTINCT t), x -> x <> 'none')) AS ms
+        |  FROM obs_old GROUP BY col),
+        |pn AS (
+        |  SELECT col, list_sort(list_filter(list(DISTINCT t), x -> x <> 'none')) AS ms
+        |  FROM obs_new GROUP BY col),
+        |oo AS (
+        |  SELECT CASE WHEN len(ms) = 1 THEN col ELSE col || '_' || m END AS oc,
+        |         CASE WHEN len(ms) = 1 THEN ms[1] ELSE m END AS tag
+        |  FROM po, unnest(ms) AS u(m)),
+        |onw AS (
+        |  SELECT CASE WHEN len(ms) = 1 THEN col ELSE col || '_' || m END AS oc,
+        |         CASE WHEN len(ms) = 1 THEN ms[1] ELSE m END AS tag
+        |  FROM pn, unnest(ms) AS u(m)),
+        |d AS (
+        |  SELECT coalesce(oo.oc, onw.oc) AS "column", onw.tag AS ntag,
+        |         CASE WHEN oo.oc IS NULL THEN 'added'
+        |              WHEN onw.oc IS NULL THEN 'removed' ELSE 'same' END AS change
+        |  FROM oo FULL JOIN onw ON oo.oc = onw.oc)
+        |SELECT "column", change,
+        |  CASE WHEN change = 'added' THEN
+        |    'ALTER TABLE "public"."events" ADD COLUMN "' || "column" || '" ' ||
+        |    CASE ntag WHEN 'int' THEN 'BIGINT' WHEN 'str' THEN 'VARCHAR(65535)'
+        |              WHEN 'bool' THEN 'BOOLEAN' WHEN 'float' THEN 'FLOAT'
+        |              WHEN 'datetime' THEN 'TIMESTAMP' ELSE 'BOOLEAN' END || ';'
+        |  ELSE '-- retire column "' || "column" || '" (kept for backfill)' END AS stmt
+        |FROM d WHERE change <> 'same'""".stripMargin,
     // rel_ddl: rows-only (DDL strings not derivable in SQL) — no oracle entry.
     "rel_quarantine" ->
       """SELECT 'quarantined' AS kind,
