@@ -34,6 +34,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ahash60", exprs => AHash60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "phash60", exprs => PHash60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
     // Spark's own runtime-filter bloom sketch, exposed in SQL: the aggregate
     // builds the filter as one BINARY value (mergeable partials — no row
@@ -355,6 +357,95 @@ case class AHash60(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "ahash60"
   override protected def withNewChildInternal(newChild: Expression): AHash60 = copy(child = newChild)
+}
+
+/** Codegen'd 60-bit perceptual DCT hash (pHash) over a BINARY payload:
+  * 8x8 sampled byte grid, 2-D DCT as two integer matrix multiplies with the
+  * fixed-point basis [[PHash60Impl.M]], the 60 lowest-frequency AC
+  * coefficients thresholded at their exact lower median — bit-identical to
+  * the portable SQL derivation the DuckDB oracle runs (hex-pair parse +
+  * the same matrix literals), but one tight primitive loop instead of two
+  * 512-term interpreted higher-order transforms per row. NULL for an empty
+  * payload (callers filter empties, as with ahash60).
+  */
+case class PHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"phash60 expects binary, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = PHash60Impl.hash(v.asInstanceOf[Array[Byte]])
+    if (r == PHash60Impl.EmptyInput) null else java.lang.Long.valueOf(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.PHash60Impl.hash($c);
+      |if (${ev.value} == java.lang.Long.MIN_VALUE) ${ev.isNull} = true;
+     """.stripMargin)
+
+  override def prettyName: String = "phash60"
+  override protected def withNewChildInternal(newChild: Expression): PHash60 = copy(child = newChild)
+}
+
+object PHash60Impl {
+  /** Sentinel for a zero-length payload (no valid signature). */
+  val EmptyInput: Long = Long.MinValue
+
+  /** Fixed-point orthonormal 8-point DCT-II basis, scaled by 2¹² — the ONE
+    * set of 64 integer literals the Spark expression and the DuckDB oracle
+    * share (every AC row sums to exactly 0, so uniform level shifts cannot
+    * change any AC coefficient — spec-pinned).
+    */
+  val M: IndexedSeq[Long] =
+    for (u <- 0 until 8; x <- 0 until 8) yield
+      math.round(4096.0 * (if (u == 0) math.sqrt(1.0 / 8) else 0.5) *
+        math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val mArr: Array[Long] = M.toArray
+
+  /** static entry shared by interpreted + generated code */
+  def hash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return EmptyInput
+    // 8x8 sampled grid, row-major: px(x*8 + y) = byte at ((x*8+y)*n) div 64
+    val px = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      px(k) = bytes(((k.toLong * n) / 64).toInt) & 0xffL
+      k += 1
+    }
+    // t(i) = sum_x M((i/8)*8+x) * px(x*8 + i%8)   (row transform)
+    val t = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      var acc = 0L; var x = 0
+      while (x < 8) { acc += mArr((i / 8) * 8 + x) * px(x * 8 + i % 8); x += 1 }
+      t(i) = acc; i += 1
+    }
+    // cf(i) = sum_x M((i%8)*8+x) * t((i/8)*8+x)   (column transform)
+    val cf = new Array[Long](64)
+    i = 0
+    while (i < 64) {
+      var acc = 0L; var x = 0
+      while (x < 8) { acc += mArr((i % 8) * 8 + x) * t((i / 8) * 8 + x); x += 1 }
+      cf(i) = acc; i += 1
+    }
+    // 60 lowest-frequency AC coefficients (skip DC), lower median, bits
+    val sel = java.util.Arrays.copyOfRange(cf, 1, 61)
+    val sorted = sel.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(29) // 30th of 60, the exact lower median
+    var sig = 0L
+    k = 0
+    while (k < 60) {
+      if (sel(k) > med) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
 }
 
 object AHash60Impl {

@@ -263,17 +263,11 @@ object MultimodalQueries {
     Lifecycle.released(out, sigs)
   }
 
-  /** Fixed-point orthonormal 8-point DCT-II matrix, scaled by 2¹²: the
-    * irrational cosine basis becomes 64 integer literals, generated ONCE
-    * here and spliced verbatim into BOTH the Spark expressions and the
-    * DuckDB oracle — so the whole pHash pipeline below is exact integer
-    * arithmetic with no cross-engine cosine to disagree about.
+  /** The fixed-point DCT basis — [[graft.functions.PHash60Impl.M]], the ONE
+    * set of 64 integer literals the codegen'd expression, the SQL
+    * derivation twin, and the DuckDB oracle all share.
     */
-  private val PhashM: IndexedSeq[Long] =
-    for (u <- 0 until 8; x <- 0 until 8) yield
-      math.round(4096.0 * (if (u == 0) math.sqrt(1.0 / 8) else 0.5) *
-        math.cos((2 * x + 1) * u * math.Pi / 16))
-  private val phashMLit = PhashM.mkString(", ")
+  private val phashMLit = graft.functions.PHash60Impl.M.mkString(", ")
 
   /** Engine-shared pHash expression fragments. `div` is the Spark spelling,
     * `//` DuckDB's; indexing is 1-based in both (`element_at` / `[]`), so
@@ -300,19 +294,35 @@ object MultimodalQueries {
     * samples: each bit aggregates all 64 pixels, so a localized edit
     * perturbs every coefficient slightly instead of deterministically
     * flipping the bits whose samples it touched (aHash's per-sample
-    * mean-threshold bits). Every AC row of [[PhashM]] sums to exactly 0
+    * mean-threshold bits). Every AC row of the basis sums to exactly 0
     * (spec-pinned), so a uniform brightness shift provably cannot change
     * ANY bit — for aHash that invariance holds only until rounding moves a
     * sample across the mean. Same 60-bit layout as aHash, so the 4x15
     * pigeonhole banding applies unchanged. On a real image corpus only the
     * pixel-sampling line changes (decode + luma grid).
     *
-    * One map-side pass: hex + three barriered bounded folds per row, no
-    * shuffle, no UDF. Every coefficient is an exact BIGINT (|coef| < 2³⁷),
-    * the median is an ordered statistic at integer rank, and the bit fold
-    * is integer — DuckDB re-derives signatures bit-for-bit.
+    * One map-side pass through the codegen'd
+    * [[graft.functions.PHash60 phash60]] expression — one tight primitive
+    * loop per row; the equivalent SQL higher-order chain
+    * ([[phashSigsSqlFrom]]) evaluates two 512-term interpreted transforms
+    * per row (7.1 s vs 0.3 s at sf0.1 — HOFs never enter codegen) and is
+    * kept as the spec's bit-equality anchor. Every coefficient is an exact
+    * BIGINT (|coef| < 2³⁷), the median is an ordered statistic at integer
+    * rank, and the bit fold is integer — DuckDB re-derives signatures
+    * bit-for-bit from the same matrix literals.
     */
   def phashSigsFrom(media: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(media.sparkSession)
+    // empty payloads have no signature (the oracle's WHERE n > 0)
+    media.where("octet_length(media) > 0")
+      .selectExpr("doc_id", "phash60(media) AS sig")
+  }
+
+  /** The portable SQL derivation of [[phashSigsFrom]] — the spec pins its
+    * bit-equality with the codegen'd expression; the DuckDB oracle is this
+    * chain's dialect twin.
+    */
+  private[ops] def phashSigsSqlFrom(media: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.registerAll(media.sparkSession)
     // element_at requires an INT index; the lambda's div arithmetic is BIGINT
     def el(a: String, i: String) = s"element_at($a, CAST($i AS INT))"

@@ -418,6 +418,17 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hamming <= 20, s"localized edit flipped $hamming/60 bits — not perceptual")
   }
 
+  test("phash60 expression is bit-identical to the portable SQL derivation") {
+    val media = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS media")
+    val fast = MultimodalQueries.phashSigsFrom(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sql = MultimodalQueries.phashSigsSqlFrom(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast.nonEmpty && fast == sql,
+      s"codegen'd phash60 diverged from the SQL chain on ${fast.count(kv => sql.get(kv._1) != Some(kv._2))} docs")
+  }
+
   test("q_transition_matrix rows are per-state probability distributions") {
     val rows = RelationalQueries.transitionMatrix(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
