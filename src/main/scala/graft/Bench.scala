@@ -37,7 +37,7 @@ object Bench {
     "ann_ivfpq", "ann_pca_reduced", "ann_pca_recall",
     "q_agg_filter", "q_profile", "q_dq_report", "q_salted_join", "q_hierarchy",
     "q_ivm_join", "q_ivm_agg", "q_agg_corr", "q_regression", "q_ab_test", "q_merge_cdc", "q_temporal_join",
-    "q_pagerank", "q_triangles", "q_zorder", "q_skyline", "rel_delete_cascade",
+    "q_pagerank", "q_triangles", "q_kcore", "q_zorder", "q_skyline", "rel_delete_cascade",
     "q_pseudonymize", "q_transition_matrix", "q_rfm", "q_gini",
     "doc_filter_quantile",
     "text_quality", "text_langid", "text_repetition", "text_tfidf", "text_vocab",

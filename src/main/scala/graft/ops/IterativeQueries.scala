@@ -285,14 +285,16 @@ object IterativeQueries {
     * for plan-shape inspection (the public entry returns a checkpointed
     * LogicalRDD). Caller unpersists the returned barriers.
     */
-  private[graft] def trianglesPlan(li: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    import org.apache.spark.storage.StorageLevel
-    // per-order ordered-pair expansion via ONE groupBy + explode instead of
-    // a self-join (reads/shuffles the fact table once, no join sorts);
-    // collect_set dedupes parts within the order, so each (u < v) pair
-    // appears exactly once per order and the support count is a plain
-    // count — the self-join spelling needed countDistinct(orderkey) here
-    val pe = li.groupBy(col("l_orderkey"))
+  /** Strong (support ≥ 2) co-occurrence pairs, u < v: per-order ordered-pair
+    * expansion via ONE groupBy + explode instead of a self-join (the fact
+    * table is read and shuffled once, no join sorts); collect_set dedupes
+    * parts within the order, so each pair appears exactly once per order
+    * and the support count is a plain count — the self-join spelling
+    * needed countDistinct(orderkey) here. Shared by [[triangles]] and
+    * [[kcore]].
+    */
+  private def supportPairs(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
       .select(explode(expr(
         "flatten(transform(ps, x -> transform(filter(ps, y -> x < y), " +
@@ -301,6 +303,10 @@ object IterativeQueries {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select(col("u"), col("v"))
+
+  private[graft] def trianglesPlan(li: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.storage.StorageLevel
+    val pe = supportPairs(li)
     val deg = pe.select(col("u").as("node"))
       .unionAll(pe.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -327,6 +333,105 @@ object IterativeQueries {
           (lit(2.0) * coalesce(col("n_tri"), lit(0L))) / (col("d") * (col("d") - 1)))
           .otherwise(lit(0.0)).as("clustering"))
     (out, Seq(deg, ori))
+  }
+
+  /** Core threshold for [[kcore]] — on the support-2 co-occurrence graph
+    * this peels ~half the nodes over ~11 rounds at sf0.01 (k=2 converges in
+    * 4, k=4 empties the graph: the interesting regime).
+    */
+  private val KcoreK = 3
+
+  /** Peeling-round cap for [[kcore]] — fixpoint at sf0.01 is round 11; the
+    * oracle unrolls exactly this many rounds, and extra rounds past the
+    * fixpoint are no-ops, so the early-exit below cannot diverge from it.
+    */
+  private val KcoreRounds = 12
+
+  /** k-core decomposition of the strong co-occurrence graph — the density
+    * peel that separates structurally-embedded nodes from hangers-on
+    * (community cores, spam-subgraph mining; with [[pagerank]],
+    * [[triangles]] and the connected-components family this completes the
+    * aggregation-in-recursion graph set no recursive CTE can run):
+    * repeatedly drop every node with fewer than k surviving neighbors
+    * until nothing changes; report each survivor with its in-core degree.
+    *
+    * Scale shape: the symmetrized edge frame is partitioned on src ONCE and
+    * persisted; each round is two semi joins against the (one long per
+    * node) survivor frame plus one partial-aggregated degree count — the
+    * rank-vector discipline from pagerank. Each generation is persisted,
+    * counted (the count doubles as the fixpoint check — converged rounds
+    * are no-ops, so exiting early cannot diverge from the oracle's full
+    * unroll), its predecessor released, and its lineage truncated to a
+    * LogicalRDD (the survivor frame feeds TWO semi joins per round: left
+    * nested, the logical plan would double per round — the
+    * dedup_clusters discipline).
+    */
+  def kcore(s: SparkSession, dir: String): DataFrame =
+    kcoreFrom(s, Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")))
+
+  private[graft] def kcoreFrom(spark: SparkSession, li: DataFrame,
+      k: Int = KcoreK, maxRounds: Int = KcoreRounds): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pe = supportPairs(li)
+    val edges = pe.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pe.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gen0 = edges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var surv = spark.createDataFrame(gen0.rdd, gen0.schema)
+    var backing = gen0
+    var prev = gen0.count()
+    var round = 0
+    var fixpoint = false
+    while (round < maxRounds && !fixpoint) {
+      round += 1
+      val next = edges
+        .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("src").as("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cur = next.count()
+      backing.unpersist()
+      backing = next
+      surv = spark.createDataFrame(next.rdd, next.schema)
+      fixpoint = cur == prev
+      prev = cur
+    }
+    val out = edges
+      .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+    Lifecycle.released(out, edges, backing)
+  }
+
+  /** The [[kcore]] rounds unrolled as a MATERIALIZED CTE chain (same
+    * discipline as the pagerank oracle).
+    */
+  private def kcoreOracle: String = {
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT src AS node FROM e
+         |  WHERE src IN (SELECT node FROM s${r - 1}) AND dst IN (SELECT node FROM s${r - 1})
+         |  GROUP BY 1 HAVING count(1) >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pe AS MATERIALIZED (
+       |  SELECT u, v FROM (
+       |    SELECT a.l_partkey AS u, b.l_partkey AS v, count(DISTINCT a.l_orderkey) AS n
+       |    FROM lineitem a JOIN lineitem b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |    GROUP BY 1, 2) t WHERE n >= 2),
+       |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM pe UNION ALL SELECT v, u FROM pe),
+       |s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |$rounds
+       |SELECT src AS node, CAST(count(1) AS BIGINT) AS core_deg
+       |FROM e
+       |WHERE src IN (SELECT node FROM s$KcoreRounds)
+       |  AND dst IN (SELECT node FROM s$KcoreRounds)
+       |GROUP BY 1""".stripMargin
   }
 
   /** The same rounds as [[pagerank]], unrolled as a MATERIALIZED CTE chain
@@ -360,11 +465,13 @@ object IterativeQueries {
     "q_hierarchy" -> hierarchy,
     "q_hierarchy_rollup" -> hierarchyRollup,
     "q_pagerank" -> pagerank,
+    "q_kcore" -> kcore,
     "q_triangles" -> triangles,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+    "q_kcore" -> kcoreOracle,
     "q_triangles" ->
       """WITH pe AS MATERIALIZED (
         |  SELECT a.l_partkey AS u, b.l_partkey AS v
