@@ -50,7 +50,7 @@ object Bench {
     "doc_sample_quota_sharded", "doc_mix_report", "doc_mix_rates", "q_ewma", "q_holt",
     "doc_upsample", "doc_shuffle_split", "doc_curate",
     "emb_kmeans", "emb_covariance", "emb_quantize", "ann_sq8", "ann_sq8_recall",
-    "ann_matryoshka", "ann_matryoshka_recall", "emb_pca_power", "emb_pca_project",
+    "ann_matryoshka", "ann_matryoshka_recall", "search_hybrid_rrf", "emb_pca_power", "emb_pca_project",
     "emb_pca_topk", "emb_pca_project_topk", "emb_pca_whiten",
     "mm_features", "mm_ahash", "mm_phash", "mm_ahash_dedup", "mm_frame_dedup")
 

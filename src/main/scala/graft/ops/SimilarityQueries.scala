@@ -657,6 +657,67 @@ object SimilarityQueries {
     Lifecycle.released(recall, emb)
   }
 
+  /** Hybrid retrieval with reciprocal rank fusion — the modern RAG serving
+    * stack's standard recipe: a LEXICAL arm (distinct-shared-token overlap
+    * against the corpus postings — the exact-integer core of BM25-style
+    * keyword match) and a VECTOR arm (exact cosine over the aligned
+    * embeddings) each rank their top-20 per query, then RRF combines them:
+    * `score = Σ 1/(60 + rank)` over the arms that returned the doc — the
+    * rank-only fusion that needs no score calibration between
+    * incommensurable arms (Cormack et al.'s k = 60). Top-10 fused results
+    * per query doc.
+    *
+    * Determinism: lexical scores are exact integer counts, each RRF term is
+    * ONE division of exact integers, and their sum is two IEEE adds written
+    * identically in both engines; all ranks are row_numbers over fully
+    * tie-broken orders. Scale shape: query tokens and query vectors
+    * broadcast; the postings join is token-keyed (never all-pairs), the
+    * vector arm is one corpus pass; the fusion join touches ≤ 40 rows per
+    * query.
+    */
+  def searchHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    graft.functions.GraftFunctions.registerAll(s)
+    val post = Tables(s, dir, "documents")
+      .selectExpr("doc_id",
+        "explode(array_distinct(split(trim(lower(text)), '\\\\s+'))) AS token")
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the query AND corpus sides
+    val qtok = post.filter(col("doc_id") < 5)
+      .selectExpr("doc_id AS query_id", "token")
+    val lw = Window.partitionBy(col("query_id"))
+      .orderBy(col("shared").desc, col("doc_id").asc)
+    val lexTop = broadcast(qtok).join(post, Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("lrk", row_number().over(lw))
+      .filter(col("lrk") <= 20)
+      .select(col("query_id"), col("doc_id"), col("lrk"))
+    val emb = Tables(s, dir, "embeddings")
+      .selectExpr("vec_id AS doc_id", s"$toDouble AS v")
+      .selectExpr("doc_id", "v", s"${norm("v")} AS nv")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qv = emb.filter(col("doc_id") < 5)
+      .selectExpr("doc_id AS query_id", "v AS qv", "nv AS qn")
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    val vecTop = broadcast(qv).join(emb, col("doc_id") =!= col("query_id"))
+      .selectExpr("query_id", "doc_id", s"${dot("qv", "v")} / (qn * nv) AS sim")
+      .withColumn("vrk", row_number().over(vw))
+      .filter(col("vrk") <= 20)
+      .select(col("query_id"), col("doc_id"), col("vrk"))
+    val fw = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    val out = lexTop.join(vecTop, Seq("query_id", "doc_id"), "full_outer")
+      .selectExpr("query_id", "doc_id",
+        "coalesce(CAST(1 AS DOUBLE) / (60 + lrk), CAST(0 AS DOUBLE)) + " +
+          "coalesce(CAST(1 AS DOUBLE) / (60 + vrk), CAST(0 AS DOUBLE)) AS rrf")
+      .withColumn("rk", row_number().over(fw).cast("int"))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rk"), col("rrf"))
+    Lifecycle.released(out, post, emb)
+  }
+
   /** Exact covariance matrix of the embedding corpus — the one-pass
     * statistic behind PCA/whitening-based dimensionality reduction (the
     * standard preprocessing before IVF/PQ at corpus scale). Emits the upper
@@ -982,6 +1043,7 @@ object SimilarityQueries {
     "ann_sq8_recall" -> annSq8Recall,
     "ann_matryoshka" -> annMatryoshka,
     "ann_matryoshka_recall" -> annMatryoshkaRecall,
+    "search_hybrid_rrf" -> searchHybridRrf,
     "ann_pq" -> ((s, dir) => annPq(s, dir)),
     "ann_pq_recall" -> ((s, dir) => annPqRecall(s, dir)),
     "ann_ivfpq" -> ((s, dir) => annIvfPq(s, dir)),
@@ -1443,6 +1505,45 @@ object SimilarityQueries {
        |    FROM mrr) t WHERE rk <= 5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // RRF terms are single divisions of exact integers; ranks fully
+    // tie-broken — both engines fuse identically
+    "search_hybrid_rrf" ->
+      s"""WITH post AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS token
+         |  FROM documents),
+         |qtok AS (SELECT doc_id AS query_id, token FROM post WHERE doc_id < 5),
+         |lex AS (
+         |  SELECT q.query_id, p.doc_id, count(1) AS shared
+         |  FROM qtok q JOIN post p ON p.token = q.token AND p.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |lex_top AS MATERIALIZED (
+         |  SELECT query_id, doc_id, lrk FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY shared DESC, doc_id ASC) AS lrk
+         |    FROM lex) t WHERE lrk <= 20),
+         |e AS (SELECT vec_id AS doc_id, $duckV AS v FROM embeddings),
+         |qv AS (SELECT doc_id AS query_id, v AS qvec FROM e WHERE doc_id < 5),
+         |sims AS (
+         |  SELECT query_id, e.doc_id,
+         |    ${duckDot("qvec", "v")} / (sqrt(${duckDot("qvec", "qvec")}) * sqrt(${duckDot("v", "v")})) AS sim
+         |  FROM qv JOIN e ON e.doc_id <> qv.query_id),
+         |vec_top AS MATERIALIZED (
+         |  SELECT query_id, doc_id, vrk FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS vrk
+         |    FROM sims) t WHERE vrk <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |         coalesce(CAST(1 AS DOUBLE) / (60 + l.lrk), CAST(0 AS DOUBLE)) +
+         |         coalesce(CAST(1 AS DOUBLE) / (60 + v.vrk), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM lex_top l FULL JOIN vec_top v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT query_id, doc_id, rk, rrf FROM (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS INT) AS rk,
+         |    rrf
+         |  FROM fused) t WHERE rk <= 10""".stripMargin,
     "ann_matryoshka" ->
       s"""WITH $matTopCtes
          |SELECT query_id, neighbor_id, rk FROM mat_top""".stripMargin,
