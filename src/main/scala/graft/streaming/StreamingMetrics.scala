@@ -31,6 +31,53 @@ object StreamingMetrics {
   /** Per-key running state: the smoothed value and the observation count. */
   final case class Smoothed(key: Long, ewma: Double, n: Long)
 
+  /** One anomaly verdict: the observation, the smoothed level and absolute
+    * deviation BEFORE it folded in, and the flag.
+    */
+  final case class Anomaly(key: Long, seq: Long, x: Double,
+      level: Double, dev: Double, anomaly: Boolean)
+
+  /** Streaming per-key anomaly flags from TWO doubles of state: the EWMA
+    * level and the exponentially-weighted mean absolute deviation (both
+    * alpha = 1/2 halving folds — exact dyadic arithmetic, the [[ewma]]
+    * contract). An observation is flagged when it sits more than
+    * 3 x the CURRENT deviation estimate from the CURRENT level — both
+    * read BEFORE the observation folds in, so an anomaly cannot mask
+    * itself — then both states absorb it. The first `warmup` observations
+    * of a key only train state (a deviation estimate of zero flags
+    * everything; the standard burn-in). The streaming shape of
+    * `q_anomaly_mad`: that entry is the retrospective batch sweep (exact
+    * medians need the whole history), this is the O(1)-state online
+    * monitor.
+    */
+  def anomalies(obs: DataFrame, warmup: Int = 3): Dataset[Anomaly] = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.selectExpr("CAST(key AS LONG) AS key", "CAST(seq AS LONG) AS seq",
+        "CAST(x AS DOUBLE) AS x")
+      .as[Obs]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Double, Double, Long), Anomaly](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Double, Double, Long)]) =>
+          var (level, dev, n) = state.getOption.getOrElse((0.0, 0.0, 0L))
+          val out = Vector.newBuilder[Anomaly]
+          rows.toArray.sortBy(o => (o.seq, o.x)).foreach { o =>
+            val flag = n >= warmup && math.abs(o.x - level) > 3.0 * dev
+            out += Anomaly(key, o.seq, o.x, level, dev, flag)
+            if (n == 0L) { level = o.x; dev = 0.0 }
+            else {
+              dev = (dev + math.abs(o.x - level)) / 2
+              level = (level + o.x) / 2
+            }
+            n += 1
+          }
+          state.update((level, dev, n))
+          out.result().iterator
+      }
+  }
+
   /** EWMA (alpha = 1/2) per key over a (streaming or static) frame with
     * (key, seq, x) columns. Each micro-batch re-emits a touched key's
     * current smoothed value (Update mode — `mapGroupsWithState`'s required

@@ -74,4 +74,54 @@ class StreamingMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(e == expected, s"key $k: $e != $expected")
     }
   }
+
+  test("streaming anomalies: spike flagged from pre-fold state, warm-up silent, cross-batch carry") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-sanom").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    // key 1: steady 10s for 5 obs (batch 0), then a 100 spike + recovery
+    // (batch 1) — the spike must be flagged against the PRE-SPIKE state;
+    // the warm-up obs (first 3) must not flag even with dev = 0
+    val b0 = (1 to 5).map(i => s"""{"key": 1, "seq": $i, "x": 10.0}""")
+    val b1 = Seq("""{"key": 1, "seq": 6, "x": 100.0}""",
+      """{"key": 1, "seq": 7, "x": 10.0}""")
+    Seq(b0, b1).zipWithIndex.foreach { case (lines, b) =>
+      val p = java.nio.file.Paths.get(s"$tmp/in/b$b.jsonl")
+      Files.writeString(p, lines.mkString("\n"))
+      p.toFile.setLastModified(1700000000000L + b * 2000L)
+    }
+    val schema = StructType(Seq(StructField("key", LongType),
+      StructField("seq", LongType), StructField("x", DoubleType)))
+    val in = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .json(s"$tmp/in")
+    val q = StreamingMetrics.anomalies(in.toDF()).writeStream
+      .format("memory").queryName("sanom").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val flags = spark.table("sanom").collect()
+      .map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+    assert(flags == Map(1L -> false, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false, 6L -> true, 7L -> false),
+      s"expected exactly the seq-6 spike flagged (cross-batch state): $flags")
+    // equivalence with the sequential fold on static input
+    val ev = graft.ops.Tables(spark, dir, "events").selectExpr(
+      "user_id AS key",
+      "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS LONG) AS seq",
+      "value AS x")
+    val streaming = StreamingMetrics.anomalies(ev).collect()
+      .map(a => (a.key, a.seq) -> (a.level, a.dev, a.anomaly)).toMap
+    val ref = ev.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).iterator.flatMap { case (k, rows) =>
+        var (level, dev, n) = (0.0, 0.0, 0L)
+        rows.sortBy(_._2).toSeq.map { case (_, seq, x) =>
+          val flag = n >= 3 && math.abs(x - level) > 3.0 * dev
+          val out = (k, seq) -> ((level, dev, flag))
+          if (n == 0L) { level = x; dev = 0.0 }
+          else { dev = (dev + math.abs(x - level)) / 2; level = (level + x) / 2 }
+          n += 1
+          out
+        }
+      }.toMap
+    assert(streaming == ref, "static-mode anomalies diverge from the sequential fold")
+  }
 }
