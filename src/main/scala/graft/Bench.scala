@@ -42,7 +42,7 @@ object Bench {
     "doc_filter_quantile",
     "text_quality", "text_langid", "text_repetition", "text_tfidf", "text_vocab",
     "text_decontaminate", "text_decontaminate_bloom", "text_ngram_dup",
-    "text_winnow", "text_winnow_pairs", "text_nfc_dedup", "dedup_substring",
+    "text_winnow", "text_winnow_pairs", "text_containment", "text_nfc_dedup", "dedup_substring",
     "dedup_substring_rewrite", "dedup_substring_docs",
     "text_quality_model", "text_lm_score", "text_bpe_learn", "text_bpe_tokens",
     "text_quality_train", "text_quality_trained",

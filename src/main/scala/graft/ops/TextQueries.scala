@@ -183,6 +183,49 @@ object TextQueries {
     Lifecycle.released(out, kept)
   }
 
+  /** Asymmetric CONTAINMENT from the winnow fingerprints — the relation
+    * symmetric Jaccard misses: a short document quoted wholesale inside a
+    * long one has tiny Jaccard but containment ≈ 1 on the short side (the
+    * quote/mirror/boilerplate-wrapper case an LLM dedup pipeline wants to
+    * catch even when the host document is mostly novel). For each
+    * fingerprint-sharing pair: `containment_x = shared / |fps(x)|` per
+    * side. Same scale-safe shape as [[winnowPairs]] (capped fingerprint
+    * equi-join, never all-pairs) plus one per-doc size frame joined back
+    * to the pair-keyed result; the divisions are the only IEEE steps. The
+    * pinned cap is inert on this corpus, so shared counts are exact; on a
+    * boilerplate-heavy corpus capped fingerprints drop from the numerator
+    * only (containment then underestimates — the conservative direction).
+    */
+  def containment(s: SparkSession, dir: String, minShared: Int = 2,
+                  maxDocFreq: Int = 50): DataFrame =
+    containmentFrom(Tables(s, dir, "documents"), minShared, maxDocFreq)
+
+  /** The containment kernel over any frame with (doc_id, text). */
+  def containmentFrom(docs: DataFrame, minShared: Int = 2,
+                      maxDocFreq: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxDocFreq >= 1)
+    // persist: feeds the per-doc size aggregate AND (via the cap window)
+    // both sides of the pair join
+    val fps = winnowFrom(docs).select(col("doc_id"), col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val kept = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("doc_id"), col("fp"))
+    val out = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), Seq("doc_b"))
+      .selectExpr("doc_a", "doc_b", "n_shared", "n_a", "n_b",
+        "CAST(n_shared AS DOUBLE) / n_a AS containment_a",
+        "CAST(n_shared AS DOUBLE) / n_b AS containment_b")
+    Lifecycle.released(out, fps)
+  }
+
   /** Unicode-canonicalized exact dedup — why normalization must precede
     * fingerprinting on a real crawl: the SAME logical text arrives in
     * different byte forms (precomposed U+00E9 vs 'e' + combining U+0301)
@@ -583,6 +626,7 @@ object TextQueries {
     "text_winnow" -> ((s, dir) => winnow(s, dir)),
     "text_nfc_dedup" -> nfcDedup,
     "text_winnow_pairs" -> ((s, dir) => winnowPairs(s, dir)),
+    "text_containment" -> ((s, dir) => containment(s, dir)),
     "text_scrub" -> scrub,
     "text_repetition" -> repetition,
     "text_ngram_dup" -> ((s, dir) => ngramDup(s, dir)),
@@ -757,6 +801,24 @@ object TextQueries {
          |  CAST(count(1) AS BIGINT) AS n_shared
          |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(1) >= 2""".stripMargin,
+    "text_containment" ->
+      s"""WITH $winnowCtes,
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM wins),
+         |sizes AS (SELECT doc_id, count(1) AS n_fp FROM fps GROUP BY 1),
+         |kept AS (SELECT doc_id, fp FROM (
+         |  SELECT doc_id, fp, count(1) OVER (PARTITION BY fp) AS df FROM fps) t
+         |  WHERE df <= 50),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(1) AS BIGINT) AS n_shared
+         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(1) >= 2)
+         |SELECT doc_a, doc_b, n_shared,
+         |  CAST(sa.n_fp AS BIGINT) AS n_a, CAST(sb.n_fp AS BIGINT) AS n_b,
+         |  CAST(n_shared AS DOUBLE) / sa.n_fp AS containment_a,
+         |  CAST(n_shared AS DOUBLE) / sb.n_fp AS containment_b
+         |FROM pairs JOIN sizes sa ON sa.doc_id = pairs.doc_a
+         |JOIN sizes sb ON sb.doc_id = pairs.doc_b""".stripMargin,
     "text_scrub" ->
       s"""WITH d AS (
          |  SELECT c_custkey,
