@@ -1686,6 +1686,26 @@ object RelationalQueries {
         (col("hist_sum").cast("double") / col("hist_n")).as("forecast"))
   }
 
+  /** Month-over-month and year-over-year growth of monthly revenue — the
+    * standard KPI trend report. The fact table aggregates FIRST (decimal-
+    * exact sums); the lag window then runs on the cardinality-bounded
+    * monthly frame (one row per month — a bounded statistic, so its single
+    * ordered partition is fine at any corpus scale, the q_skyline carry-
+    * frame argument). Growth percentages are one double division each over
+    * exact decimal differences.
+    */
+  def growth(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val w = Window.orderBy(col("month"))
+    m.withColumn("prev", lag(col("rev"), 1).over(w))
+      .withColumn("yago", lag(col("rev"), 12).over(w))
+      .select(col("month"), col("rev").cast("double").as("revenue"),
+        (expr("CAST(rev - prev AS DOUBLE)") / col("prev").cast("double")).as("mom_pct"),
+        (expr("CAST(rev - yago AS DOUBLE)") / col("yago").cast("double")).as("yoy_pct"))
+  }
+
   /** Robust per-key anomaly detection: MAD (median-absolute-deviation)
     * z-scores — the outlier flag that survives the outliers themselves
     * (mean/stddev are dragged by the very anomalies they should flag; the
@@ -2129,6 +2149,7 @@ object RelationalQueries {
     "q_session_window" -> sessionWindow,
     "q_anomaly_mad" -> anomalyMad,
     "q_forecast_seasonal" -> forecastSeasonal,
+    "q_growth" -> growth,
     "q_transition_matrix" -> transitionMatrix,
     "q_rfm" -> rfm,
     "q_gini" -> gini,
@@ -3079,6 +3100,20 @@ object RelationalQueries {
         |       max(ts) + INTERVAL 1800 SECOND AS session_end,
         |       CAST(count(1) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_growth" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT month, rev,
+        |    lag(rev, 1) OVER (ORDER BY month) AS prev,
+        |    lag(rev, 12) OVER (ORDER BY month) AS yago
+        |  FROM m)
+        |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) AS mom_pct,
+        |  CAST(rev - yago AS DOUBLE) / CAST(yago AS DOUBLE) AS yoy_pct
+        |FROM w""".stripMargin,
     "q_transition_matrix" ->
       """WITH w AS (
         |  SELECT user_id, event_type,
