@@ -235,6 +235,20 @@ object StreamingRelationalize {
           val merged = prior.fold(observed)(_.merge(observed))
           prior.filter(_.outputColumns != merged.outputColumns)
             .foreach(p => migrateParquet(spark, tablePath, p, merged))
+          // drift log: every column-level change this batch caused, as an
+          // auditable history next to the data (the streaming face of
+          // rel_schema_drift — ChoiceSchema.diff is lattice-aware, so each
+          // row carries the widening-vs-breaking verdict). Batch-id subpath
+          // + Overwrite = replay-idempotent, same as the data writes.
+          prior.map(_.diff(merged)).filter(_.nonEmpty).foreach { drifts =>
+            import spark.implicits._
+            drifts.map(d => (batchId, t, d.column, d.change,
+                d.from.orNull, d.to.orNull, d.widening))
+              .toDF("batch_id", "table", "column", "change",
+                "from_type", "to_type", "widening")
+              .coalesce(1)
+              .write.mode(SaveMode.Overwrite).parquet(s"$outDir/_drift_log/$t/b$batchId")
+          }
           SchemaStore.save(spark, outDir, t, merged)
           RelationalizeSpark.toDataFrame(emitted, t, merged)
             .write.mode(SaveMode.Overwrite).parquet(s"$tablePath/b$batchId")
@@ -248,6 +262,27 @@ object StreamingRelationalize {
     */
   def readTable(spark: SparkSession, outDir: String, table: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(s"$outDir/$table")
+
+  /** Read a table's accumulated drift log (one row per column-level schema
+    * change per batch, with the lattice widening-vs-breaking verdict).
+    * Empty frame if no drift ever occurred.
+    */
+  def readDriftLog(spark: SparkSession, outDir: String, table: String): DataFrame = {
+    val path = new Path(s"$outDir/_drift_log/$table")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      spark.read.option("recursiveFileLookup", "true").parquet(path.toString)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("table", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("change", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("from_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("to_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("widening", org.apache.spark.sql.types.BooleanType))))
+  }
 
   /** Convenience: run a micro-batch relationalize stream into per-table
     * parquet directories under `outDir/<table>/b<batchId>/` (batch-id

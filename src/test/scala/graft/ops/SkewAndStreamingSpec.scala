@@ -90,6 +90,21 @@ class SkewAndStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cols = streamed.columns.sorted.map(col)
     assert(streamed.select(cols: _*).collect().map(key).sorted.toSeq ==
       batchRun.select(cols: _*).collect().map(key).sorted.toSeq)
+
+    // the drift LOG recorded exactly this evolution, with the lattice
+    // verdicts: v retyped int -> c-int-str (widening), w added (widening)
+    val drift = StreamingRelationalize.readDriftLog(spark, s"$tmp/out", "t")
+      .collect()
+      .map(r => (r.getString(2), r.getString(3), r.getString(4),
+        r.getString(5), r.getBoolean(6))).toSet
+    assert(drift == Set(
+      ("v", "retyped", "int", "c-int-str", true),
+      ("w", "added", null, "bool", true)),
+      s"drift log mismatch: $drift")
+    // batch 1 created the table (no prior) — no drift rows for it
+    val batches = StreamingRelationalize.readDriftLog(spark, s"$tmp/out", "t")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(batches.size == 1, s"expected drift only from the widening batch: $batches")
   }
 
   test("interrupted migration swap: every crash state self-heals") {
