@@ -222,6 +222,11 @@ object GrowthCurve {
       rows += (("q_pagerank", tag, n, edgeCount, prOut, prSec))
       val (trOut, trSec) = timed(graft.ops.IterativeQueries.triangles(spark, dir).count())
       rows += (("q_triangles", tag, n, edgeCount, trOut, trSec))
+      // k-core: each peeling round is two semi joins against the survivor
+      // frame over the once-partitioned edges — per-round cost tracks
+      // edges, round count is data-dependent but capped
+      val (kcOut, kcSec) = timed(graft.ops.IterativeQueries.kcore(spark, dir).count())
+      rows += (("q_kcore", tag, n, edgeCount, kcOut, kcSec))
     }
 
     embScales.foreach { case (tag, n) =>
