@@ -27,7 +27,7 @@ object Bench {
     "q_tpch_q16", "q_tpch_q20", "q_tpch_q22",
     "q_window_running", "q_window_rank", "q_window_range", "q_sessionize", "q_session_window",
     "q_anomaly_mad", "q_forecast_seasonal", "q_growth", "q_funnel", "q_retention", "q_pivot",
-    "q_scd2", "q_gapfill", "q_interval_merge", "q_cumulative_distinct",
+    "q_scd2", "q_gapfill", "q_interval_merge", "q_cumulative_distinct", "q_cohort",
     "q_approx_distinct", "q_sketch_union", "q_approx_quantile", "q_heavy_hitters",
     "q_asof_join", "q_asof_nearest", "q_range_join", "q_grouping_id", "q_not_in",
     "q_fuzzy_join",

@@ -1706,6 +1706,29 @@ object RelationalQueries {
         (expr("CAST(rev - yago AS DOUBLE)") / col("yago").cast("double")).as("yoy_pct"))
   }
 
+  /** Cohort revenue matrix: customers grouped by their FIRST-order month,
+    * each cohort tracked across months-since-acquisition with active-count
+    * and revenue — the LTV/retention grid behind every subscription
+    * dashboard (q_retention's weekly event twin, here on the money).
+    * Month arithmetic is pure integers (`year*12 + month` — no interval
+    * types to disagree about), revenue decimal-exact with one final cast.
+    * Shape: one groupBy for first-order months, one shuffle join back on
+    * the customer key (both sides customer-cardinality), one
+    * cardinality-bounded (cohorts x ages) aggregate.
+    */
+  def cohort(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+    val first = o.groupBy(col("custkey")).agg(min(col("m")).as("cm"))
+    o.join(first, "custkey")
+      .groupBy(expr("CAST((cm - 1) div 12 AS BIGINT)").as("cohort_year"),
+        expr("CAST((cm - 1) % 12 + 1 AS BIGINT)").as("cohort_month"),
+        (col("m") - col("cm")).cast("bigint").as("age_months"))
+      .agg(countDistinct(col("custkey")).as("n_active"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
   /** Robust per-key anomaly detection: MAD (median-absolute-deviation)
     * z-scores — the outlier flag that survives the outliers themselves
     * (mean/stddev are dragged by the very anomalies they should flag; the
@@ -2150,6 +2173,7 @@ object RelationalQueries {
     "q_anomaly_mad" -> anomalyMad,
     "q_forecast_seasonal" -> forecastSeasonal,
     "q_growth" -> growth,
+    "q_cohort" -> cohort,
     "q_transition_matrix" -> transitionMatrix,
     "q_rfm" -> rfm,
     "q_gini" -> gini,
@@ -3100,6 +3124,19 @@ object RelationalQueries {
         |       max(ts) + INTERVAL 1800 SECOND AS session_end,
         |       CAST(count(1) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // pure-integer month arithmetic (year*12+month) — no interval types
+    "q_cohort" ->
+      """WITH first_m AS MATERIALIZED (
+        |  SELECT o_custkey AS custkey,
+        |    min(year(o_orderdate) * 12 + month(o_orderdate)) AS cm
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST((f.cm - 1) // 12 AS BIGINT) AS cohort_year,
+        |       CAST((f.cm - 1) % 12 + 1 AS BIGINT) AS cohort_month,
+        |       CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cm AS BIGINT) AS age_months,
+        |       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN first_m f ON o.o_custkey = f.custkey
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q_growth" ->
       """WITH m AS MATERIALIZED (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
