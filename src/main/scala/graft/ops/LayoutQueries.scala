@@ -72,8 +72,10 @@ object LayoutQueries {
       .drop("__z")
 
   /** Catalog entry: 2-D skyline (Pareto frontier) of the part catalog —
-    * the (price, size) pairs no other pair beats on both dimensions
-    * (minimizing; strict-domination semantics, ties both survive). The
+    * the (price, size) pairs no other pair weakly dominates (minimizing;
+    * WEAK dominance: ≤ on both dimensions with at least one strict — a
+    * pair tied on one dimension and beaten on the other is dropped; only
+    * exact (price, size) duplicates survive, merged into one row). The
     * textbook formulation is an all-pairs NOT EXISTS; this is the sort-based
     * decomposition, and it is partition-parallel rather than a single
     * global window:

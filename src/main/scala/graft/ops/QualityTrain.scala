@@ -122,7 +122,17 @@ object QualityTrain {
     .empty[(SparkSession, String),
       (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]
 
+  /** Drop every memoized trained chain — call after regenerating data under
+    * a dir already trained on within the same session (the
+    * [[SimilarityQueries.pcaChainInvalidate]] twin).
+    */
+  private[graft] def trainChainInvalidate(): Unit = trainMemo.clear()
+
   private def trainChainCached(s: SparkSession, dir: String): DataFrame = {
+    // stopped sessions can never be replayed into — drop their entries so a
+    // long-lived JVM cycling sessions (a test suite) doesn't retain them
+    trainMemo.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(trainMemo.remove)
     val (schema, rows) = trainMemo.getOrElseUpdate((s, dir), {
       val df = trainChainFrom(Tables(s, dir, "documents"))
         .select(col("bv"), col("d"), col("w")) // drop the 64x64 matrix from the replayed row

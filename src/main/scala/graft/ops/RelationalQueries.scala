@@ -891,7 +891,11 @@ object RelationalQueries {
   /** Q11 shape (important stock): per-part value from one region's
     * suppliers vs a scalar-subquery share threshold — the grouped
     * aggregate compared against a fraction of its own total (1-row
-    * broadcast; both sides exact-decimal-derived doubles).
+    * broadcast). Both the per-part value and the corpus total stay EXACT
+    * DECIMAL through the threshold test (`value·10⁴ > 8·total`, the
+    * 0.0008 fraction cleared of its denominator), so the cutoff cannot
+    * depend on float accumulation order; the single double cast happens
+    * in the final projection only.
     */
   def tpchQ11(s: SparkSession, dir: String): DataFrame = {
     val pv = Tables(s, dir, "lineitem")
@@ -902,12 +906,12 @@ object RelationalQueries {
       .join(broadcast(Tables(s, dir, "region").filter(col("r_name") === "ASIA")),
         col("r_regionkey") === col("n_regionkey"))
       .groupBy(col("l_partkey").as("partkey"))
-      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("value"))
+      .agg(sum(dec(col("l_extendedprice"))).as("value_dec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tot = pv.agg(sum(col("value")).as("t"))
+    val tot = pv.agg(sum(col("value_dec")).as("t"))
     val out = pv.crossJoin(broadcast(tot))
-      .filter(col("value") > lit(0.0008) * col("t"))
-      .select(col("partkey"), col("value"))
+      .filter(col("value_dec") * lit(10000L) > lit(8L) * col("t"))
+      .select(col("partkey"), col("value_dec").cast("double").as("value"))
     Lifecycle.released(out, pv)
   }
 
@@ -2408,7 +2412,7 @@ object RelationalQueries {
         |FROM orders o
         |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01' AND o.o_orderdate < TIMESTAMP '1996-10-01'
         |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
-        |              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |              AND epoch_us(l.l_shipdate) // 1000000 > epoch_us(o.o_orderdate) // 1000000 + 60 * 86400)
         |GROUP BY 1""".stripMargin,
     "q_tpch_q6" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
@@ -2472,15 +2476,16 @@ object RelationalQueries {
         |ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20""".stripMargin,
     "q_tpch_q11" ->
       """WITH pv AS (
-        |  SELECT l.l_partkey AS partkey, CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+        |  SELECT l.l_partkey AS partkey, sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value_dec
         |  FROM lineitem l
         |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
         |  JOIN nation n ON n.n_nationkey = s.s_nationkey
         |  JOIN region r ON r.r_regionkey = n.n_regionkey
         |  WHERE r.r_name = 'ASIA'
         |  GROUP BY 1),
-        |tot AS (SELECT sum(value) AS t FROM pv)
-        |SELECT partkey, value FROM pv, tot WHERE value > 0.0008 * t""".stripMargin,
+        |tot AS (SELECT sum(value_dec) AS t FROM pv)
+        |SELECT partkey, CAST(value_dec AS DOUBLE) AS value
+        |FROM pv, tot WHERE value_dec * 10000 > 8 * t""".stripMargin,
     "q_tpch_q12" ->
       """SELECT CASE WHEN l.l_quantity < 15 THEN 'SMALL' WHEN l.l_quantity < 35 THEN 'MEDIUM' ELSE 'LARGE' END AS qty_band,
         |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,

@@ -229,8 +229,15 @@ object RelationalizeQueries {
     Lifecycle.releasedBy(out)(res.release())
   }
 
-  /** DDL generation surfaced as a single row (rows-only check: DDL strings
-    * are not SQL-derivable in DuckDB).
+  /** DDL generation surfaced as (table_name, ddl) rows, fully oracle-gated:
+    * the DuckDB oracle re-derives the choice lattice (the `rel_schema`
+    * logic), expands choice columns to their `<col>_<member>` output names,
+    * renders each through the same base-tag → Postgres-type map, and
+    * assembles the identical `CREATE TABLE IF NOT EXISTS` text with
+    * `string_agg` — sorted rendered column definitions, `"`-quoted
+    * identifiers, the exact separator/newline layout of
+    * [[graft.core.SqlDialect.createTable]] (reference semantics:
+    * `sql_dialects.py:28-36`, column sort per `schema.py:141`).
     */
   def relDdl(spark: SparkSession, dir: String): DataFrame = {
     val docs = choiceDocs(spark, dir)
@@ -388,7 +395,32 @@ object RelationalizeQueries {
         |              WHEN 'datetime' THEN 'TIMESTAMP' ELSE 'BOOLEAN' END || ';'
         |  ELSE '-- retire column "' || "column" || '" (kept for backfill)' END AS stmt
         |FROM d WHERE change <> 'same'""".stripMargin,
-    // rel_ddl: rows-only (DDL strings not derivable in SQL) — no oracle entry.
+    // the full DDL string re-assembled in SQL: lattice -> output columns ->
+    // type map -> string_agg with the dialect's exact separator layout
+    "rel_ddl" ->
+      """WITH obs(col, t) AS (
+        |  SELECT 'event_id', 'int' FROM events
+        |  UNION ALL
+        |  SELECT 'v', CASE WHEN event_id % 3 = 0 THEN 'int'
+        |                   WHEN event_id % 3 = 1 THEN 'str'
+        |                   ELSE 'none' END FROM events
+        |), per AS (
+        |  SELECT col, list_sort(list_filter(list(DISTINCT t), x -> x <> 'none')) AS ms
+        |  FROM obs GROUP BY col
+        |), oc AS (
+        |  SELECT CASE WHEN len(ms) = 1 THEN col ELSE col || '_' || m END AS c,
+        |         CASE WHEN len(ms) = 1 THEN ms[1] ELSE m END AS tag
+        |  FROM per, unnest(ms) AS u(m)
+        |), defs AS (
+        |  SELECT '"' || c || '" ' ||
+        |    CASE tag WHEN 'int' THEN 'BIGINT' WHEN 'str' THEN 'VARCHAR(65535)'
+        |             WHEN 'bool' THEN 'BOOLEAN' WHEN 'float' THEN 'FLOAT'
+        |             WHEN 'datetime' THEN 'TIMESTAMP' ELSE 'BOOLEAN' END AS coldef
+        |  FROM oc)
+        |SELECT 'events' AS table_name,
+        |  'CREATE TABLE IF NOT EXISTS "public"."events" (' || chr(10) || '    ' ||
+        |  string_agg(coldef, chr(10) || '    , ' ORDER BY coldef) || chr(10) || ');' AS ddl
+        |FROM defs""".stripMargin,
     "rel_quarantine" ->
       """SELECT 'quarantined' AS kind,
         |  '{"event_id":' || event_id || ',"props":' AS item

@@ -480,6 +480,9 @@ object SimilarityQueries {
     * integer sum — both engines produce bit-identical rows. The codes
     * array sits behind a graft_barrier: inlined, the error lambda would
     * re-run the code transform per component (the CollapseProject hazard).
+    * The code vector is emitted comma-joined (one scalar per column) so
+    * row-oriented compare harnesses can sort/hash it; the array form stays
+    * internal to the barriered projection.
     */
   def embQuantize(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
@@ -489,7 +492,7 @@ object SimilarityQueries {
         "graft_barrier(transform(sequence(0, size(qv) - 1), i -> " +
           "CASE WHEN rngs[i] = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE ((qv[i] - mins[i]) * 255) div rngs[i] END)) AS codes")
-      .selectExpr("vec_id", "codes",
+      .selectExpr("vec_id", "array_join(codes, ',') AS codes",
         "aggregate(transform(sequence(0, size(qv) - 1), i -> " +
           "CASE WHEN rngs[i] = 0 THEN CAST(0 AS BIGINT) ELSE " +
           "(qv[i] - (mins[i] + (codes[i] * rngs[i]) div 255)) * " +
@@ -885,6 +888,10 @@ object SimilarityQueries {
     */
   private def pcaChainCached(s: SparkSession, dir: String, k: Int,
                              iters: Int = 12): DataFrame = {
+    // purge entries owned by stopped sessions (unreplayable; avoids
+    // retaining dead sessions in a JVM that cycles SparkSessions)
+    pcaChainMemo.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(pcaChainMemo.remove)
     val (schema, rows) = pcaChainMemo.getOrElseUpdate((s, dir, k, iters), {
       val df = pcaChainFrom(Tables(s, dir, "embeddings"), k, iters)
       (df.schema, df.collect())
@@ -1631,9 +1638,9 @@ object SimilarityQueries {
         |s AS (
         |  SELECT list(mn ORDER BY dim) AS mins, list(mx - mn ORDER BY dim) AS rngs FROM d)
         |SELECT vec_id,
-        |  list_transform(range(1, 65),
+        |  array_to_string(list_transform(range(1, 65),
         |    i -> CASE WHEN rngs[i] = 0 THEN CAST(0 AS BIGINT)
-        |              ELSE ((qv[i] - mins[i]) * 255) // rngs[i] END) AS codes,
+        |              ELSE ((qv[i] - mins[i]) * 255) // rngs[i] END), ',') AS codes,
         |  CAST(list_sum(list_transform(range(1, 65),
         |    i -> CASE WHEN rngs[i] = 0 THEN CAST(0 AS BIGINT) ELSE
         |      (qv[i] - (mins[i] + ((((qv[i] - mins[i]) * 255) // rngs[i]) * rngs[i]) // 255))
