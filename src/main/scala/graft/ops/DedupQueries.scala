@@ -1001,12 +1001,46 @@ object DedupQueries {
     (out, Seq(toksF, sel, kept))
   }
 
+  /** The extraction output is PAIR-COUNT-sized (one row per maximal shared
+    * run), i.e. a KB–MB driver statistic at any tested scale — and three
+    * catalog entries consume it (`dedup_substring` emits it,
+    * `dedup_substring_rewrite` re-derives it to build the drop sets,
+    * `dedup_substring_docs` runs the same chain on the natural corpus). The
+    * PCA-chain discipline applies: collect ONCE per (session, dir, corpus,
+    * params) and replay as a local relation — bit-identical rows, no cached
+    * partitions, the rest of the family broadcasts the statistic. Kernels
+    * over arbitrary frames keep calling [[dedupSubstringFrom]] directly.
+    */
+  private val substringMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String, Int, Int, Int, Int),
+      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]
+
+  /** Drop memoized extractions — call after regenerating data under an
+    * already-extracted dir within one session (the
+    * [[SimilarityQueries.pcaChainInvalidate]] twin).
+    */
+  private[graft] def substringChainInvalidate(): Unit = substringMemo.clear()
+
+  private def substringRunsCached(s: SparkSession, dir: String,
+      corpus: String): DataFrame = {
+    substringMemo.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(substringMemo.remove)
+    val key = (s, dir, corpus, TextQueries.WinnowK, TextQueries.WinnowW, -1, 50)
+    val (schema, rows) = substringMemo.getOrElseUpdate(key, {
+      val docs = if (corpus == "overlap") overlapCorpus(s, dir)
+                 else Tables(s, dir, "documents")
+      val df = dedupSubstringFrom(docs)
+      (df.schema, df.collect())
+    })
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** Catalog entry: extract every planted maximal shared run (>= k+w-1
     * tokens) from the constructed-overlap corpus. See [[dedupSubstringFrom]]
     * for why the oracle is pure token-level SQL.
     */
   def dedupSubstring(s: SparkSession, dir: String): DataFrame =
-    dedupSubstringFrom(overlapCorpus(s, dir))
+    substringRunsCached(s, dir, "overlap")
 
   /** The REMOVAL half — what extraction is for (Lee et al. 2022 cut the
     * duplicated spans out of the corpus): every extracted run is deleted
@@ -1024,8 +1058,13 @@ object DedupQueries {
     */
   def dedupSubstringRewriteFrom(docs: DataFrame, k: Int = TextQueries.WinnowK,
       w: Int = TextQueries.WinnowW, minLen: Int = -1,
-      maxDocFreq: Int = 50): DataFrame = {
-    val runs = dedupSubstringFrom(docs, k, w, minLen, maxDocFreq)
+      maxDocFreq: Int = 50): DataFrame =
+    substringRewriteFromRuns(docs, dedupSubstringFrom(docs, k, w, minLen, maxDocFreq))
+
+  /** The rewrite given an already-extracted runs frame — the catalog entry
+    * feeds the memoized statistic here instead of re-running extraction.
+    */
+  private def substringRewriteFromRuns(docs: DataFrame, runs: DataFrame): DataFrame = {
     val drop = runs
       .selectExpr("doc_b AS doc_id",
         "explode(sequence(start_b, start_b + run_len - 1)) AS p")
@@ -1040,10 +1079,13 @@ object DedupQueries {
   }
 
   /** Catalog entry: the constructed-overlap corpus rewritten with every
-    * >= k+w-1-token duplicated span removed from its later document.
+    * >= k+w-1-token duplicated span removed from its later document. Reuses
+    * the memoized extraction ([[substringRunsCached]]) — the family pays
+    * the winnow/anchor/extend pipeline once.
     */
   def dedupSubstringRewrite(s: SparkSession, dir: String): DataFrame =
-    dedupSubstringRewriteFrom(overlapCorpus(s, dir))
+    substringRewriteFromRuns(overlapCorpus(s, dir),
+      substringRunsCached(s, dir, "overlap"))
 
   /** [[dedupSubstringFrom]] on the NATURAL `documents` corpus. The
     * constructed-corpus entry's pure token-level oracle proves the MOSS
@@ -1056,7 +1098,7 @@ object DedupQueries {
     * a token-verified true shared run on any corpus.
     */
   def dedupSubstringDocs(s: SparkSession, dir: String): DataFrame =
-    dedupSubstringFrom(Tables(s, dir, "documents"))
+    substringRunsCached(s, dir, "documents")
 
   /** Public catalog: scale-safe paths only. The quadratic all-pairs
     * baselines live in [[oracleBaselines]] so a user browsing this map

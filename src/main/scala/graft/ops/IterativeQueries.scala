@@ -257,6 +257,106 @@ object IterativeQueries {
     Lifecycle.released(out, edgesDeg)
   }
 
+  /** Round cap for [[pagerankDirected]] — the oracle unrolls exactly this
+    * many rounds; the kernel may exit earlier at the EXACT integer fixpoint
+    * (once a round changes no rank, every later round is a no-op — the
+    * q_kcore proof shape, sound here because the arithmetic is pure
+    * fixed-point integer).
+    */
+  private val PagerankDirectedIters = 12
+
+  /** PageRank on a genuinely DIRECTED graph: the co-occurrence pairs
+    * oriented low-key → high-key, so nodes that only ever appear as the
+    * higher endpoint have out-degree 0 — real dangling sinks. Two things
+    * [[pagerank]]'s symmetric kernel cannot handle, both standard for web-
+    * scale crawl graphs:
+    *
+    *  - dangling-mass redistribution: each round collects the rank sitting
+    *    on out-degree-0 nodes (ONE 1-row aggregate over the rank vector)
+    *    and hands every node its `dm div n` share before damping —
+    *    without it the sinks silently drain mass and ranks are wrong;
+    *  - convergence early-exit: each round's projection carries a `moved`
+    *    flag (new rank ≠ old rank), and the round-end count that
+    *    materializes the generation doubles as the fixpoint check.
+    *
+    * All arithmetic stays scaled-BIGINT fixed point ([[PagerankScale]],
+    * floor division on non-negatives), so the DuckDB oracle — the same
+    * rounds unrolled with a per-round dangling-mass CTE — hash-matches
+    * bit-for-bit, and the fixpoint is EXACT (integer equality), which is
+    * what makes the early exit provably equivalent to the full unroll.
+    *
+    * Scale shape: identical to [[pagerank]] (edges+degree shuffled onto src
+    * once and persisted; only the rank vector moves per round) plus one
+    * 1-row aggregate per round; each generation is persisted, its
+    * predecessor released, lineage truncated to a LogicalRDD (the vector
+    * feeds the contrib join, the dangling aggregate, and the moved check).
+    */
+  def pagerankDirected(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> transform(filter(ps, y -> x < y), " +
+          "y -> struct(x AS src, y AS dst))))")).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .distinct()
+    pagerankDirectedFrom(s, edges)._1
+  }
+
+  /** [[pagerankDirected]]'s kernel over an arbitrary (src, dst) edge frame —
+    * no out-degree precondition. Returns (ranks, roundsRun) so specs can
+    * observe the early exit.
+    */
+  private[graft] def pagerankDirectedFrom(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = PagerankDirectedIters): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel
+    val edgesDeg = edges
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // node universe with out-degree (0 = dangling sink), one row per node
+    val nodeDeg = edgesDeg.select(col("src").as("node"), col("deg").as("odeg"))
+      .unionAll(edgesDeg.select(col("dst").as("node"), lit(0L).as("odeg")))
+      .groupBy(col("node")).agg(max(col("odeg")).as("odeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val consts = broadcast(nodeDeg.agg(count(lit(1)).as("n")).select(
+      col("n"),
+      expr(s"((CAST($PagerankScale AS BIGINT) * 15) div 100) div n").as("base"),
+      expr(s"CAST($PagerankScale AS BIGINT) div n").as("init")))
+    val init0 = nodeDeg.crossJoin(consts)
+      .select(col("node"), col("odeg"), col("init").as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = spark.createDataFrame(init0.rdd, init0.schema)
+    var backing = init0
+    var round = 0
+    var fixpoint = false
+    while (round < maxRounds && !fixpoint) {
+      round += 1
+      // the mass stranded on sinks this round: 1-row, broadcast
+      val dm = broadcast(ranks.filter(col("odeg") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm")))
+      val contrib = edgesDeg
+        .join(ranks.select(col("node"), col("rank")), col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(expr("rank div deg")).as("contrib"))
+      val next = ranks.select(col("node"), col("odeg"), col("rank").as("prev"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(dm).crossJoin(consts)
+        .select(col("node"), col("odeg"),
+          expr("base + (85 * (coalesce(contrib, CAST(0 AS BIGINT)) + dm div n)) div 100")
+            .as("rank"),
+          col("prev"))
+        .select(col("node"), col("odeg"), col("rank"),
+          (col("rank") =!= col("prev")).as("moved"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // materialize the generation; the same action answers "converged?"
+      fixpoint = next.filter(col("moved")).limit(1).count() == 0
+      backing.unpersist()
+      backing = next
+      ranks = spark.createDataFrame(next.rdd, next.schema)
+    }
+    val out = ranks.select(col("node").as("partkey"), col("rank").as("pr_fixed"))
+    (Lifecycle.released(out, edgesDeg, nodeDeg, backing), round)
+  }
+
   /** Per-node triangle counts + local clustering coefficient over the
     * strong part co-occurrence graph (parts co-appearing in ≥ 2 orders —
     * the support threshold keeps the graph at meaningful association
@@ -461,16 +561,57 @@ object IterativeQueries {
       s"\nSELECT node AS partkey, rank AS pr_fixed FROM r$PagerankIters"
   }
 
+  /** The same rounds as [[pagerankDirected]], unrolled with a per-round
+    * dangling-mass CTE (the 1-row aggregate the Spark kernel broadcasts).
+    * Exact-integer throughout, so extra Spark-side rounds past the fixpoint
+    * (or the kernel's early exit before this unroll's depth) cannot
+    * diverge.
+    */
+  private def pagerankDirectedOracle: String = {
+    val scale = s"CAST($PagerankScale AS BIGINT)"
+    val base = s"(($scale * 15) // 100) // (SELECT n FROM nn)"
+    val head = Seq(
+      """edges AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin,
+      "outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+      "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+      "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+      """nd AS MATERIALIZED (
+        |  SELECT n.node, coalesce(d.deg, 0) AS odeg
+        |  FROM nodes n LEFT JOIN outdeg d ON d.src = n.node)""".stripMargin,
+      s"r0 AS MATERIALIZED (SELECT node, $scale // (SELECT n FROM nn) AS rank FROM nodes)")
+    val rounds = (1 to PagerankDirectedIters).map { t =>
+      s"""d$t AS MATERIALIZED (
+         |  SELECT coalesce(sum(r.rank), 0) AS dm
+         |  FROM r${t - 1} r JOIN nd ON nd.node = r.node AND nd.odeg = 0),
+         |c$t AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(r.rank // o.deg) AS contrib
+         |  FROM edges e JOIN r${t - 1} r ON e.src = r.node
+         |  JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+         |r$t AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    CAST($base + (85 * (coalesce(c.contrib, 0) +
+         |      (SELECT dm FROM d$t) // (SELECT n FROM nn))) // 100 AS BIGINT) AS rank
+         |  FROM nd LEFT JOIN c$t c ON c.node = nd.node)""".stripMargin
+    }
+    (head ++ rounds).mkString("WITH ", ",\n", "") +
+      s"\nSELECT node AS partkey, rank AS pr_fixed FROM r$PagerankDirectedIters"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hierarchy" -> hierarchy,
     "q_hierarchy_rollup" -> hierarchyRollup,
     "q_pagerank" -> pagerank,
+    "q_pagerank_directed" -> pagerankDirected,
     "q_kcore" -> kcore,
     "q_triangles" -> triangles,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pagerankOracle,
+    "q_pagerank_directed" -> pagerankDirectedOracle,
     "q_kcore" -> kcoreOracle,
     "q_triangles" ->
       """WITH pe AS MATERIALIZED (
