@@ -43,26 +43,51 @@ import org.apache.spark.sql.functions._
   */
 object BpeTokenizer {
 
-  /** Merges learned per [[learnFrom]] run (and length of [[PinnedMerges]]). */
-  val NMerges = 24
+  /** Merges learned per [[learnFrom]] run (and length of [[PinnedMerges]]).
+    * 64 is where this corpus's gate entry sits: the synthetic `documents`
+    * vocabulary is 31 distinct words (max length 8), and greedy BPE
+    * EXHAUSTS it at 89 merges — there is no 256-merge table to learn here.
+    * The architecture is round-count-agnostic (each round costs one
+    * vocab-frame aggregation + a 1-row argmax, and the loop exits on
+    * exhaustion), so a production corpus dials `nMerges` to 10⁴–10⁵
+    * directly; `Round9Spec` pins the exhaustion behavior by requesting 256
+    * and asserting termination + greedy-prefix stability vs this table.
+    */
+  val NMerges = 64
 
   /** Merge rounds applied per word in [[applyWords]] — at most one RANK is
     * resolved per round (all its occurrences), so any word of up to
-    * ApplySteps + 1 symbols fully converges.
+    * ApplySteps + 1 symbols fully converges. The corpus's longest word is
+    * 8 characters (≤ 7 merges), so 8 steps reach every word's fixpoint
+    * regardless of merge-table size.
     */
   val ApplySteps = 8
 
+  /** Checkpoint the learn chain every this many rounds — bounds both the
+    * stacked-projection plan depth the per-round argmax re-analyzes and the
+    * RDD task-serialization recursion (which overflows the stack near 60
+    * chained wrappers). One vocab-sized materialization per window.
+    */
+  private val TruncateEvery = 16
+
   /** The pinned merge table consumed by [[tokens]] and [[TokenCounter.Bpe]]:
-    * the [[learnFrom]] output on the sf0.01 `documents` corpus (round-8
-    * snapshot), embedded so application is corpus-independent (the learn
-    * entry's oracle re-learns from whatever corpus is present, so the GATE
-    * never depends on this snapshot matching the current testdata). Each
-    * entry is the space-joined pair "x y" at rank = position + 1.
+    * the [[learnFrom]] output on the sf0.01 `documents` corpus (round-9
+    * snapshot, 64 merges — its 24-merge prefix is the round-8 table:
+    * greedy BPE is prefix-stable), embedded so application is
+    * corpus-independent (the learn entry's oracle re-learns from whatever
+    * corpus is present, so the GATE never depends on this snapshot matching
+    * the current testdata). Each entry is the space-joined pair "x y" at
+    * rank = position + 1.
     */
   val PinnedMerges: Seq[String] = Seq(
     "e r", "i n", "o w", "o r", "s t", "m er", "a t", "l u",
     "a r", "p ar", "j o", "jo in", "a s", "as h", "h ash", "r ow",
-    "at c", "atc h", "b atch", "a n", "c an", "s can", "c o", "c u")
+    "at c", "atc h", "b atch", "a n", "c an", "s can", "c o", "c u",
+    "co lu", "colu m", "colum n", "cu st", "cust o", "custo mer", "f i", "fi l",
+    "fil t", "filt er", "a l", "al l", "m all", "s mall", "g e", "l ow",
+    "mer ge", "s low", "c t", "ct or", "d er", "e ctor", "or der", "v ector",
+    "in e", "l ine", "a b", "ab l", "abl e", "at a", "d ata", "t able",
+    "u p", "a g", "ag g", "a lu", "alu e", "v alue", "e y", "k ey")
 
   private def sq(s: String) = "'" + s.replace("'", "''") + "'"
 
@@ -128,12 +153,21 @@ object BpeTokenizer {
     require(nMerges >= 1)
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.registerAll(spark)
+    import org.apache.spark.storage.StorageLevel
     val toks = Tokenize.Whitespace.sql("text")
     val vocab = docs.selectExpr(s"explode($toks) AS w")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .selectExpr("w", "cnt", s"$charsSql AS ss")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var state = vocab
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the state chain needs TWO growth bounds for large merge tables:
+    // plan-side, the barriered splice projections stack one per round (the
+    // argmax would re-analyze r projections at round r); RDD-side, every
+    // wrapper deepens task-serialization recursion until it overflows the
+    // stack (~60 rounds). A checkpoint every [[TruncateEvery]] rounds cuts
+    // BOTH lineages at the cost of one vocab-sized materialization —
+    // between truncation points the chain stays lazy (each argmax recomputes
+    // at most TruncateEvery splices over the vocab frame).
+    var state: DataFrame = vocab
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var exhausted = false
     for (r <- 1 to nMerges if !exhausted) {
@@ -155,6 +189,7 @@ object BpeTokenizer {
         merges += ((r, s"$bx $by", n))
         state = state.selectExpr("w", "cnt",
           s"graft_barrier(${spliceSql("ss", sq(bx), sq(by))}) AS ss")
+        if (r % TruncateEvery == 0) state = Lifecycle.released(state)
       }
     }
     vocab.unpersist()

@@ -92,6 +92,57 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"spark ran $sparkRounds rounds, sequential reference ran $rounds")
   }
 
+  // --- BPE at the larger merge table ----------------------------------------
+
+  test("BPE learn: a 256-merge ask terminates at corpus exhaustion, prefix-stable over the 64 table") {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val full = BpeTokenizer.learnFrom(docs, nMerges = 256).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    // the 31-word corpus cannot sustain 256 merges: the loop must exit on
+    // the empty-argmax exhaustion signal, not run the full round budget
+    assert(full.size < 256 && full.size >= BpeTokenizer.NMerges,
+      s"expected exhaustion in [${BpeTokenizer.NMerges}, 256), got ${full.size} merges")
+    val m64 = BpeTokenizer.learnFrom(docs, nMerges = BpeTokenizer.NMerges).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(full.take(BpeTokenizer.NMerges) == m64,
+      "greedy BPE must be prefix-stable: the 256-ask's first 64 merges differ from the 64-ask")
+    // at exhaustion every corpus word has fully merged into ONE symbol
+    // (no same-symbol adjacent pairs exist in this vocabulary)
+    val words = docs.selectExpr(s"explode(${Tokenize.Whitespace.sql("text")}) AS w")
+      .distinct()
+    val subs = BpeTokenizer.applyWords(words, full.map(_._2)).collect()
+    assert(subs.nonEmpty && subs.forall(_.getInt(1) == 1),
+      s"unmerged words at exhaustion: ${subs.filter(_.getInt(1) > 1).map(_.getString(0)).toSeq}")
+  }
+
+  test("doc_pack_bpe: the 64-merge table visibly tightens pack budgets vs the round-8 24-merge prefix") {
+    val budget = 256L
+    def nPacks(merges: Seq[String]): Long = {
+      val docs = Tables(spark, dir, "documents")
+      val tok = docs.selectExpr("doc_id", "lang",
+        s"explode(${Tokenize.Whitespace.sql("text")}) AS w")
+      val nTok = tok
+        .join(BpeTokenizer.applyWords(tok.select(col("w")).distinct(), merges), Seq("w"))
+        .groupBy(col("doc_id"), col("lang")).agg(sum(col("n_sub")).as("n_tok"))
+      CurationQueries.packTokens(nTok, budget)
+        .select(col("lang"), col("pack_id")).distinct().count()
+    }
+    val full = nPacks(BpeTokenizer.PinnedMerges)
+    val prefix24 = nPacks(BpeTokenizer.PinnedMerges.take(24))
+    // more merges -> fewer subwords per word -> the same budget holds more
+    // documents -> strictly fewer packs: the vocabulary scale-up is LIVE in
+    // the curation dial, not a cosmetic constant
+    assert(full < prefix24,
+      s"64-merge packs ($full) must undercut the 24-merge prefix ($prefix24)")
+    // and the dial itself differs from the chars/4 heuristic (BPE counts
+    // real subwords, which on this corpus EXCEED the len/4 underestimate)
+    def nPacksHeur(): Long =
+      CurationQueries.packSequences(spark, dir, budget)
+        .select(col("lang"), col("pack_id")).distinct().count()
+    assert(full != nPacksHeur(), "BPE dial indistinguishable from chars/4")
+  }
+
   // --- substring memoization ------------------------------------------------
 
   test("substring family: rewrite reuses the memoized extraction (values identical, one extraction)") {
