@@ -5,11 +5,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: media payloads are opaque `BinaryType` columns
-  * with typed metadata travelling alongside. The decode step itself is a
-  * clearly-marked deterministic STUB (no image/audio codecs in this
-  * environment) — what is real and tested is the Spark-side shape: binary
-  * columns, schema, batched per-partition processing (the Scala analog of a
-  * pandas-batch UDF), and partition-parallel feature extraction.
+  * with typed metadata travelling alongside. As of round 9 the decode step
+  * is REAL for images — `mm_decode` pushes genuine PNG bytes through
+  * `javax.imageio` (JDK-only, no external codec) inside the batched
+  * mapPartitions pattern, oracle-gated end to end. The remaining `stub_`
+  * columns in the older entries are clearly marked and kept only where the
+  * testdata has no media payload to decode (audio/video codecs are not in
+  * the JDK); the Spark-side shape — binary columns, schema, batched
+  * per-partition processing, partition-parallel feature extraction — is
+  * real and tested throughout.
   */
 object MultimodalQueries {
 
@@ -263,6 +267,105 @@ object MultimodalQueries {
     Lifecycle.released(out, sigs)
   }
 
+  /** Deterministic grayscale pixel grids derived from `documents` — the
+    * md5-pixel formula BOTH engines share: image (w, h) = (8 + id%9,
+    * 8 + id%7); row y's pixels are the first w bytes of md5("<id>:<y>").
+    * Built as pure SQL so the DuckDB oracle can re-derive every pixel; the
+    * codec round trip below is what turns them into REAL image files.
+    */
+  private def pixelGrids(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id",
+        "CAST(8 + doc_id % 9 AS INT) AS w", "CAST(8 + doc_id % 7 AS INT) AS h")
+      .selectExpr("doc_id", "w", "h",
+        "aggregate(transform(sequence(0, h - 1), " +
+          "y -> substring(unhex(md5(concat(CAST(doc_id AS STRING), ':', CAST(y AS STRING)))), 1, w)), " +
+          "unhex(''), (a, x) -> concat(a, x)) AS raster")
+
+  /** REAL PNG encode over (doc_id, w, h, raster): each grid is rendered
+    * through `javax.imageio` (TYPE_BYTE_GRAY `BufferedImage` → PNG bytes)
+    * inside the batched mapPartitions pattern — codec state is initialized
+    * once per partition, exactly where a native decoder would amortize its
+    * setup. Exists to manufacture genuine image payloads on-engine (the
+    * testdata ships no media bytes); [[decodePngs]] is the production-shaped
+    * operator under test.
+    */
+  private[ops] def encodePngs(grids: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("png", BinaryType)))
+    implicit val enc = Encoders.row(outSchema)
+    grids.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false) // no executor-disk scratch
+      batch.map { r =>
+        val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+        val raster = r.getAs[Array[Byte]](3)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setDataElements(0, 0, w, h, raster)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row(id, baos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL PNG decode over (doc_id, png BINARY) — the operator a multimodal
+    * curation pipeline runs at scale: parse the codec container, surface the
+    * decoder-reported dimensions, and hand the luma plane downstream as a
+    * plain BINARY column (here into the codegen'd aHash). JDK-only
+    * (`javax.imageio`), batched per partition; 8-bit grayscale PNG is
+    * lossless, so every decoded byte is oracle-checkable against the pixel
+    * formula that generated it.
+    */
+  private[ops] def decodePngs(pngs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_luma", LongType),
+      StructField("luma", BinaryType)))
+    implicit val enc = Encoders.row(outSchema)
+    pngs.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"doc $id: payload is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val luma = new Array[Byte](w * h)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = img.getRaster.getSample(x, y, 0)
+            luma(y * w + x) = v.toByte
+            sum += v
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, w, h, sum, luma)
+      }
+    }
+  }
+
+  /** Catalog entry: the full encode → decode → feature chain — real PNG
+    * bytes through a real codec, ending in the decoder-reported dimensions,
+    * the exact luma sum, and the codegen'd aHash of the DECODED pixel
+    * plane. The DuckDB oracle recomputes all four from the md5 pixel
+    * formula alone (it never sees a PNG): a hash match proves the
+    * grayscale round trip was byte-lossless end-to-end — the decode path
+    * is no longer a stub.
+    */
+  def mediaDecode(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    decodePngs(encodePngs(pixelGrids(s, dir)))
+      .selectExpr("doc_id", "width", "height", "sum_luma", "ahash60(luma) AS sig")
+  }
+
   /** The fixed-point DCT basis — [[graft.functions.PHash60Impl.M]], the ONE
     * set of 64 integer literals the codegen'd expression, the SQL
     * derivation twin, and the DuckDB oracle all share.
@@ -356,6 +459,7 @@ object MultimodalQueries {
     "mm_phash" -> phashSigs,
     "mm_frame_dedup" -> ((s, dir) => frameDedup(s, dir)),
     "mm_meta" -> mediaMeta,
+    "mm_decode" -> mediaDecode,
     "mm_ahash" -> ahashSigs,
     "mm_ahash_dedup" -> ((s, dir) => ahashDedup(s, dir)),
     "mm_features" -> mediaFeatures,
@@ -465,6 +569,35 @@ object MultimodalQueries {
         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+    // every pixel re-derived from the shared md5 formula; a match proves
+    // the PNG encode->decode round trip returned the exact raster
+    "mm_decode" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w, CAST(8 + doc_id % 7 AS INT) AS h
+        |  FROM documents),
+        |rws AS (
+        |  SELECT doc_id, w, h, y, substr(md5(doc_id || ':' || y), 1, 2 * w) AS rowhex
+        |  FROM g, LATERAL (SELECT unnest(range(0, h)) AS y) t),
+        |hxs AS MATERIALIZED (
+        |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |         string_agg(rowhex, '' ORDER BY y) AS hx
+        |  FROM rws GROUP BY doc_id),
+        |px AS MATERIALIZED (
+        |  SELECT doc_id, w, h, w * h AS n,
+        |    list_transform(range(0, w * h), i ->
+        |      (instr('0123456789abcdef', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 +
+        |      instr('0123456789abcdef', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1) AS p
+        |  FROM hxs),
+        |samp AS (
+        |  SELECT doc_id, w, h, p,
+        |    list_transform(range(0, 60), k -> p[CAST((k * n) // 60 + 1 AS INT)]) AS sp
+        |  FROM px)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(list_sum(p) AS BIGINT) AS sum_luma,
+        |  CAST(list_sum(list_transform(range(0, 60), k ->
+        |    CASE WHEN 60 * sp[CAST(k + 1 AS INT)] > list_sum(sp)
+        |         THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |FROM samp""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, source,
         |  CAST(length(text) AS INT) AS n_bytes,

@@ -143,6 +143,41 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full != nPacksHeur(), "BPE dial indistinguishable from chars/4")
   }
 
+  // --- real PNG decode --------------------------------------------------------
+
+  test("mm_decode: payloads are genuine PNG files and the decoded raster is byte-exact") {
+    val grids = Tables(spark, dir, "documents")
+      .selectExpr("doc_id",
+        "CAST(8 + doc_id % 9 AS INT) AS w", "CAST(8 + doc_id % 7 AS INT) AS h")
+      .selectExpr("doc_id", "w", "h",
+        "aggregate(transform(sequence(0, h - 1), " +
+          "y -> substring(unhex(md5(concat(CAST(doc_id AS STRING), ':', CAST(y AS STRING)))), 1, w)), " +
+          "unhex(''), (a, x) -> concat(a, x)) AS raster")
+    val rasters = grids.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3))).toMap
+    val pngs = MultimodalQueries.encodePngs(grids).collect()
+    val magic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+    pngs.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      assert(bytes.take(4).sameElements(magic),
+        s"doc ${r.getLong(0)}: encode did not produce a PNG container")
+    }
+    import spark.implicits._
+    val decoded = MultimodalQueries.decodePngs(
+        pngs.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq.toDF("doc_id", "png"))
+      .collect()
+    assert(decoded.length == rasters.size)
+    decoded.foreach { r =>
+      val (w, h, raster) = rasters(r.getLong(0))
+      assert(r.getInt(1) == w && r.getInt(2) == h,
+        s"doc ${r.getLong(0)}: decoder dims ${r.getInt(1)}x${r.getInt(2)} != ${w}x$h")
+      assert(r.getAs[Array[Byte]](4).sameElements(raster),
+        s"doc ${r.getLong(0)}: decoded luma differs from the encoded raster")
+      assert(r.getLong(3) == raster.map(b => (b & 0xff).toLong).sum,
+        s"doc ${r.getLong(0)}: sum_luma mismatch")
+    }
+  }
+
   // --- substring memoization ------------------------------------------------
 
   test("substring family: rewrite reuses the memoized extraction (values identical, one extraction)") {
