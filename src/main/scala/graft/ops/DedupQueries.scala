@@ -884,7 +884,7 @@ object DedupQueries {
     * doc_id, so cross-document token equality happens ONLY inside planted
     * blocks — which makes the pure token-level oracle below exact.
     */
-  private[ops] def overlapCorpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def overlapCorpus(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "customer").selectExpr("c_custkey AS g")
       .selectExpr("g", "explode(array(0, 1)) AS side")
       .selectExpr("2 * g + side AS doc_id", "g",

@@ -230,6 +230,111 @@ object StreamingDedup {
     * offline join against the corpus store — the same online-cheap /
     * offline-exact split as [[minhashCandidates]].
     */
+  /** A VERIFIED maximal shared token run between the arriving document and
+    * the fingerprint's anchor — the streaming face of
+    * [[graft.ops.DedupQueries.dedupSubstringFrom]]'s output rows
+    * (`doc_a < doc_b`; starts are 1-based token indices).
+    */
+  final case class SubstringRun(doc_a: Long, doc_b: Long,
+                                start_a: Int, start_b: Int, run_len: Int)
+
+  /** Per-fingerprint state for [[substringCandidates]]: the anchor document,
+    * ONE representative gram position (the earliest — sufficient for maximal
+    * runs whose shared region has no internal k-gram repeat, the same
+    * precondition as the batch MOSS-completeness argument), the anchor's
+    * token array, and the emit budget used. State is bounded by ONE
+    * document's length per bucket — the substring analog of
+    * [[minhashVerifiedCandidates]] keeping the anchor's signature.
+    */
+  final case class SubstringBucket(anchor: Long, pos: Int,
+                                   tks: Array[String], emitted: Int)
+
+  /** Streaming EXACT-SUBSTRING extraction — the incremental form of the
+    * batch `dedup_substring` chain: winnowed fingerprints WITH positions
+    * (stateless per-row expressions, the [[winnowCandidates]] build plus the
+    * selected position), keyed by fingerprint; each bucket's state holds the
+    * anchor's (id, position, tokens). A later arrival sharing a fingerprint
+    * is verified token-for-token at the anchor gram (a hash collision can
+    * only ADD a candidate; this removes it) and extended left/right to the
+    * first mismatch — the identical verify+extend semantics as the batch
+    * kernel, run against the state instead of a corpus join. Emitted rows
+    * are (doc_a, doc_b, start_a, start_b, run_len) with `doc_a < doc_b`,
+    * filtered to `minLen` — every one a token-verified true shared run.
+    *
+    * `maxEmitsPerFp` bounds a hot fingerprint's output (the batch
+    * `maxDocFreq` cap in streaming form). Several fingerprints inside one
+    * shared region each emit the same maximal run — `.distinct()` downstream
+    * collapses them, exactly like the batch kernel's final distinct (a
+    * per-batch distinct cannot dedupe across micro-batches; the
+    * online-cheap / offline-exact split again). On a corpus whose shared
+    * regions contain no internally-repeated k-gram and whose fingerprints
+    * are carried by at most two documents, the distinct output in static
+    * mode EQUALS `dedupSubstringFrom` row-for-row (spec-pinned on the
+    * constructed overlap corpus).
+    */
+  def substringCandidates(docs: DataFrame,
+                          k: Int = graft.ops.TextQueries.WinnowK,
+                          w: Int = graft.ops.TextQueries.WinnowW,
+                          minLen: Int = -1,
+                          maxEmitsPerFp: Int = 50): Dataset[SubstringRun] = {
+    val minL = if (minLen > 0) minLen else k + w - 1
+    require(k >= 1 && w >= 1 && minL >= k && maxEmitsPerFp >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val toks = graft.ops.Tokenize.Whitespace.sql("text")
+    docs
+      .selectExpr("doc_id", s"graft_barrier($toks) AS tks")
+      .filter(s"size(tks) >= ${k + w - 1}")
+      .selectExpr("doc_id", "tks",
+        s"graft_barrier(transform(sequence(1, size(tks) - ${k - 1}), " +
+          s"i -> hash60(array_join(slice(tks, i, $k), ' ')))) AS hs")
+      .selectExpr("doc_id", "tks",
+        s"explode(array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
+          s"i -> named_struct('fp', array_min(slice(hs, i, $w)), " +
+          s"'pos', CAST(i - 1 + array_position(slice(hs, i, $w), array_min(slice(hs, i, $w))) AS INT))))) AS sel")
+      .selectExpr("doc_id", "sel.fp AS fp", "sel.pos AS pos", "tks")
+      .as[(Long, Long, Int, Array[String])]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[SubstringBucket, SubstringRun](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[SubstringBucket]) =>
+          // doc_id order within the batch (smallest anchors the rest);
+          // ascending pos keeps the earliest position as the representative
+          val sorted = rows.toArray.sortBy(r => (r._1, r._3))
+          var SubstringBucket(anchor, apos, atks, emitted) =
+            state.getOption.getOrElse(SubstringBucket(Long.MaxValue, 0, Array.empty, 0))
+          val out = Array.newBuilder[SubstringRun]
+          sorted.foreach { case (id, _, pos, tks) =>
+            if (anchor != Long.MaxValue && id != anchor && emitted < maxEmitsPerFp) {
+              // orient the pair doc_a < doc_b like the batch anchors join
+              val (ta, pa, tb, pb, da, db) =
+                if (anchor < id) (atks, apos, tks, pos, anchor, id)
+                else (tks, pos, atks, apos, id, anchor)
+              // verify the anchor gram token-for-token (bounds included)
+              val inBounds = pa + k - 1 <= ta.length && pb + k - 1 <= tb.length
+              if (inBounds && (0 until k).forall(j => ta(pa - 1 + j) == tb(pb - 1 + j))) {
+                var extL = 0
+                while (pa - 1 - extL >= 1 && pb - 1 - extL >= 1 &&
+                  ta(pa - 2 - extL) == tb(pb - 2 - extL)) extL += 1
+                var extR = 0
+                while (pa + k + extR <= ta.length && pb + k + extR <= tb.length &&
+                  ta(pa + k - 1 + extR) == tb(pb + k - 1 + extR)) extR += 1
+                val runLen = extL + k + extR
+                if (runLen >= minL) {
+                  out += SubstringRun(da, db, pa - extL, pb - extL, runLen)
+                  emitted += 1
+                }
+              }
+            }
+            if (id < anchor) { anchor = id; apos = pos; atks = tks }
+          }
+          if (anchor != Long.MaxValue)
+            state.update(SubstringBucket(anchor, apos, atks, emitted))
+          out.result().iterator
+      }
+  }
+
   def winnowCandidates(docs: DataFrame, k: Int = graft.ops.TextQueries.WinnowK,
                        w: Int = graft.ops.TextQueries.WinnowW,
                        maxEmitsPerFp: Int = 50): Dataset[WinnowCandidate] = {

@@ -201,6 +201,55 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == Set((2L, 1L)), s"capped candidates: $capped")
   }
 
+  test("streaming substring extraction equals the batch kernel in static mode (constructed corpus)") {
+    // the overlap corpus satisfies both preconditions of the equality claim:
+    // no k-gram repeats inside a shared region, and every fingerprint is
+    // carried by at most the two sides of its pair
+    val docs = DedupQueries.overlapCorpus(spark, dir)
+    val got = StreamingDedup.substringCandidates(docs)
+      .collect().map(r => (r.doc_a, r.doc_b, r.start_a, r.start_b, r.run_len)).toSet
+    val wantByName = DedupQueries.dedupSubstringFrom(docs).collect().map { r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("start_a"),
+        r.getAs[Int]("start_b"), r.getAs[Int]("run_len"))
+    }.toSet
+    assert(got == wantByName && got.nonEmpty,
+      s"streaming extraction diverged: ${got.diff(wantByName).take(3)} extra, " +
+        s"${wantByName.diff(got).take(3)} missing (of ${wantByName.size})")
+  }
+
+  test("streaming substring extraction recovers a planted run across micro-batches") {
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8" // 8 shared tokens >= k+w-1 = 6
+    val tmp = Files.createTempDirectory("graft-ssubstr").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    // batch 0: the anchor carries the run after a 2-token prefix
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b0.jsonl"), Seq(
+      s"""{"doc_id": 1, "text": "a1 a2 $run a3"}""",
+      s"""{"doc_id": 5, "text": "c1 c2 c3 c4 c5 c6 c7 c8"}""").mkString("\n"))
+    // batch 1: the later side carries it after a 3-token prefix
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b1.jsonl"), Seq(
+      s"""{"doc_id": 7, "text": "d1 d2 d3 $run"}""").mkString("\n"))
+    Seq("b0", "b1").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(java.nio.file.Paths.get(s"$tmp/in/$f.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = StreamingDedup.substringCandidates(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(s"$tmp/in"))
+      .toDF()
+      .writeStream.format("memory").queryName("ssubstr").outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val runs = spark.table("ssubstr").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    // the maximal shared run: doc 1 tokens 3..10, doc 7 tokens 4..11, len 8;
+    // doc 5 shares nothing and must stay silent
+    assert(runs == Set((1L, 7L, 3, 4, 8)), s"recovered runs: $runs")
+  }
+
   test("in-stream verification: matching-minhash estimate, threshold suppression, no text in state") {
     import graft.ops.DedupQueries.MinHashConfig
     val tmp = Files.createTempDirectory("graft-sverify").toString
