@@ -38,7 +38,7 @@ object Bench {
     "ann_ivfpq", "ann_pca_reduced", "ann_pca_recall",
     "q_agg_filter", "q_profile", "q_dq_report", "q_salted_join", "q_hierarchy",
     "q_ivm_join", "q_ivm_agg", "q_agg_corr", "q_regression", "q_ab_test", "q_merge_cdc", "q_temporal_join",
-    "q_pagerank", "q_triangles", "q_kcore", "q_zorder", "q_skyline", "rel_delete_cascade",
+    "q_pagerank", "q_pagerank_directed", "q_triangles", "q_kcore", "q_zorder", "q_skyline", "rel_delete_cascade",
     "q_pseudonymize", "q_transition_matrix", "q_rfm", "q_gini",
     "doc_filter_quantile",
     "text_quality", "text_langid", "text_repetition", "text_tfidf", "text_vocab",
@@ -46,14 +46,14 @@ object Bench {
     "text_winnow", "text_winnow_pairs", "text_containment", "text_nfc_dedup", "dedup_substring",
     "dedup_substring_rewrite", "dedup_substring_docs",
     "text_quality_model", "text_lm_score", "text_bpe_learn", "text_bpe_tokens",
-    "text_quality_train", "text_quality_trained",
+    "text_quality_train", "text_quality_train_cg", "text_quality_trained",
     "doc_pack", "doc_pack_bpe", "doc_chunk", "doc_chunk_bpe", "doc_sample_stratified", "doc_sample_quota", "doc_sample_weighted",
     "doc_sample_quota_sharded", "doc_mix_report", "doc_mix_rates", "q_ewma", "q_holt",
     "doc_upsample", "doc_shuffle_split", "doc_curate",
     "emb_kmeans", "emb_covariance", "emb_quantize", "ann_sq8", "ann_sq8_recall",
     "ann_matryoshka", "ann_matryoshka_recall", "search_hybrid_rrf", "emb_pca_power", "emb_pca_project",
     "emb_pca_topk", "emb_pca_project_topk", "emb_pca_whiten",
-    "mm_features", "mm_ahash", "mm_phash", "mm_ahash_dedup", "mm_frame_dedup")
+    "mm_features", "mm_ahash", "mm_phash", "mm_ahash_dedup", "mm_frame_dedup", "mm_decode")
 
   /** Timed runs per query; the reported time is the median, so one GC pause /
     * noisy-neighbor stall in the sandbox no longer poisons the recorded

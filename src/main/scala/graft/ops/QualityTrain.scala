@@ -47,6 +47,10 @@ import org.apache.spark.sql.functions._
 object QualityTrain {
 
   val TrainIters = 32
+  /** CG rounds — reaches a lower residual than [[TrainIters]] GD steps on
+    * this system (the ~4x iteration cut; spec-measured).
+    */
+  val CgIters = 8
   /** SQL literal so both engines parse the identical double. */
   val TrainLr = "0.1"
   /** 2^40: fixed-point scale for the integer scorer weights. */
@@ -76,10 +80,11 @@ object QualityTrain {
       .selectExpr("doc_id", "nt", "f", "sraw", "IF(sraw >= 0, 1L, -1L) AS y")
   }
 
-  /** The trained single-row frame: columns m (64x64 BIGINT), bv (64
-    * BIGINT), d (64 DOUBLE) and w (64 DOUBLE after [[TrainIters]] steps).
+  /** The sufficient-statistics single-row frame (m 64x64 BIGINT, bv 64
+    * BIGINT, d 64 DOUBLE, w = 0) — ONE corpus pass, shared by the GD and
+    * CG solvers.
     */
-  private[ops] def trainChainFrom(docs: DataFrame): DataFrame = {
+  private def statChainFrom(docs: DataFrame): DataFrame = {
     // one corpus pass: per doc explode 64 rows x 65 cells (k=0 carries the
     // b term), partial-aggregated onto 64x65 keys before any shuffle
     val cells = featuresFrom(docs)
@@ -88,7 +93,7 @@ object QualityTrain {
         "IF(k = 0, element_at(f, i) * y, element_at(f, i) * element_at(f, k)))))) AS c")
       .selectExpr("c.i AS i", "posexplode(c.ks) AS (k, v)")
       .groupBy(col("i"), col("k")).agg(sum(col("v")).as("v"))
-    val one = cells
+    cells
       .groupBy(col("i"))
       .agg(expr("transform(array_sort(collect_list(struct(k, v))), x -> x.v)").as("kv"))
       .groupBy()
@@ -99,7 +104,13 @@ object QualityTrain {
       .selectExpr("m", "bv",
         s"transform(sequence(1, $Dim), i -> CAST(greatest(element_at(element_at(m, i), i), 1L) AS DOUBLE)) AS d",
         s"transform(sequence(1, $Dim), i -> CAST(0 AS DOUBLE)) AS w")
-    var cur = one
+  }
+
+  /** The trained single-row frame: columns m (64x64 BIGINT), bv (64
+    * BIGINT), d (64 DOUBLE) and w (64 DOUBLE after [[TrainIters]] steps).
+    */
+  private[ops] def trainChainFrom(docs: DataFrame): DataFrame = {
+    var cur = statChainFrom(docs)
     for (_ <- 1 to TrainIters) {
       // w_i <- w_i - lr * (((A w)_i - b_i) / d_i); the matrix-vector fold is
       // the pinned left-to-right `aggregate` so DuckDB's list_reduce twin
@@ -113,13 +124,64 @@ object QualityTrain {
     cur
   }
 
+  /** Jacobi-preconditioned CONJUGATE-GRADIENT solve of the same normal
+    * equations — the Krylov upgrade of [[trainChainFrom]]'s fixed-step GD:
+    * where GD needs [[TrainIters]] = 32 preconditioned steps to reach the
+    * informative bottom of A's ~9-decade spectrum, CG's optimal step/
+    * direction choice gets a LOWER residual in [[CgIters]] = 8 (the ~4x
+    * iteration cut; spec-measured). Every step is two matrix-vector folds
+    * plus a handful of scalar divisions on the single-row frame — the same
+    * barriered-projection discipline, zero jobs beyond the corpus pass,
+    * every IEEE operation in the pinned left-to-right fold order so the
+    * generated DuckDB twin lands on bit-identical doubles. Exact
+    * stagnation (pᵀAp = 0 or rᵀz = 0) freezes the state via guarded
+    * divisions (alpha/beta = 0) — mirrored in the oracle, so a corpus that
+    * converges exactly inside the round budget still hash-matches.
+    */
+  private[ops] def trainCgChainFrom(docs: DataFrame): DataFrame = {
+    val dot = (a: String, b: String) =>
+      s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), " +
+        s"(acc, k) -> acc + element_at($a, k) * element_at($b, k))"
+    var cur = statChainFrom(docs)
+      // w0 = 0; r0 = b; z0 = r0/d; p0 = z0; rz0 = r0·z0
+      .selectExpr("m", "bv", "d", "w",
+        s"graft_barrier(transform(sequence(1, $Dim), i -> CAST(element_at(bv, i) AS DOUBLE))) AS r")
+      .selectExpr("m", "bv", "d", "w", "r",
+        s"graft_barrier(transform(sequence(1, $Dim), i -> element_at(r, i) / element_at(d, i))) AS p")
+      .selectExpr("m", "bv", "d", "w", "r", "p",
+        s"graft_barrier(${dot("r", "p")}) AS rz")
+    for (_ <- 1 to CgIters) {
+      cur = cur
+        .selectExpr("m", "bv", "d", "w", "r", "p", "rz",
+          s"graft_barrier(transform(sequence(1, $Dim), i -> " +
+            s"aggregate(sequence(1, $Dim), CAST(0 AS DOUBLE), " +
+            "(acc, k) -> acc + CAST(element_at(element_at(m, i), k) AS DOUBLE) * element_at(p, k)))) AS ap")
+        .selectExpr("m", "bv", "d", "w", "r", "p", "rz", "ap",
+          s"graft_barrier(${dot("p", "ap")}) AS pap")
+        .selectExpr("m", "bv", "d", "w", "r", "p", "rz", "ap",
+          "graft_barrier(IF(pap = 0, CAST(0 AS DOUBLE), rz / pap)) AS alpha")
+        .selectExpr("m", "bv", "d", "p", "rz",
+          s"graft_barrier(transform(sequence(1, $Dim), i -> element_at(w, i) + alpha * element_at(p, i))) AS w",
+          s"graft_barrier(transform(sequence(1, $Dim), i -> element_at(r, i) - alpha * element_at(ap, i))) AS r")
+        .selectExpr("m", "bv", "d", "w", "r", "p", "rz",
+          s"graft_barrier(transform(sequence(1, $Dim), i -> element_at(r, i) / element_at(d, i))) AS z")
+        .selectExpr("m", "bv", "d", "w", "r", "p", "rz", "z",
+          s"graft_barrier(${dot("r", "z")}) AS rz2")
+        .selectExpr("m", "bv", "d", "w", "r", "p", "z", "rz2",
+          "graft_barrier(IF(rz = 0, CAST(0 AS DOUBLE), rz2 / rz)) AS beta")
+        .selectExpr("m", "bv", "d", "w", "r", "rz2 AS rz",
+          s"graft_barrier(transform(sequence(1, $Dim), i -> element_at(z, i) + beta * element_at(p, i))) AS p")
+    }
+    cur
+  }
+
   /** The trained chain's single row is a KB statistic consumed by BOTH
-    * catalog entries — memoized per (session, dir) and replayed as a local
-    * relation, the PCA-chain discipline (kernels over arbitrary frames
-    * keep calling [[trainChainFrom]] directly).
+    * catalog entries — memoized per (session, dir, solver) and replayed as
+    * a local relation, the PCA-chain discipline (kernels over arbitrary
+    * frames keep calling [[trainChainFrom]] directly).
     */
   private val trainMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String),
+    .empty[(SparkSession, String, String),
       (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]
 
   /** Drop every memoized trained chain — call after regenerating data under
@@ -128,13 +190,17 @@ object QualityTrain {
     */
   private[graft] def trainChainInvalidate(): Unit = trainMemo.clear()
 
-  private def trainChainCached(s: SparkSession, dir: String): DataFrame = {
+  private def trainChainCached(s: SparkSession, dir: String,
+      solver: String = "gd"): DataFrame = {
     // stopped sessions can never be replayed into — drop their entries so a
     // long-lived JVM cycling sessions (a test suite) doesn't retain them
     trainMemo.keysIterator.filter(_._1.sparkContext.isStopped)
       .foreach(trainMemo.remove)
-    val (schema, rows) = trainMemo.getOrElseUpdate((s, dir), {
-      val df = trainChainFrom(Tables(s, dir, "documents"))
+    val (schema, rows) = trainMemo.getOrElseUpdate((s, dir, solver), {
+      val chain =
+        if (solver == "cg") trainCgChainFrom(Tables(s, dir, "documents"))
+        else trainChainFrom(Tables(s, dir, "documents"))
+      val df = chain
         .select(col("bv"), col("d"), col("w")) // drop the 64x64 matrix from the replayed row
       (df.schema, df.collect())
     })
@@ -144,6 +210,15 @@ object QualityTrain {
   /** Catalog entry: the trained weight table — (i, weight, weight_fx). */
   def qualityTrain(s: SparkSession, dir: String): DataFrame =
     trainChainCached(s, dir)
+      .selectExpr("posexplode(w) AS (p, weight)")
+      .selectExpr("CAST(p + 1 AS INT) AS i", "weight",
+        s"CAST(round(weight * ${FxScale}D) AS BIGINT) AS weight_fx")
+
+  /** Catalog entry: the CG-trained weight table — the same (i, weight,
+    * weight_fx) shape off [[trainCgChainFrom]]'s 8 Krylov rounds.
+    */
+  def qualityTrainCg(s: SparkSession, dir: String): DataFrame =
+    trainChainCached(s, dir, solver = "cg")
       .selectExpr("posexplode(w) AS (p, weight)")
       .selectExpr("CAST(p + 1 AS INT) AS i", "weight",
         s"CAST(round(weight * ${FxScale}D) AS BIGINT) AS weight_fx")
@@ -179,9 +254,11 @@ object QualityTrain {
   private def sumFold(terms: String) =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), (a, b) -> a + b)"
 
-  /** The shared train CTE chain through `g<TrainIters>` (columns m, bv, d, w). */
-  private def duckTrainCtes: String = {
-    val ctes = scala.collection.mutable.ArrayBuffer(
+  /** The statistics CTE chain through `g0` (m, bv, d, w = 0) — shared by
+    * the GD and CG oracles.
+    */
+  private def duckStatCtes: scala.collection.mutable.ArrayBuffer[String] =
+    scala.collection.mutable.ArrayBuffer(
       """qtok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)""",
       s"""ft AS MATERIALIZED (SELECT doc_id, len(t) AS nt,
          |  list_transform(range(0, $Dim), b -> CAST(1000 * len(list_filter(t, tok -> $duckBucket = b)) // len(t) AS BIGINT)) AS f,
@@ -200,6 +277,10 @@ object QualityTrain {
       s"""g0 AS MATERIALIZED (SELECT m, bv,
          |  list_transform(range(1, ${Dim + 1}), i -> CAST(greatest(m[i][i], 1) AS DOUBLE)) AS d,
          |  list_transform(range(1, ${Dim + 1}), i -> CAST(0 AS DOUBLE)) AS w FROM st)""".stripMargin)
+
+  /** The shared train CTE chain through `g<TrainIters>` (columns m, bv, d, w). */
+  private def duckTrainCtes: String = {
+    val ctes = duckStatCtes
     val mv = s"list_transform(range(1, ${Dim + 1}), k -> CAST(m[i][k] AS DOUBLE) * w[k])"
     for (t <- 1 to TrainIters) {
       ctes += s"""g$t AS MATERIALIZED (SELECT m, bv, d,
@@ -215,6 +296,51 @@ object QualityTrain {
        |  CAST(round(w[i] * $FxScale) AS BIGINT) AS weight_fx
        |FROM g$TrainIters, (SELECT unnest(range(1, ${Dim + 1})) AS i) idx""".stripMargin
 
+  /** CG rounds unrolled — each round is the same 7-stage projection chain
+    * the Spark kernel runs, with the same pinned folds and the same
+    * guarded divisions.
+    */
+  private def duckCgCtes: String = {
+    val ctes = duckStatCtes
+    val rng = s"range(1, ${Dim + 1})"
+    ctes += s"""cg0 AS MATERIALIZED (SELECT m, bv, d, w,
+      |  list_transform($rng, i -> CAST(bv[i] AS DOUBLE)) AS r,
+      |  list_transform($rng, i -> CAST(bv[i] AS DOUBLE) / d[i]) AS p FROM g0)""".stripMargin
+    ctes += s"""cg0z AS MATERIALIZED (SELECT m, bv, d, w, r, p,
+      |  ${sumFold(s"list_transform($rng, k -> r[k] * p[k])")} AS rz FROM cg0)""".stripMargin
+    for (t <- 1 to CgIters) {
+      val prev = if (t == 1) "cg0z" else s"cg${t - 1}"
+      ctes += s"""cg${t}a AS MATERIALIZED (SELECT m, bv, d, w, r, p, rz,
+        |  list_transform($rng, i -> ${sumFold(s"list_transform($rng, k -> CAST(m[i][k] AS DOUBLE) * p[k])")}) AS ap
+        |  FROM $prev)""".stripMargin
+      ctes += s"""cg${t}b AS MATERIALIZED (SELECT m, bv, d, w, r, p, rz, ap,
+        |  ${sumFold(s"list_transform($rng, k -> p[k] * ap[k])")} AS pap FROM cg${t}a)""".stripMargin
+      ctes += s"""cg${t}c AS MATERIALIZED (SELECT m, bv, d, w, r, p, rz, ap,
+        |  CASE WHEN pap = 0 THEN CAST(0 AS DOUBLE) ELSE rz / pap END AS alpha FROM cg${t}b)""".stripMargin
+      ctes += s"""cg${t}d AS MATERIALIZED (SELECT m, bv, d, p, rz,
+        |  list_transform($rng, i -> w[i] + alpha * p[i]) AS w,
+        |  list_transform($rng, i -> r[i] - alpha * ap[i]) AS r FROM cg${t}c)""".stripMargin
+      ctes += s"""cg${t}e AS MATERIALIZED (SELECT m, bv, d, w, r, p, rz,
+        |  list_transform($rng, i -> r[i] / d[i]) AS z FROM cg${t}d)""".stripMargin
+      ctes += s"""cg${t}f AS MATERIALIZED (SELECT m, bv, d, w, r, p, rz, z,
+        |  ${sumFold(s"list_transform($rng, k -> r[k] * z[k])")} AS rz2 FROM cg${t}e)""".stripMargin
+      // old-rz read BEFORE the rz2-as-rz alias: DuckDB lateral column
+      // aliases would otherwise shadow the input column inside this SELECT
+      ctes += s"""cg$t AS MATERIALIZED (SELECT m, bv, d, w, r,
+        |  list_transform($rng, i -> z[i] +
+        |    (CASE WHEN rz = 0 THEN CAST(0 AS DOUBLE) ELSE rz2 / rz END) * p[i]) AS p,
+        |  rz2 AS rz
+        |  FROM cg${t}f)""".stripMargin
+    }
+    ctes.mkString(",\n")
+  }
+
+  private def trainCgOracle: String =
+    "WITH " + duckCgCtes + s"""
+       |SELECT CAST(i AS INT) AS i, w[i] AS weight,
+       |  CAST(round(w[i] * $FxScale) AS BIGINT) AS weight_fx
+       |FROM cg$CgIters, (SELECT unnest(range(1, ${Dim + 1})) AS i) idx""".stripMargin
+
   private def trainedOracle: String =
     "WITH " + duckTrainCtes + s""",
        |wfx AS (SELECT list_transform(w, x -> CAST(round(x * $FxScale) AS BIGINT)) AS wfx FROM g$TrainIters),
@@ -229,11 +355,13 @@ object QualityTrain {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_train" -> qualityTrain,
+    "text_quality_train_cg" -> qualityTrainCg,
     "text_quality_trained" -> qualityTrained,
   )
 
   val oracleSql: Map[String, String] = Map(
     "text_quality_train" -> trainOracle,
+    "text_quality_train_cg" -> trainCgOracle,
     "text_quality_trained" -> trainedOracle,
   )
 }

@@ -143,6 +143,26 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full != nPacksHeur(), "BPE dial indistinguishable from chars/4")
   }
 
+  // --- conjugate-gradient training ------------------------------------------
+
+  test("CG-8 beats GD-32: strictly lower normal-equation residual from the same statistics") {
+    val docs = Tables(spark, dir, "documents")
+    def residual(row: org.apache.spark.sql.Row): Double = {
+      val m = row.getAs[scala.collection.Seq[scala.collection.Seq[Long]]]("m")
+      val bv = row.getAs[scala.collection.Seq[Long]]("bv")
+      val w = row.getAs[scala.collection.Seq[Double]]("w")
+      math.sqrt(m.indices.map { i =>
+        val ri = m(i).indices.map(k => m(i)(k).toDouble * w(k)).sum - bv(i)
+        ri * ri
+      }.sum)
+    }
+    val gd = residual(QualityTrain.trainChainFrom(docs).collect().head)
+    val cg = residual(QualityTrain.trainCgChainFrom(docs).collect().head)
+    assert(cg < gd,
+      s"8 CG rounds must land below 32 preconditioned-GD steps: cg=$cg vs gd=$gd")
+    assert(cg.isFinite && cg >= 0)
+  }
+
   // --- real PNG decode --------------------------------------------------------
 
   test("mm_decode: payloads are genuine PNG files and the decoded raster is byte-exact") {
