@@ -1011,29 +1011,23 @@ object DedupQueries {
     * partitions, the rest of the family broadcasts the statistic. Kernels
     * over arbitrary frames keep calling [[dedupSubstringFrom]] directly.
     */
-  private val substringMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String, Int, Int, Int, Int),
-      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]
+  private val substringMemo = new DriverMemo[(String, String, Int, Int, Int, Int)]
 
   /** Drop memoized extractions — call after regenerating data under an
     * already-extracted dir within one session (the
-    * [[SimilarityQueries.pcaChainInvalidate]] twin).
+    * [[SimilarityQueries.pcaChainInvalidate]] twin; [[DriverMemo.invalidateAll]]
+    * hits every family at once).
     */
-  private[graft] def substringChainInvalidate(): Unit = substringMemo.clear()
+  private[graft] def substringChainInvalidate(): Unit = substringMemo.invalidate()
 
   private def substringRunsCached(s: SparkSession, dir: String,
-      corpus: String): DataFrame = {
-    substringMemo.keysIterator.filter(_._1.sparkContext.isStopped)
-      .foreach(substringMemo.remove)
-    val key = (s, dir, corpus, TextQueries.WinnowK, TextQueries.WinnowW, -1, 50)
-    val (schema, rows) = substringMemo.getOrElseUpdate(key, {
+      corpus: String): DataFrame =
+    substringMemo.cached(s,
+        (dir, corpus, TextQueries.WinnowK, TextQueries.WinnowW, -1, 50)) {
       val docs = if (corpus == "overlap") overlapCorpus(s, dir)
                  else Tables(s, dir, "documents")
-      val df = dedupSubstringFrom(docs)
-      (df.schema, df.collect())
-    })
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
+      dedupSubstringFrom(docs)
+    }
 
   /** Catalog entry: extract every planted maximal shared run (>= k+w-1
     * tokens) from the constructed-overlap corpus. See [[dedupSubstringFrom]]

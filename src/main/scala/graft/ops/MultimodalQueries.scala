@@ -273,7 +273,7 @@ object MultimodalQueries {
     * Built as pure SQL so the DuckDB oracle can re-derive every pixel; the
     * codec round trip below is what turns them into REAL image files.
     */
-  private def pixelGrids(s: SparkSession, dir: String): DataFrame =
+  private[ops] def pixelGrids(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .selectExpr("doc_id",
         "CAST(8 + doc_id % 9 AS INT) AS w", "CAST(8 + doc_id % 7 AS INT) AS h")

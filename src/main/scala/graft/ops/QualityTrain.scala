@@ -177,35 +177,27 @@ object QualityTrain {
 
   /** The trained chain's single row is a KB statistic consumed by BOTH
     * catalog entries — memoized per (session, dir, solver) and replayed as
-    * a local relation, the PCA-chain discipline (kernels over arbitrary
-    * frames keep calling [[trainChainFrom]] directly).
+    * a local relation ([[DriverMemo]], the PCA-chain discipline; kernels
+    * over arbitrary frames keep calling [[trainChainFrom]] directly).
     */
-  private val trainMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String),
-      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]
+  private val trainMemo = new DriverMemo[(String, String)]
 
   /** Drop every memoized trained chain — call after regenerating data under
     * a dir already trained on within the same session (the
-    * [[SimilarityQueries.pcaChainInvalidate]] twin).
+    * [[SimilarityQueries.pcaChainInvalidate]] twin; [[DriverMemo.invalidateAll]]
+    * hits every family at once).
     */
-  private[graft] def trainChainInvalidate(): Unit = trainMemo.clear()
+  private[graft] def trainChainInvalidate(): Unit = trainMemo.invalidate()
 
   private def trainChainCached(s: SparkSession, dir: String,
-      solver: String = "gd"): DataFrame = {
-    // stopped sessions can never be replayed into — drop their entries so a
-    // long-lived JVM cycling sessions (a test suite) doesn't retain them
-    trainMemo.keysIterator.filter(_._1.sparkContext.isStopped)
-      .foreach(trainMemo.remove)
-    val (schema, rows) = trainMemo.getOrElseUpdate((s, dir, solver), {
+      solver: String = "gd"): DataFrame =
+    trainMemo.cached(s, (dir, solver)) {
       val chain =
         if (solver == "cg") trainCgChainFrom(Tables(s, dir, "documents"))
         else trainChainFrom(Tables(s, dir, "documents"))
-      val df = chain
-        .select(col("bv"), col("d"), col("w")) // drop the 64x64 matrix from the replayed row
-      (df.schema, df.collect())
-    })
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
+      // drop the 64x64 matrix from the replayed row
+      chain.select(col("bv"), col("d"), col("w"))
+    }
 
   /** Catalog entry: the trained weight table — (i, weight, weight_fx). */
   def qualityTrain(s: SparkSession, dir: String): DataFrame =

@@ -877,27 +877,17 @@ object SimilarityQueries {
     * data under the SAME dir inside one session is the one case that must
     * call [[pcaChainInvalidate]].
     */
-  private val pcaChainMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, Int),
-      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]
+  private val pcaChainMemo = new DriverMemo[(String, Int, Int)]
 
-  private[graft] def pcaChainInvalidate(): Unit = pcaChainMemo.clear()
+  private[graft] def pcaChainInvalidate(): Unit = pcaChainMemo.invalidate()
 
   /** The memoized chain for catalog entries (kernels over arbitrary frames
     * keep calling [[pcaChainFrom]] directly).
     */
   private def pcaChainCached(s: SparkSession, dir: String, k: Int,
-                             iters: Int = 12): DataFrame = {
-    // purge entries owned by stopped sessions (unreplayable; avoids
-    // retaining dead sessions in a JVM that cycles SparkSessions)
-    pcaChainMemo.keysIterator.filter(_._1.sparkContext.isStopped)
-      .foreach(pcaChainMemo.remove)
-    val (schema, rows) = pcaChainMemo.getOrElseUpdate((s, dir, k, iters), {
-      val df = pcaChainFrom(Tables(s, dir, "embeddings"), k, iters)
-      (df.schema, df.collect())
-    })
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
+                             iters: Int = 12): DataFrame =
+    pcaChainMemo.cached(s, (dir, k, iters))(
+      pcaChainFrom(Tables(s, dir, "embeddings"), k, iters))
 
   /** Top principal component: (i, loading, eigenvalue). */
   def embPcaPower(s: SparkSession, dir: String, iters: Int = 12): DataFrame =

@@ -166,13 +166,9 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
   // --- real PNG decode --------------------------------------------------------
 
   test("mm_decode: payloads are genuine PNG files and the decoded raster is byte-exact") {
-    val grids = Tables(spark, dir, "documents")
-      .selectExpr("doc_id",
-        "CAST(8 + doc_id % 9 AS INT) AS w", "CAST(8 + doc_id % 7 AS INT) AS h")
-      .selectExpr("doc_id", "w", "h",
-        "aggregate(transform(sequence(0, h - 1), " +
-          "y -> substring(unhex(md5(concat(CAST(doc_id AS STRING), ':', CAST(y AS STRING)))), 1, w)), " +
-          "unhex(''), (a, x) -> concat(a, x)) AS raster")
+    // the CATALOG's own grid builder — the round trip below must return
+    // exactly what mm_decode's pipeline feeds the encoder
+    val grids = MultimodalQueries.pixelGrids(spark, dir)
     val rasters = grids.collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3))).toMap
     val pngs = MultimodalQueries.encodePngs(grids).collect()
