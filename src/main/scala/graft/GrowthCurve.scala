@@ -95,6 +95,10 @@ object GrowthCurve {
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/growth")
+    // optional second arg: run one section only (docs | graph | emb | 100x)
+    // — fast re-measurement of a single arm family after a kernel change
+    val section = args.lift(1)
+    def want(s: String): Boolean = section.forall(_ == s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -109,12 +113,14 @@ object GrowthCurve {
 
     val docScales = Seq(("1x", 5000L), ("10x", 50000L))
     val embScales = Seq(("1x", 2000L), ("10x", 20000L))
-    docScales.foreach { case (tag, n) => genDocuments(spark, n, s"$base/$tag") }
-    embScales.foreach { case (tag, n) => genEmbeddings(spark, n, s"$base/$tag") }
+    if (want("docs"))
+      docScales.foreach { case (tag, n) => genDocuments(spark, n, s"$base/$tag") }
+    if (want("emb"))
+      embScales.foreach { case (tag, n) => genEmbeddings(spark, n, s"$base/$tag") }
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long, Long, Double)]
 
-    docScales.foreach { case (tag, n) =>
+    if (want("docs")) docScales.foreach { case (tag, n) =>
       val dir = s"$base/$tag"
       // minhash: band-group collision pairs (the join input — same metric
       // as the other arms), then the public op behind the same cap guard
@@ -209,7 +215,7 @@ object GrowthCurve {
     // orientation caps per-node path fan-out at O(sqrt E), so the closing
     // join's input tracks edges, never sum(deg^2). Candidate column = the
     // derived co-occurrence edge count.
-    docScales.foreach { case (tag, n) =>
+    if (want("graph")) docScales.foreach { case (tag, n) =>
       val dir = s"$base/graph-$tag"
       genGraphOrders(spark, n, dir)
       val li = graft.ops.Tables(spark, dir, "lineitem")
@@ -220,6 +226,12 @@ object GrowthCurve {
         .distinct().count()
       val (prOut, prSec) = timed(graft.ops.IterativeQueries.pagerank(spark, dir).count())
       rows += (("q_pagerank", tag, n, edgeCount, prOut, prSec))
+      // directed variant: same once-partitioned-edges round structure plus
+      // a 1-row dangling-mass aggregate and the convergence-materializing
+      // count per round — wall-clock must track edges like the symmetric arm
+      val (pdOut, pdSec) = timed(
+        graft.ops.IterativeQueries.pagerankDirected(spark, dir).count())
+      rows += (("q_pagerank_directed", tag, n, edgeCount, pdOut, pdSec))
       val (trOut, trSec) = timed(graft.ops.IterativeQueries.triangles(spark, dir).count())
       rows += (("q_triangles", tag, n, edgeCount, trOut, trSec))
       // k-core: each peeling round is two semi joins against the survivor
@@ -229,7 +241,7 @@ object GrowthCurve {
       rows += (("q_kcore", tag, n, edgeCount, kcOut, kcSec))
     }
 
-    embScales.foreach { case (tag, n) =>
+    if (want("emb")) embScales.foreach { case (tag, n) =>
       val dir = s"$base/$tag"
       for ((label, cfg) <- Seq(
           ("dedup_embedding_lsh[16x3,c>=0.4]", EmbeddingLshConfig()),
@@ -274,6 +286,7 @@ object GrowthCurve {
     // embeddings 200k — the other arms' growth stories are settled at 10x
     // and some (quadratic-threshold configs) would not fit the sandbox.
     val dir100 = s"$base/100x"
+    if (want("100x")) {
     genDocuments(spark, 500000L, dir100)
     val probed100 = DedupQueries.bloomProbed(spark, dir100)
       .agg(count(lit(1)).as("delta"), sum(expr("IF(maybe, 1, 0)")).as("maybe")).head()
@@ -311,6 +324,7 @@ object GrowthCurve {
     rows += (("ann_pq", "100x", 200000L, -1L, pq100Out, pq100Sec))
     val (ipq100Out, ipq100Sec) = timed(SimilarityQueries.annIvfPq(spark, dir100).count())
     rows += (("ann_ivfpq", "100x", 200000L, -1L, ipq100Out, ipq100Sec))
+    }
 
     println("| path | scale | rows | candidate pairs | output pairs | sec |")
     println("|---|---|---|---|---|---|")
