@@ -281,20 +281,7 @@ object StreamingDedup {
     require(k >= 1 && w >= 1 && minL >= k && maxEmitsPerFp >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.functions.GraftFunctions.registerAll(spark)
-    val toks = graft.ops.Tokenize.Whitespace.sql("text")
-    docs
-      .selectExpr("doc_id", s"graft_barrier($toks) AS tks")
-      .filter(s"size(tks) >= ${k + w - 1}")
-      .selectExpr("doc_id", "tks",
-        s"graft_barrier(transform(sequence(1, size(tks) - ${k - 1}), " +
-          s"i -> hash60(array_join(slice(tks, i, $k), ' ')))) AS hs")
-      .selectExpr("doc_id", "tks",
-        s"explode(array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
-          s"i -> named_struct('fp', array_min(slice(hs, i, $w)), " +
-          s"'pos', CAST(i - 1 + array_position(slice(hs, i, $w), array_min(slice(hs, i, $w))) AS INT))))) AS sel")
-      .selectExpr("doc_id", "sel.fp AS fp", "sel.pos AS pos", "tks")
-      .as[(Long, Long, Int, Array[String])]
+    winnowPositionRows(docs, k, w)
       .groupByKey(_._2)
       .flatMapGroupsWithState[SubstringBucket, SubstringRun](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -311,15 +298,7 @@ object StreamingDedup {
               val (ta, pa, tb, pb, da, db) =
                 if (anchor < id) (atks, apos, tks, pos, anchor, id)
                 else (tks, pos, atks, apos, id, anchor)
-              // verify the anchor gram token-for-token (bounds included)
-              val inBounds = pa + k - 1 <= ta.length && pb + k - 1 <= tb.length
-              if (inBounds && (0 until k).forall(j => ta(pa - 1 + j) == tb(pb - 1 + j))) {
-                var extL = 0
-                while (pa - 1 - extL >= 1 && pb - 1 - extL >= 1 &&
-                  ta(pa - 2 - extL) == tb(pb - 2 - extL)) extL += 1
-                var extR = 0
-                while (pa + k + extR <= ta.length && pb + k + extR <= tb.length &&
-                  ta(pa + k - 1 + extR) == tb(pb + k - 1 + extR)) extR += 1
+              verifyExtend(ta, pa, tb, pb, k).foreach { case (extL, extR) =>
                 val runLen = extL + k + extR
                 if (runLen >= minL) {
                   out += SubstringRun(da, db, pa - extL, pb - extL, runLen)
@@ -333,6 +312,132 @@ object StreamingDedup {
             state.update(SubstringBucket(anchor, apos, atks, emitted))
           out.result().iterator
       }
+  }
+
+  /** A span to remove from an ARRIVING document: it shares `run_len` tokens
+    * starting at `start` (1-based) with the fingerprint's anchor; `tks`
+    * carries the arrival's own token array so the per-trigger rewrite
+    * ([[spanRewrite]]) needs no second look at the corpus. One row per
+    * (bucket, arrival) collision — a document with several shared regions
+    * emits one span per region (from different buckets), aggregated
+    * downstream.
+    */
+  final case class SubstringSpan(doc_id: Long, anchor: Long,
+                                 start: Int, run_len: Int,
+                                 tks: Array[String])
+
+  /** The REMOVAL half of streaming substring dedup — the incremental form
+    * of `dedup_substring_rewrite`: the same anchor-state verify+extend as
+    * [[substringCandidates]], but oriented by ARRIVAL ORDER (the span drops
+    * from the later arrival — the online keep-first rule; equal to the
+    * batch id-order rule whenever ids arrive in order, which the spec
+    * corpus pins). Emitted spans feed [[spanRewrite]] inside a
+    * foreachBatch — a document's spans all emit in its own arrival batch
+    * (its arrival is what triggers every collision), so per-trigger
+    * aggregation sees the complete drop set; documents with no shared
+    * region emit nothing and pass through unchanged (identity — the
+    * online-cheap / offline-exact split as everywhere else).
+    */
+  def substringSpans(docs: DataFrame,
+                     k: Int = graft.ops.TextQueries.WinnowK,
+                     w: Int = graft.ops.TextQueries.WinnowW,
+                     minLen: Int = -1,
+                     maxEmitsPerFp: Int = 50): Dataset[SubstringSpan] = {
+    val minL = if (minLen > 0) minLen else k + w - 1
+    require(k >= 1 && w >= 1 && minL >= k && maxEmitsPerFp >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    winnowPositionRows(docs, k, w)
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[SubstringBucket, SubstringSpan](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[SubstringBucket]) =>
+          val sorted = rows.toArray.sortBy(r => (r._1, r._3))
+          var SubstringBucket(anchor, apos, atks, emitted) =
+            state.getOption.getOrElse(SubstringBucket(Long.MaxValue, 0, Array.empty, 0))
+          val out = Array.newBuilder[SubstringSpan]
+          sorted.foreach { case (id, _, pos, tks) =>
+            if (anchor != Long.MaxValue && id != anchor && emitted < maxEmitsPerFp) {
+              // the ARRIVAL is always the drop side: extend its run vs the
+              // anchor and emit the arrival-side coordinates
+              verifyExtend(atks, apos, tks, pos, k).foreach { case (extL, extR) =>
+                val runLen = extL + k + extR
+                if (runLen >= minL) {
+                  out += SubstringSpan(id, anchor, pos - extL, runLen, tks)
+                  emitted += 1
+                }
+              }
+            }
+            if (id < anchor) { anchor = id; apos = pos; atks = tks }
+          }
+          if (anchor != Long.MaxValue)
+            state.update(SubstringBucket(anchor, apos, atks, emitted))
+          out.result().iterator
+      }
+  }
+
+  /** Per-trigger rewrite over a batch of [[SubstringSpan]] rows (the
+    * foreachBatch body): union each document's spans into a drop set and
+    * reassemble the survivors — the batch kernel's span semantics
+    * (`dedupSubstringRewriteFrom`) applied to exactly the affected
+    * documents. Every span row of a document carries the identical token
+    * array, so `first(tks)` is value-deterministic.
+    */
+  def spanRewrite(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // one aggregation builds both the drop SET (collect_set dedupes
+    // overlapping spans) and the representative token array — no self-join
+    spans
+      .selectExpr("doc_id", "tks",
+        "explode(sequence(start, start + run_len - 1)) AS p")
+      .groupBy(col("doc_id"))
+      .agg(first(col("tks")).as("tks"), collect_set(col("p")).as("drop"))
+      .selectExpr("doc_id",
+        "CAST(size(tks) AS INT) AS n_tokens",
+        "CAST(size(drop) AS INT) AS n_removed",
+        "array_join(filter(tks, (t, i) -> NOT array_contains(drop, i + 1)), ' ') AS text_clean")
+  }
+
+  /** The stateless winnow-positions build shared by [[substringCandidates]]
+    * and [[substringSpans]]: (doc_id, fp, pos, tks) rows.
+    */
+  private def winnowPositionRows(docs: DataFrame, k: Int, w: Int)
+      : Dataset[(Long, Long, Int, Array[String])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val toks = graft.ops.Tokenize.Whitespace.sql("text")
+    docs
+      .selectExpr("doc_id", s"graft_barrier($toks) AS tks")
+      .filter(s"size(tks) >= ${k + w - 1}")
+      .selectExpr("doc_id", "tks",
+        s"graft_barrier(transform(sequence(1, size(tks) - ${k - 1}), " +
+          s"i -> hash60(array_join(slice(tks, i, $k), ' ')))) AS hs")
+      .selectExpr("doc_id", "tks",
+        s"explode(array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
+          s"i -> named_struct('fp', array_min(slice(hs, i, $w)), " +
+          s"'pos', CAST(i - 1 + array_position(slice(hs, i, $w), array_min(slice(hs, i, $w))) AS INT))))) AS sel")
+      .selectExpr("doc_id", "sel.fp AS fp", "sel.pos AS pos", "tks")
+      .as[(Long, Long, Int, Array[String])]
+  }
+
+  /** Verify the anchor k-gram token-for-token and extend to the first
+    * mismatch on each side; None when the gram fails verification (a hash
+    * collision). Shared by the candidate and span operators.
+    */
+  private def verifyExtend(ta: Array[String], pa: Int,
+                           tb: Array[String], pb: Int, k: Int): Option[(Int, Int)] = {
+    val inBounds = pa + k - 1 <= ta.length && pb + k - 1 <= tb.length
+    if (!inBounds || !(0 until k).forall(j => ta(pa - 1 + j) == tb(pb - 1 + j))) None
+    else {
+      var extL = 0
+      while (pa - 1 - extL >= 1 && pb - 1 - extL >= 1 &&
+        ta(pa - 2 - extL) == tb(pb - 2 - extL)) extL += 1
+      var extR = 0
+      while (pa + k + extR <= ta.length && pb + k + extR <= tb.length &&
+        ta(pa + k - 1 + extR) == tb(pb + k - 1 + extR)) extR += 1
+      Some((extL, extR))
+    }
   }
 
   def winnowCandidates(docs: DataFrame, k: Int = graft.ops.TextQueries.WinnowK,

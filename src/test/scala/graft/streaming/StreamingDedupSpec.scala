@@ -250,6 +250,51 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runs == Set((1L, 7L, 3, 4, 8)), s"recovered runs: $runs")
   }
 
+  test("streaming span rewrite equals the batch rewrite on affected docs (static mode)") {
+    val docs = DedupQueries.overlapCorpus(spark, dir)
+    // single static batch: arrival order within each bucket is doc_id order,
+    // so the arrival-order drop rule coincides with the batch id-order rule
+    val spans = StreamingDedup.substringSpans(docs).toDF()
+    val got = StreamingDedup.spanRewrite(spans)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    val want = DedupQueries.dedupSubstringRewriteFrom(docs)
+      .filter(col("n_removed") > 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == want && got.nonEmpty,
+      s"span rewrite diverged from the batch kernel: ${got.diff(want).take(2)} extra, " +
+        s"${want.diff(got).take(2)} missing (of ${want.size})")
+  }
+
+  test("streaming span rewrite: a cross-batch arrival loses exactly the planted span") {
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val tmp = Files.createTempDirectory("graft-srewrite").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b0.jsonl"),
+      s"""{"doc_id": 1, "text": "a1 a2 $run a3"}""")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/in/b1.jsonl"),
+      s"""{"doc_id": 7, "text": "d1 d2 d3 $run"}""")
+    Seq("b0", "b1").zipWithIndex.foreach { case (f, i) =>
+      Files.setLastModifiedTime(java.nio.file.Paths.get(s"$tmp/in/$f.jsonl"),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = StreamingDedup.substringSpans(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(s"$tmp/in"))
+      .toDF()
+      .writeStream.format("memory").queryName("srewrite").outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // the foreachBatch body, applied to the captured span stream
+    val rewritten = StreamingDedup.spanRewrite(spark.table("srewrite"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(rewritten.toSeq == Seq((7L, 11, 8, "d1 d2 d3")),
+      s"cross-batch rewrite: ${rewritten.toSeq} (anchor doc 1 must keep its copy, " +
+        "doc 7 must lose exactly the 8-token planted run)")
+  }
+
   test("in-stream verification: matching-minhash estimate, threshold suppression, no text in state") {
     import graft.ops.DedupQueries.MinHashConfig
     val tmp = Files.createTempDirectory("graft-sverify").toString
