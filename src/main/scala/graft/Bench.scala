@@ -53,7 +53,8 @@ object Bench {
     "emb_kmeans", "emb_covariance", "emb_quantize", "ann_sq8", "ann_sq8_recall",
     "ann_matryoshka", "ann_matryoshka_recall", "search_hybrid_rrf", "emb_pca_power", "emb_pca_project",
     "emb_pca_topk", "emb_pca_project_topk", "emb_pca_whiten",
-    "mm_features", "mm_ahash", "mm_phash", "mm_ahash_dedup", "mm_frame_dedup", "mm_decode")
+    "mm_features", "mm_ahash", "mm_phash", "mm_ahash_dedup", "mm_frame_dedup", "mm_decode",
+    "mm_resize_real")
 
   /** Timed runs per query; the reported time is the median, so one GC pause /
     * noisy-neighbor stall in the sandbox no longer poisons the recorded

@@ -114,6 +114,20 @@ object BpeTokenizer {
   private val charsSql =
     "slice(transform(sequence(1, greatest(length(w), 1)), i -> substring(w, i, 1)), 1, length(w))"
 
+  /** BYTES of `w`'s UTF-8 encoding as array<string> (2-hex-char symbols) —
+    * the GPT-2-style byte-level fallback alphabet: every word decomposes
+    * regardless of script, multi-byte characters split into their bytes.
+    * For pure-ASCII corpora the symbol stream is the character stream with
+    * each symbol hex-spelled, and since fixed-width lowercase hex is
+    * order-isomorphic to the byte values (and ' ' stays minimal), the
+    * GREEDY MERGE SEQUENCE is identical to character-level learning
+    * (spec-pinned) — the fallback changes nothing until non-ASCII text
+    * actually arrives.
+    */
+  private val bytesSql =
+    "slice(transform(sequence(1, greatest(octet_length(w), 1)), " +
+      "i -> substring(lower(hex(CAST(w AS BINARY))), 2 * i - 1, 2)), 1, octet_length(w))"
+
   /** Rank of each adjacent pair of `ss` under the merge array `m` (1-based
     * rank; null = not a merge). Guarded for size < 2: `sequence` descends
     * and `element_at` past the end throws under ANSI.
@@ -126,12 +140,13 @@ object BpeTokenizer {
   /** Apply [[PinnedMerges]]-style `merges` to a frame of distinct words
     * (column `w`) -> (w, n_sub). [[ApplySteps]] barriered projection rounds.
     */
-  def applyWords(words: DataFrame, merges: Seq[String] = PinnedMerges): DataFrame = {
+  def applyWords(words: DataFrame, merges: Seq[String] = PinnedMerges,
+                 alphabet: String = charsSql): DataFrame = {
     require(merges.nonEmpty && merges.forall(_.split(" ", -1).length == 2))
     graft.functions.GraftFunctions.registerAll(words.sparkSession)
     val m = merges.map(sq).mkString("array(", ", ", ")")
     val rp = ranksSql("ss", m)
-    var f = words.selectExpr("w", s"graft_barrier($charsSql) AS ss")
+    var f = words.selectExpr("w", s"graft_barrier($alphabet) AS ss")
     for (_ <- 1 to ApplySteps) {
       f = f
         .selectExpr("w", "ss", s"graft_barrier($rp) AS rp")
@@ -149,7 +164,8 @@ object BpeTokenizer {
     * aggregation once over the corpus, then N rounds of (pair count, argmax,
     * merge) on the vocab frame. Returns (rank INT, pair STRING, n BIGINT).
     */
-  def learnFrom(docs: DataFrame, nMerges: Int = NMerges): DataFrame = {
+  def learnFrom(docs: DataFrame, nMerges: Int = NMerges,
+                alphabet: String = charsSql): DataFrame = {
     require(nMerges >= 1)
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.registerAll(spark)
@@ -157,7 +173,7 @@ object BpeTokenizer {
     val toks = Tokenize.Whitespace.sql("text")
     val vocab = docs.selectExpr(s"explode($toks) AS w")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .selectExpr("w", "cnt", s"$charsSql AS ss")
+      .selectExpr("w", "cnt", s"$alphabet AS ss")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the state chain needs TWO growth bounds for large merge tables:
     // plan-side, the barriered splice projections stack one per round (the
@@ -201,6 +217,31 @@ object BpeTokenizer {
   /** Catalog entry: learn the merge table from `documents`. */
   def learn(s: SparkSession, dir: String): DataFrame =
     learnFrom(Tables(s, dir, "documents"))
+
+  /** Merges learned by the BYTE-LEVEL gate entry (bounded below [[NMerges]]
+    * — the byte alphabet is the capability under test, not a second large
+    * table).
+    */
+  val ByteMerges = 32
+
+  /** Byte-level learning over any (doc_id, text) frame — [[learnFrom]] on
+    * the [[bytesSql]] fallback alphabet.
+    */
+  def learnBytesFrom(docs: DataFrame, nMerges: Int = ByteMerges): DataFrame =
+    learnFrom(docs, nMerges, alphabet = bytesSql)
+
+  /** Catalog entry: the byte-level merge table from `documents` — hex-pair
+    * symbols ("65 72" = the bytes of "er"), oracle-re-learned in DuckDB
+    * from the same byte alphabet.
+    */
+  def learnBytes(s: SparkSession, dir: String): DataFrame =
+    learnBytesFrom(Tables(s, dir, "documents"))
+
+  /** Byte-level application — [[applyWords]] on the fallback alphabet
+    * (merge entries are hex-pair symbols).
+    */
+  def applyWordsBytes(words: DataFrame, merges: Seq[String]): DataFrame =
+    applyWords(words, merges, alphabet = bytesSql)
 
   /** Catalog entry: per-document subword counts under [[PinnedMerges]] —
     * (doc_id, n_words, n_bpe_tokens). The corpus is exploded twice (once
@@ -262,11 +303,18 @@ object BpeTokenizer {
     * triple per round — `AS MATERIALIZED` everywhere or DuckDB's
     * single-reference CTE inlining re-expands the chain exponentially.
     */
-  private[ops] def learnOracle(nMerges: Int = NMerges): String = {
+  /** DuckDB twins of the two base alphabets. */
+  private val duckCharsAlpha = "list_transform(range(1, length(w) + 1), i -> w[i])"
+  private val duckBytesAlpha =
+    "list_transform(range(1, octet_length(encode(w)) + 1), " +
+      "i -> substr(lower(hex(encode(w))), CAST(2 * i - 1 AS INT), 2))"
+
+  private[ops] def learnOracle(nMerges: Int = NMerges,
+                               alphabet: String = duckCharsAlpha): String = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       """tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)""",
-      """st0 AS MATERIALIZED (SELECT w, CAST(count(1) AS BIGINT) AS cnt,
-        |  list_transform(range(1, length(w) + 1), i -> w[i]) AS ss FROM tok GROUP BY 1)""".stripMargin)
+      s"""st0 AS MATERIALIZED (SELECT w, CAST(count(1) AS BIGINT) AS cnt,
+        |  $alphabet AS ss FROM tok GROUP BY 1)""".stripMargin)
     for (r <- 1 to nMerges) {
       val p = r - 1
       ctes += s"""pc$r AS MATERIALIZED (
@@ -316,11 +364,13 @@ object BpeTokenizer {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_learn" -> learn,
+    "text_bpe_bytes_learn" -> learnBytes,
     "text_bpe_tokens" -> tokens,
   )
 
   val oracleSql: Map[String, String] = Map(
     "text_bpe_learn" -> learnOracle(),
+    "text_bpe_bytes_learn" -> learnOracle(ByteMerges, duckBytesAlpha),
     "text_bpe_tokens" -> tokensOracle,
   )
 }

@@ -366,6 +366,39 @@ object MultimodalQueries {
       .selectExpr("doc_id", "width", "height", "sum_luma", "ahash60(luma) AS sig")
   }
 
+  /** Catalog entry: REAL image resize — 2x area-average (box-filter)
+    * downscale of the DECODED pixel plane, the standard pre-embedding
+    * thumbnail step: decode the genuine PNG ([[decodePngs]]), average each
+    * 2x2 pixel block in exact integer arithmetic (`(a+b+c+d) div 4` —
+    * deterministic in both engines), and emit the new dimensions, the
+    * exact resized luma sum, and the codegen'd aHash of the RESIZED plane
+    * (rebuilt as a BINARY column — the downstream shape a perceptual index
+    * consumes). The oracle recomputes everything from the md5 pixel
+    * formula; matching proves decode + box filter + re-binarization
+    * end-to-end. Supersedes the byte-subsample `mm_resize` stub (kept — it
+    * exercises arbitrary-binary plumbing with its own oracle).
+    */
+  def mediaResizeReal(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    def hb(pos: String) =
+      s"CAST((instr('0123456789abcdef', substring(hx, 2 * ($pos) + 1, 1)) - 1) * 16 + " +
+        s"instr('0123456789abcdef', substring(hx, 2 * ($pos) + 2, 1)) - 1 AS BIGINT)"
+    val box = Seq(
+      "((i div w2) * 2) * width + (i % w2) * 2",
+      "((i div w2) * 2) * width + (i % w2) * 2 + 1",
+      "((i div w2) * 2 + 1) * width + (i % w2) * 2",
+      "((i div w2) * 2 + 1) * width + (i % w2) * 2 + 1").map(hb).mkString("(", " + ", ") div 4")
+    decodePngs(encodePngs(pixelGrids(s, dir)))
+      .selectExpr("doc_id", "width",
+        "CAST(width div 2 AS INT) AS w2", "CAST(height div 2 AS INT) AS h2",
+        "graft_barrier(lower(hex(luma))) AS hx")
+      .selectExpr("doc_id", "w2", "h2",
+        s"graft_barrier(transform(sequence(0, w2 * h2 - 1), i -> $box)) AS rp")
+      .selectExpr("doc_id", "CAST(w2 AS INT) AS rwidth", "CAST(h2 AS INT) AS rheight",
+        "aggregate(rp, CAST(0 AS BIGINT), (a, x) -> a + x) AS sum_rluma",
+        "ahash60(unhex(array_join(transform(rp, v -> lpad(hex(v), 2, '0')), ''))) AS rsig")
+  }
+
   /** The fixed-point DCT basis — [[graft.functions.PHash60Impl.M]], the ONE
     * set of 64 integer literals the codegen'd expression, the SQL
     * derivation twin, and the DuckDB oracle all share.
@@ -460,6 +493,7 @@ object MultimodalQueries {
     "mm_frame_dedup" -> ((s, dir) => frameDedup(s, dir)),
     "mm_meta" -> mediaMeta,
     "mm_decode" -> mediaDecode,
+    "mm_resize_real" -> mediaResizeReal,
     "mm_ahash" -> ahashSigs,
     "mm_ahash_dedup" -> ((s, dir) => ahashDedup(s, dir)),
     "mm_features" -> mediaFeatures,
@@ -597,6 +631,43 @@ object MultimodalQueries {
         |  CAST(list_sum(list_transform(range(0, 60), k ->
         |    CASE WHEN 60 * sp[CAST(k + 1 AS INT)] > list_sum(sp)
         |         THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |FROM samp""".stripMargin,
+    // box means recomputed from the pixel formula: decode + 2x2 area
+    // average + re-binarized aHash must all round-trip exactly
+    "mm_resize_real" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS w, CAST(8 + doc_id % 7 AS INT) AS h
+        |  FROM documents),
+        |rws AS (
+        |  SELECT doc_id, w, h, y, substr(md5(doc_id || ':' || y), 1, 2 * w) AS rowhex
+        |  FROM g, LATERAL (SELECT unnest(range(0, h)) AS y) t),
+        |hxs AS MATERIALIZED (
+        |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |         string_agg(rowhex, '' ORDER BY y) AS hx
+        |  FROM rws GROUP BY doc_id),
+        |px AS MATERIALIZED (
+        |  SELECT doc_id, w, h, w // 2 AS w2, h // 2 AS h2,
+        |    list_transform(range(0, w * h), i ->
+        |      (instr('0123456789abcdef', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 +
+        |      instr('0123456789abcdef', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1) AS p
+        |  FROM hxs),
+        |rz AS MATERIALIZED (
+        |  SELECT doc_id, w2, h2,
+        |    list_transform(range(0, w2 * h2), i ->
+        |      (p[CAST(((i // w2) * 2) * w + (i % w2) * 2 + 1 AS INT)] +
+        |       p[CAST(((i // w2) * 2) * w + (i % w2) * 2 + 2 AS INT)] +
+        |       p[CAST(((i // w2) * 2 + 1) * w + (i % w2) * 2 + 1 AS INT)] +
+        |       p[CAST(((i // w2) * 2 + 1) * w + (i % w2) * 2 + 2 AS INT)]) // 4) AS rp
+        |  FROM px),
+        |samp AS (
+        |  SELECT doc_id, w2, h2, rp,
+        |    list_transform(range(0, 60), k -> rp[CAST((k * (w2 * h2)) // 60 + 1 AS INT)]) AS sp
+        |  FROM rz)
+        |SELECT doc_id, CAST(w2 AS INT) AS rwidth, CAST(h2 AS INT) AS rheight,
+        |  CAST(list_sum(rp) AS BIGINT) AS sum_rluma,
+        |  CAST(list_sum(list_transform(range(0, 60), k ->
+        |    CASE WHEN 60 * sp[CAST(k + 1 AS INT)] > list_sum(sp)
+        |         THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS rsig
         |FROM samp""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, source,

@@ -143,6 +143,50 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full != nPacksHeur(), "BPE dial indistinguishable from chars/4")
   }
 
+  // --- byte-level BPE fallback ------------------------------------------------
+
+  test("byte-level BPE on ASCII equals char-level learning with hex-spelled symbols") {
+    val docs = Tables(spark, dir, "documents")
+    def hexSym(sym: String): String =
+      sym.getBytes("UTF-8").map("%02x".format(_)).mkString
+    val n = BpeTokenizer.ByteMerges
+    val chars = BpeTokenizer.learnFrom(docs, n).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val bytes = BpeTokenizer.learnBytesFrom(docs, n).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // fixed-width lowercase hex is order-isomorphic to ASCII (and ' ' stays
+    // minimal), so the greedy sequence — ranks, pair counts, tie-breaks —
+    // must be IDENTICAL under the symbol respelling
+    val expected = chars.map { case (r, pair, cnt) =>
+      (r, pair.split(" ", -1).map(hexSym).mkString(" "), cnt)
+    }
+    assert(bytes.toSeq == expected.toSeq,
+      s"byte-level diverged from hex-respelled char-level:\n${bytes.take(5).toSeq}\nvs\n${expected.take(5).toSeq}")
+  }
+
+  test("byte-level BPE splits multi-byte characters where char-level cannot") {
+    import spark.implicits._
+    val docs = Seq((1L, "café café naïve café naïve café"))
+      .toDF("doc_id", "text")
+    val words = Seq("café", "naïve").toDF("w")
+    // with an inert merge table: byte alphabet length = octet_length (é and
+    // ï are 2 UTF-8 bytes), char alphabet length = character count
+    val byteLens = BpeTokenizer.applyWordsBytes(words, Seq("ff ff"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(byteLens("café") == 5 && byteLens("naïve") == 6,
+      s"byte alphabet must count UTF-8 bytes: $byteLens")
+    val charLens = BpeTokenizer.applyWords(words, Seq("ff ff"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(charLens("café") == 4 && charLens("naïve") == 5)
+    // and the learned byte merges CROSS the multi-byte boundary: the full
+    // table converges both words to single symbols
+    val learned = BpeTokenizer.learnBytesFrom(docs, 32).collect().map(_.getString(1)).toSeq
+    val merged = BpeTokenizer.applyWordsBytes(words, learned)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(merged.values.forall(_ == 1),
+      s"full byte-merge table must converge the two words: $merged")
+  }
+
   // --- conjugate-gradient training ------------------------------------------
 
   test("CG-8 beats GD-32: strictly lower normal-equation residual from the same statistics") {
