@@ -34,7 +34,7 @@ object Bench {
     "dedup_exact", "dedup_paragraph", "dedup_incremental", "dedup_bloom",
     "dedup_minhash_sig", "dedup_minhash_lsh", "dedup_embedding_lsh",
     "emb_dup_clusters", "q_dq_violations",
-    "ann_bruteforce", "ann_ivf", "ann_ivf_incremental", "ann_recall", "ann_pq",
+    "ann_bruteforce", "ann_filtered", "ann_ivf", "ann_ivf_incremental", "ann_recall", "ann_pq",
     "ann_ivfpq", "ann_pca_reduced", "ann_pca_recall",
     "q_agg_filter", "q_profile", "q_dq_report", "q_salted_join", "q_hierarchy",
     "q_ivm_join", "q_ivm_agg", "q_agg_corr", "q_regression", "q_ab_test", "q_merge_cdc", "q_temporal_join",

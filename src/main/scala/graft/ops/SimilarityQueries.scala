@@ -70,6 +70,40 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
 
+  /** Metadata-FILTERED vector search — the production retrieval pattern
+    * plain top-k misses: "nearest neighbors among documents matching a
+    * predicate" (here `lang = 'en'`, joined from the documents table).
+    * This is the PRE-filter strategy: the corpus is restricted by a semi
+    * join on the metadata BEFORE any similarity math, so ranking quality
+    * is exact over the eligible set (post-filtering a fixed top-k can
+    * return fewer than k — or zero — eligible hits under a selective
+    * predicate). Scale shape: the semi join is an equi-join on the id
+    * (broadcastable when the eligible set is small, shuffle otherwise;
+    * when the metadata lives in the vector table itself it collapses to a
+    * pushed-down scan predicate), and the scoring pass is the same
+    * broadcast-queries map-side pass as [[annBruteForce]] — against an
+    * IVF/PQ index the same semi join restricts the candidate set after
+    * bucket probing.
+    */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val keep = Tables(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val emb = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$toDouble AS v")
+      .selectExpr("vec_id", "v", s"${norm("v")} AS nv")
+    val corpus = emb.join(keep, Seq("vec_id"), "left_semi")
+    val queries = emb.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS query_id", "v AS qv", "nv AS qnv")
+    val sims = broadcast(queries).join(corpus, col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id",
+        s"${dot("qv", "v")} / (qnv * nv) AS sim")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
+
   // --- IVF with a real coarse quantizer -------------------------------
 
   /** IVF index configuration: centroid count, Lloyd refinement iterations,
@@ -1035,6 +1069,7 @@ object SimilarityQueries {
     "ann_recall_alt" -> ((s, dir) => annRecall(s, dir, AltConfig)),
     "emb_kmeans" -> ((s, dir) => embKmeans(s, dir)),
     "emb_stats" -> embStats,
+    "ann_filtered" -> annFiltered,
     "emb_quantize" -> embQuantize,
     "ann_sq8" -> annSq8,
     "ann_sq8_recall" -> annSq8Recall,
@@ -1636,6 +1671,20 @@ object SimilarityQueries {
         |      (qv[i] - (mins[i] + ((((qv[i] - mins[i]) * 255) // rngs[i]) * rngs[i]) // 255))
         |      * (qv[i] - (mins[i] + ((((qv[i] - mins[i]) * 255) // rngs[i]) * rngs[i]) // 255)) END)) AS BIGINT) AS sq_err
         |FROM q CROSS JOIN s""".stripMargin,
+    // pre-filter semantics: rank over the eligible ('en') corpus only
+    "ann_filtered" ->
+      s"""WITH keep AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+         |e AS (SELECT vec_id, $duckV AS v FROM embeddings),
+         |c AS (SELECT e.vec_id, e.v FROM e JOIN keep USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |sims AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    ${duckDot("qv", "v")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("v", "v")})) AS sim
+         |  FROM q JOIN c ON c.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, rk FROM (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rk
+         |  FROM sims) t WHERE rk <= 5""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, $duckV AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

@@ -187,6 +187,21 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"full byte-merge table must converge the two words: $merged")
   }
 
+  // --- filtered vector search --------------------------------------------------
+
+  test("ann_filtered: every hit is eligible, and the filter visibly changes the ranking") {
+    val en = Tables(spark, dir, "documents").filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val filtered = SimilarityQueries.annFiltered(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(filtered.nonEmpty && filtered.forall(r => en.contains(r._2)),
+      "a non-'en' neighbor leaked through the pre-filter")
+    val brute = SimilarityQueries.annBruteForce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(!filtered.forall(brute.contains),
+      "the predicate should exclude at least one unfiltered top-5 neighbor on this corpus")
+  }
+
   // --- conjugate-gradient training ------------------------------------------
 
   test("CG-8 beats GD-32: strictly lower normal-equation residual from the same statistics") {
