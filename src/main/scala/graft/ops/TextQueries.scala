@@ -613,7 +613,52 @@ object TextQueries {
       .limit(50)
   }
 
+  /** GPT-2-style regex PRE-tokenIZER pattern, simplified to the
+    * RE2-expressible subset so the DuckDB oracle can replay it exactly:
+    * contraction suffixes, optionally-space-prefixed letter runs, digit
+    * runs, punctuation runs, then whitespace runs. The one divergence from
+    * GPT-2's original is documented: its `\s+(?!\S)` lookahead (leave the
+    * last space of a run for the following word) is not RE2-expressible,
+    * so interior multi-space runs become one whitespace piece here.
+    * Alternation is leftmost-first in BOTH engines (Java regex; DuckDB's
+    * RE2 in its default non-POSIX mode), so the piece streams agree.
+    */
+  val Gpt2PretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Catalog entry: pre-tokenization profile per document — the stage that
+    * feeds byte-level BPE in a real GPT-2-shaped tokenizer (pre-tokenize →
+    * byte-level merges within pieces): piece counts by class plus a
+    * LOSSLESSNESS flag (the concatenated pieces must reproduce the text
+    * byte-for-byte — `sum(length(piece)) = length(text)`, which the oracle
+    * pins at 1 for every document; a pattern that dropped or overlapped a
+    * character would fail the gate, not just look odd). Pure map-side
+    * expressions.
+    */
+  def pretokenize(s: SparkSession, dir: String): DataFrame =
+    pretokenizeFrom(Tables(s, dir, "documents"))
+
+  /** The pre-tokenizer kernel over any (doc_id, text) frame. */
+  def pretokenizeFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(Gpt2PretokenPattern), lit(0)).as("pieces"),
+        length(col("text")).as("n_chars"))
+      .select(col("doc_id"),
+        size(col("pieces")).as("n_pieces"),
+        size(filter(col("pieces"), p => p.rlike("^'"))).as("n_contraction"),
+        size(filter(col("pieces"), p => p.rlike("^ ?\\p{L}"))).as("n_alpha"),
+        size(filter(col("pieces"), p => p.rlike("^ ?\\p{N}"))).as("n_num"),
+        size(filter(col("pieces"), p => p.rlike("^\\s+$"))).as("n_space"),
+        aggregate(col("pieces"), lit(0), (a, p) => a + length(p)).as("covered"),
+        col("n_chars"))
+      .select(col("doc_id"), col("n_pieces"), col("n_contraction"),
+        col("n_alpha"), col("n_num"), col("n_space"),
+        (col("n_pieces") - col("n_contraction") - col("n_alpha") -
+          col("n_num") - col("n_space")).as("n_other"),
+        when(col("covered") === col("n_chars"), 1).otherwise(0).as("lossless"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pretokenize" -> pretokenize,
     "text_vocab" -> vocab,
     "text_lm_score" -> lmScore,
     "text_tfidf" -> tfidf,
@@ -674,6 +719,29 @@ object TextQueries {
       |GROUP BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same RE2-expressible pattern, leftmost-first in both engines; the
+    // lossless flag pinned at 1 proves the piece stream covers every char
+    "text_pretokenize" -> {
+      val pat = Gpt2PretokenPattern.replace("'", "''")
+      s"""WITH p AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    regexp_extract_all(text, '$pat') AS pieces
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(pieces) AS INT) AS n_pieces,
+         |  CAST(len(list_filter(pieces, x -> regexp_matches(x, '^'''))) AS INT) AS n_contraction,
+         |  CAST(len(list_filter(pieces, x -> regexp_matches(x, '^ ?\\p{L}'))) AS INT) AS n_alpha,
+         |  CAST(len(list_filter(pieces, x -> regexp_matches(x, '^ ?\\p{N}'))) AS INT) AS n_num,
+         |  CAST(len(list_filter(pieces, x -> regexp_matches(x, '^\\s+$$'))) AS INT) AS n_space,
+         |  CAST(len(pieces)
+         |    - len(list_filter(pieces, x -> regexp_matches(x, '^''')))
+         |    - len(list_filter(pieces, x -> regexp_matches(x, '^ ?\\p{L}')))
+         |    - len(list_filter(pieces, x -> regexp_matches(x, '^ ?\\p{N}')))
+         |    - len(list_filter(pieces, x -> regexp_matches(x, '^\\s+$$'))) AS INT) AS n_other,
+         |  CAST(CASE WHEN coalesce(list_sum(list_transform(pieces, x -> length(x))), 0) = n_chars
+         |       THEN 1 ELSE 0 END AS INT) AS lossless
+         |FROM p""".stripMargin
+    },
     "text_vocab" ->
       s"""WITH tk AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
          |c AS (
