@@ -243,6 +243,52 @@ object BpeTokenizer {
   def applyWordsBytes(words: DataFrame, merges: Seq[String]): DataFrame =
     applyWords(words, merges, alphabet = bytesSql)
 
+  /** Byte merges learned over the GPT-2 PIECE vocabulary (round-9 snapshot
+    * of [[learnBytesFrom]] on the pre-tokenized sf0.01 documents; 48
+    * merges, hex-pair symbols). The table shows the real-GPT-2 signature
+    * the whitespace tables cannot: leading-SPACE bytes merge into words
+    * (rank 1 is "20 73" = " s"; " join" converges to one token) because
+    * pieces carry their space. Max piece is 9 bytes, so [[ApplySteps]] = 8
+    * fully converges every piece.
+    */
+  val PinnedByteMerges: Seq[String] = Seq(
+    "20 73", "65 72", "69 6e", "6f 77",
+    "6f 72", "6d 6572", "61 74", "6c 75",
+    "20 63", "61 73", "20 62", "20 76",
+    "61 72", "70 6172", "20 66", "20 61",
+    "20 74", "6a 6f", "6a6f 696e", "6173 68",
+    "68 617368", "20 6a6f696e", "73 74", "72 6f77",
+    "6174 63", "617463 68", "61 6e", "63 616e",
+    "6c75 6d", "6c756d 6e", "6f 6c756d6e", "6f 6d6572",
+    "7374 6f6d6572", "75 73746f6d6572", "69 6c", "696c 74",
+    "696c74 6572", "20 68617368", "61 6c", "616c 6c",
+    "6d 616c6c", "20 726f77", "2073 63616e", "20 64",
+    "2073 6d616c6c", "67 65", "6c 6f77", "6d6572 6765")
+
+  /** Catalog entry: GPT-2-SHAPED tokenization end to end — the
+    * [[graft.ops.TextQueries.Gpt2PretokenPattern]] pre-tokenizer feeds
+    * byte-level merges applied WITHIN pieces (the composition of the two
+    * round-9 stages; spaces travel inside pieces and merge into their
+    * words, exactly like the real tokenizer). Applied to the DISTINCT
+    * piece frame and joined back — cost scales with the piece vocabulary,
+    * not the corpus. The oracle re-runs the identical pre-tokenize →
+    * byte-alphabet → pinned-merge chain.
+    */
+  def gpt2Tokens(s: SparkSession, dir: String): DataFrame =
+    gpt2TokensFrom(Tables(s, dir, "documents"))
+
+  /** The GPT-2-shaped counting kernel over any (doc_id, text) frame. */
+  def gpt2TokensFrom(docs: DataFrame,
+                     merges: Seq[String] = PinnedByteMerges): DataFrame = {
+    val pieces = regexp_extract_all(col("text"),
+      lit(TextQueries.Gpt2PretokenPattern), lit(0))
+    val tok = docs.select(col("doc_id"), explode(pieces).as("w"))
+    tok.join(applyWordsBytes(tok.select(col("w")).distinct(), merges), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_pieces"),
+        sum(col("n_sub")).as("n_gpt2_tokens"))
+  }
+
   /** Catalog entry: per-document subword counts under [[PinnedMerges]] —
     * (doc_id, n_words, n_bpe_tokens). The corpus is exploded twice (once
     * for the distinct vocab, once for the count join): at 100 TB,
@@ -335,14 +381,17 @@ object BpeTokenizer {
   }
 
   /** DuckDB apply chain over the distinct vocab -> `bpe_wc(w, n_sub)`;
-    * shared by the tokens oracle and the BPE-dial curation oracles.
+    * shared by the tokens oracle, the BPE-dial curation oracles, and (with
+    * the piece tokenizer + byte alphabet) the GPT-2 tokens oracle.
     */
-  private[ops] def applyCtes(merges: Seq[String] = PinnedMerges): String = {
+  private[ops] def applyCtes(merges: Seq[String] = PinnedMerges,
+      tokExpr: String = """unnest(regexp_split_to_array(trim(text), '\s+'))""",
+      alphabet: String = duckCharsAlpha): String = {
     val m = merges.map(sq).mkString("[", ", ", "]")
     val rp = s"list_transform(range(1, len(ss)), i -> nullif(list_position($m, ss[i] || ' ' || ss[i+1]), 0))"
     val ctes = scala.collection.mutable.ArrayBuffer(
-      """btok AS (SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)""",
-      """bs0 AS MATERIALIZED (SELECT w, list_transform(range(1, length(w) + 1), i -> w[i]) AS ss
+      s"""btok AS (SELECT doc_id, lang, $tokExpr AS w FROM documents)""",
+      s"""bs0 AS MATERIALIZED (SELECT w, $alphabet AS ss
         |  FROM (SELECT DISTINCT w FROM btok) v)""".stripMargin)
     for (u <- 1 to ApplySteps) {
       val p = u - 1
@@ -362,15 +411,26 @@ object BpeTokenizer {
       |  CAST(sum(c.n_sub) AS BIGINT) AS n_bpe_tokens
       |FROM btok t JOIN bpe_wc c USING (w) GROUP BY 1""".stripMargin
 
+  private[ops] def gpt2TokensOracle: String = {
+    val pat = TextQueries.Gpt2PretokenPattern.replace("'", "''")
+    "WITH " + applyCtes(PinnedByteMerges,
+      s"unnest(regexp_extract_all(text, '$pat'))", duckBytesAlpha) + """
+      |SELECT t.doc_id, CAST(count(1) AS INT) AS n_pieces,
+      |  CAST(sum(c.n_sub) AS BIGINT) AS n_gpt2_tokens
+      |FROM btok t JOIN bpe_wc c USING (w) GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_learn" -> learn,
     "text_bpe_bytes_learn" -> learnBytes,
     "text_bpe_tokens" -> tokens,
+    "text_bpe_gpt2" -> gpt2Tokens,
   )
 
   val oracleSql: Map[String, String] = Map(
     "text_bpe_learn" -> learnOracle(),
     "text_bpe_bytes_learn" -> learnOracle(ByteMerges, duckBytesAlpha),
     "text_bpe_tokens" -> tokensOracle,
+    "text_bpe_gpt2" -> gpt2TokensOracle,
   )
 }

@@ -212,6 +212,26 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getInt(7) == 1, "losslessness flag")
   }
 
+  test("GPT-2-shaped tokenization: leading-space pieces merge into single tokens") {
+    import spark.implicits._
+    // the real-GPT-2 signature the whitespace tables cannot show: the
+    // space byte travels inside the piece and merges into the word
+    val subs = BpeTokenizer.applyWordsBytes(
+        Seq("join", " join", " scan", "  ").toDF("w"), BpeTokenizer.PinnedByteMerges)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(subs("join") == 1 && subs(" join") == 1 && subs(" scan") == 1,
+      s"pinned byte merges must converge space-prefixed pieces: $subs")
+    // same-symbol pairs are excluded from merging (the data-parallel
+    // restriction), so a pure-space piece stays at its byte count
+    assert(subs("  ") == 2, s"'  ' (20 20) must not merge: $subs")
+    // end to end: pre-tokenizer + byte merges count 1 token per word
+    // occurrence, leading space included
+    val out = BpeTokenizer.gpt2TokensFrom(
+        Seq((1L, "join join join")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).head
+    assert(out == ((3, 3L)), s"'join join join' must be 3 pieces -> 3 tokens: $out")
+  }
+
   // --- filtered vector search --------------------------------------------------
 
   test("ann_filtered: every hit is eligible, and the filter visibly changes the ranking") {
