@@ -333,6 +333,21 @@ object BpeTokenizer {
           .agg(sum(col("n_sub")).as("n_tok"))
       }
     }
+    /** GPT-2-SHAPED counter: pre-tokenizer pieces + byte merges within
+      * pieces ([[PinnedByteMerges]]) — the unit a GPT-2-style training job
+      * actually pays, leading spaces included. Same distinct-piece join
+      * shape as [[Bpe]].
+      */
+    case object Gpt2 extends TokenCounter {
+      def project(docs: DataFrame, keep: Seq[String]): DataFrame = {
+        val pieces = regexp_extract_all(col("text"),
+          lit(TextQueries.Gpt2PretokenPattern), lit(0))
+        val tok = docs.select(keep.map(col) :+ explode(pieces).as("w"): _*)
+        tok.join(applyWordsBytes(tok.select(col("w")).distinct(), PinnedByteMerges), Seq("w"))
+          .groupBy(keep.map(col): _*)
+          .agg(sum(col("n_sub")).as("n_tok"))
+      }
+    }
   }
 
   // ------------------------------------------------------------------
@@ -411,14 +426,21 @@ object BpeTokenizer {
       |  CAST(sum(c.n_sub) AS BIGINT) AS n_bpe_tokens
       |FROM btok t JOIN bpe_wc c USING (w) GROUP BY 1""".stripMargin
 
-  private[ops] def gpt2TokensOracle: String = {
+  /** The GPT-2 apply chain (piece tokenizer + byte alphabet + pinned byte
+    * merges) through `bpe_wc` — shared by the tokens oracle and the
+    * GPT-2-dial curation oracles.
+    */
+  private[ops] def gpt2ApplyCtes: String = {
     val pat = TextQueries.Gpt2PretokenPattern.replace("'", "''")
-    "WITH " + applyCtes(PinnedByteMerges,
-      s"unnest(regexp_extract_all(text, '$pat'))", duckBytesAlpha) + """
+    applyCtes(PinnedByteMerges,
+      s"unnest(regexp_extract_all(text, '$pat'))", duckBytesAlpha)
+  }
+
+  private[ops] def gpt2TokensOracle: String =
+    "WITH " + gpt2ApplyCtes + """
       |SELECT t.doc_id, CAST(count(1) AS INT) AS n_pieces,
       |  CAST(sum(c.n_sub) AS BIGINT) AS n_gpt2_tokens
       |FROM btok t JOIN bpe_wc c USING (w) GROUP BY 1""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_learn" -> learn,

@@ -95,6 +95,14 @@ object CurationQueries {
   def packSequencesBpe(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame =
     packSequences(s, dir, budget, counter = BpeTokenizer.TokenCounter.Bpe)
 
+  /** `doc_pack` budgeted in GPT-2-SHAPED tokens (pre-tokenizer pieces +
+    * byte merges — [[BpeTokenizer.TokenCounter.Gpt2]]): the unit a
+    * GPT-2-style training job actually pays, leading spaces included. The
+    * oracle swaps the n_tok CTE for the generated piece/byte-merge chain.
+    */
+  def packSequencesGpt2(s: SparkSession, dir: String, budget: Long = 2048L): DataFrame =
+    packSequences(s, dir, budget, counter = BpeTokenizer.TokenCounter.Gpt2)
+
   /** The packing kernel over any frame with (doc_id, <strata cols>, n_tok):
     * a prefix-sum window per stratum, `pack_id = floor(prefix_sum / budget)`,
     * then a slot number within each pack.
@@ -553,6 +561,7 @@ object CurationQueries {
     "doc_sample_stratified" -> sampleStratified,
     "doc_pack" -> ((s, dir) => packSequences(s, dir)),
     "doc_pack_bpe" -> ((s, dir) => packSequencesBpe(s, dir)),
+    "doc_pack_gpt2" -> ((s, dir) => packSequencesGpt2(s, dir)),
     "doc_pack_sharded" -> ((s, dir) => packSequencesSharded(s, dir)),
     "doc_mix_report" -> ((s, dir) => mixReport(s, dir)),
     "doc_mix_rates" -> ((s, dir) => mixRates(s, dir)),
@@ -673,6 +682,21 @@ object CurationQueries {
     // doc_pack with the n_tok CTE swapped for the generated BPE vocab chain
     "doc_pack_bpe" ->
       ("WITH " + BpeTokenizer.applyCtes() + s""",
+         |toks AS (
+         |  SELECT t.doc_id, any_value(t.lang) AS lang, CAST(sum(c.n_sub) AS BIGINT) AS n_tok
+         |  FROM btok t JOIN bpe_wc c USING (w) GROUP BY t.doc_id),
+         |packed AS (
+         |  SELECT doc_id, lang, n_tok,
+         |    CAST((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 2048 AS BIGINT) AS pack_id
+         |  FROM toks)
+         |SELECT doc_id, lang, n_tok, pack_id,
+         |  CAST(row_number() OVER (PARTITION BY lang, pack_id ORDER BY doc_id) AS INT) AS pack_pos
+         |FROM packed""".stripMargin),
+    // doc_pack budgeted in GPT-2-shaped tokens: the n_tok CTE swapped for
+    // the generated piece/byte-merge chain
+    "doc_pack_gpt2" ->
+      ("WITH " + BpeTokenizer.gpt2ApplyCtes + s""",
          |toks AS (
          |  SELECT t.doc_id, any_value(t.lang) AS lang, CAST(sum(c.n_sub) AS BIGINT) AS n_tok
          |  FROM btok t JOIN bpe_wc c USING (w) GROUP BY t.doc_id),
