@@ -46,7 +46,7 @@ object Bench {
     "text_winnow", "text_winnow_pairs", "text_containment", "text_nfc_dedup", "dedup_substring",
     "dedup_substring_rewrite", "dedup_substring_docs",
     "text_quality_model", "text_lm_score", "text_pretokenize", "text_bpe_learn", "text_bpe_tokens",
-    "text_bpe_gpt2",
+    "text_bpe_bytes_learn", "text_bpe_gpt2",
     "text_quality_train", "text_quality_train_cg", "text_quality_trained",
     "doc_pack", "doc_pack_bpe", "doc_pack_gpt2", "doc_chunk", "doc_chunk_bpe", "doc_sample_stratified", "doc_sample_quota", "doc_sample_weighted",
     "doc_sample_quota_sharded", "doc_mix_report", "doc_mix_rates", "q_ewma", "q_holt",

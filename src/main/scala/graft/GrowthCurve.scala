@@ -96,8 +96,13 @@ object GrowthCurve {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/growth")
     // optional second arg: run one section only (docs | graph | emb | 100x)
-    // — fast re-measurement of a single arm family after a kernel change
+    // — fast re-measurement of a single arm family after a kernel change.
+    // Fail fast on a typo: a silently-empty run would read as a successful
+    // measurement of nothing.
+    val sections = Set("docs", "graph", "emb", "100x")
     val section = args.lift(1)
+    section.foreach(s => require(sections(s),
+      s"unknown section '$s' — expected one of ${sections.mkString(", ")}"))
     def want(s: String): Boolean = section.forall(_ == s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

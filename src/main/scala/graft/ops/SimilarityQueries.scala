@@ -55,13 +55,17 @@ object SimilarityQueries {
   }
 
   /** The brute-force kernel over any (vec_id, v, nv) frame — shared between
-    * the standalone baseline and [[annRecall]]'s exact arm (which feeds it
-    * the one persisted index projection instead of building a second one).
+    * the standalone baseline, [[annRecall]]'s exact arm (which feeds it
+    * the one persisted index projection instead of building a second one),
+    * and [[annFiltered]] (which restricts `corpus` while drawing queries
+    * from the unfiltered frame). ONE copy of the scoring/tie-break/top-5
+    * kernel — the DuckDB oracles mirror exactly this expression.
     */
-  private def bruteForceFrom(emb: DataFrame): DataFrame = {
+  private def bruteForceFrom(emb: DataFrame, corpus: DataFrame = null): DataFrame = {
+    val cand = Option(corpus).getOrElse(emb)
     val queries = emb.filter(col("vec_id") < 10)
       .selectExpr("vec_id AS query_id", "v AS qv", "nv AS qnv")
-    val sims = broadcast(queries).join(emb, col("vec_id") =!= col("query_id"))
+    val sims = broadcast(queries).join(cand, col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "vec_id AS neighbor_id",
         s"${dot("qv", "v")} / (qnv * nv) AS sim")
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -92,16 +96,7 @@ object SimilarityQueries {
       .select(col("doc_id").as("vec_id"))
     val emb = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$toDouble AS v")
       .selectExpr("vec_id", "v", s"${norm("v")} AS nv")
-    val corpus = emb.join(keep, Seq("vec_id"), "left_semi")
-    val queries = emb.filter(col("vec_id") < 10)
-      .selectExpr("vec_id AS query_id", "v AS qv", "nv AS qnv")
-    val sims = broadcast(queries).join(corpus, col("vec_id") =!= col("query_id"))
-      .selectExpr("query_id", "vec_id AS neighbor_id",
-        s"${dot("qv", "v")} / (qnv * nv) AS sim")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    bruteForceFrom(emb, corpus = emb.join(keep, Seq("vec_id"), "left_semi"))
   }
 
   // --- IVF with a real coarse quantizer -------------------------------

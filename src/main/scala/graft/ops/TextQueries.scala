@@ -622,9 +622,14 @@ object TextQueries {
     * so interior multi-space runs become one whitespace piece here.
     * Alternation is leftmost-first in BOTH engines (Java regex; DuckDB's
     * RE2 in its default non-POSIX mode), so the piece streams agree.
+    * Whitespace is the EXPLICIT class [[WsClass]] rather than `\s`: Java's
+    * `\s` includes vertical tab (\x0B) while RE2's excludes it — the one
+    * byte where the engines' shorthands disagree, and a latent hash-gate
+    * flake if it ever appears in a corpus.
     */
+  private val WsClass = "\\t\\n\\x0B\\f\\r "
   val Gpt2PretokenPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$WsClass\\p{L}\\p{N}]+|[$WsClass]+"
 
   /** Catalog entry: pre-tokenization profile per document — the stage that
     * feeds byte-level BPE in a real GPT-2-shaped tokenizer (pre-tokenize →
@@ -645,10 +650,12 @@ object TextQueries {
         length(col("text")).as("n_chars"))
       .select(col("doc_id"),
         size(col("pieces")).as("n_pieces"),
-        size(filter(col("pieces"), p => p.rlike("^'"))).as("n_contraction"),
+        // the FULL contraction shape, anchored: a bare/closing quote piece
+        // (' ?[^..]+' matched it) is punctuation, not a contraction
+        size(filter(col("pieces"), p => p.rlike("^'(?:s|t|re|ve|m|ll|d)$"))).as("n_contraction"),
         size(filter(col("pieces"), p => p.rlike("^ ?\\p{L}"))).as("n_alpha"),
         size(filter(col("pieces"), p => p.rlike("^ ?\\p{N}"))).as("n_num"),
-        size(filter(col("pieces"), p => p.rlike("^\\s+$"))).as("n_space"),
+        size(filter(col("pieces"), p => p.rlike(s"^[$WsClass]+$$"))).as("n_space"),
         aggregate(col("pieces"), lit(0), (a, p) => a + length(p)).as("covered"),
         col("n_chars"))
       .select(col("doc_id"), col("n_pieces"), col("n_contraction"),
@@ -723,21 +730,23 @@ object TextQueries {
     // lossless flag pinned at 1 proves the piece stream covers every char
     "text_pretokenize" -> {
       val pat = Gpt2PretokenPattern.replace("'", "''")
+      val contr = "'^''(?:s|t|re|ve|m|ll|d)$$'"
+      val space = s"'^[$WsClass]+$$'"
       s"""WITH p AS (
          |  SELECT doc_id, length(text) AS n_chars,
          |    regexp_extract_all(text, '$pat') AS pieces
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(pieces) AS INT) AS n_pieces,
-         |  CAST(len(list_filter(pieces, x -> regexp_matches(x, '^'''))) AS INT) AS n_contraction,
+         |  CAST(len(list_filter(pieces, x -> regexp_matches(x, $contr))) AS INT) AS n_contraction,
          |  CAST(len(list_filter(pieces, x -> regexp_matches(x, '^ ?\\p{L}'))) AS INT) AS n_alpha,
          |  CAST(len(list_filter(pieces, x -> regexp_matches(x, '^ ?\\p{N}'))) AS INT) AS n_num,
-         |  CAST(len(list_filter(pieces, x -> regexp_matches(x, '^\\s+$$'))) AS INT) AS n_space,
+         |  CAST(len(list_filter(pieces, x -> regexp_matches(x, $space))) AS INT) AS n_space,
          |  CAST(len(pieces)
-         |    - len(list_filter(pieces, x -> regexp_matches(x, '^''')))
+         |    - len(list_filter(pieces, x -> regexp_matches(x, $contr)))
          |    - len(list_filter(pieces, x -> regexp_matches(x, '^ ?\\p{L}')))
          |    - len(list_filter(pieces, x -> regexp_matches(x, '^ ?\\p{N}')))
-         |    - len(list_filter(pieces, x -> regexp_matches(x, '^\\s+$$'))) AS INT) AS n_other,
+         |    - len(list_filter(pieces, x -> regexp_matches(x, $space))) AS INT) AS n_other,
          |  CAST(CASE WHEN coalesce(list_sum(list_transform(pieces, x -> length(x))), 0) = n_chars
          |       THEN 1 ELSE 0 END AS INT) AS lossless
          |FROM p""".stripMargin

@@ -191,21 +191,26 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("pretokenize: contraction/space/digit classes and losslessness on constructed text") {
     import spark.implicits._
-    val text = "don't stop  the 42 cats, won't he said naïve 3.14xyz"
+    // 'naïve' in quotes: the bare/closing quote pieces must land in
+    // n_other, NOT n_contraction (the full-shape classifier)
+    val text = "don't stop  the 42 cats, won't he said 'naïve' 3.14xyz"
     // independent expectation: walk the same pattern with java.util.regex
     val m = java.util.regex.Pattern.compile(TextQueries.Gpt2PretokenPattern).matcher(text)
     val expected = Iterator.continually(m.find()).takeWhile(identity)
       .map(_ => m.group()).toSeq
     assert(expected.mkString("") == text, "the pattern must cover the text losslessly")
     assert(expected.contains("'t") && expected.contains("  ") &&
-      expected.contains(" 42") && expected.contains(" naïve"),
+      expected.contains(" 42") && expected.contains("'"),
       s"fixture should exercise every class: $expected")
     val row = TextQueries.pretokenizeFrom(Seq((1L, text)).toDF("doc_id", "text"))
       .collect().head
+    val nContr = expected.count(_.matches("'(?:s|t|re|ve|m|ll|d)"))
+    assert(nContr == 2 && expected.count(_.startsWith("'")) > nContr,
+      "fixture must separate true contractions from quote punctuation")
     assert(row.getInt(1) == expected.size, s"n_pieces ${row.getInt(1)} != ${expected.size}")
-    assert(row.getInt(2) == expected.count(_.startsWith("'")), "n_contraction")
-    assert(row.getInt(3) == expected.count(p => p.dropWhile(_ == ' ').headOption.exists(_.isLetter)
-      && !p.startsWith("'")), "n_alpha")
+    assert(row.getInt(2) == nContr, "n_contraction")
+    assert(row.getInt(3) == expected.count(p =>
+      p.dropWhile(_ == ' ').headOption.exists(_.isLetter) && !p.startsWith("'")), "n_alpha")
     assert(row.getInt(4) == expected.count(_.matches(" ?\\p{N}+")), "n_num")
     assert(row.getInt(5) == expected.count(_.matches("\\s+")), "n_space")
     assert(row.getInt(6) == row.getInt(1) - row.getInt(2) - row.getInt(3) - row.getInt(4) - row.getInt(5))
