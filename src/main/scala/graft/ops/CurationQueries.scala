@@ -254,6 +254,27 @@ object CurationQueries {
       "doc_id", "cluster_id", s"CAST(${hashModOf(h, splits)} AS INT) AS split_id")
   }
 
+  /** SOFT dedup — duplicate-count REWEIGHTING instead of removal: every
+    * document keeps its row but carries weight 1/|cluster| from the
+    * transitive near-dup resolution, so a passage duplicated k times
+    * contributes exactly one copy's worth of expected training mass under
+    * weighted sampling (the reweighting alternative the semantic-dedup
+    * literature prefers when hard removal is too blunt — duplicates often
+    * carry distinct metadata worth keeping). Composes [[DedupQueries.dedupClusters]]
+    * with one cluster-keyed count join; the weight is a single IEEE
+    * division of exact integers — deterministic in both engines. Feeds
+    * [[graft.ops.BpeTokenizer.TokenCounter]]-style samplers directly
+    * (weight x token count = the PPS measure).
+    */
+  def dedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val clusters = DedupQueries.dedupClusters(s, dir)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, Seq("cluster_id"))
+      .selectExpr("doc_id", "cluster_id", "cluster_size",
+        "CAST(1 AS DOUBLE) / cluster_size AS weight")
+  }
+
   /** The end-to-end curation funnel: one per-document verdict combining the
     * three filters a production corpus actually chains — near-dup removal,
     * model-based quality, and repetition — with per-stage pass flags so the
@@ -568,6 +589,7 @@ object CurationQueries {
     "doc_upsample" -> upsample,
     "doc_shuffle_split" -> ((s, dir) => shuffleSplit(s, dir)),
     "doc_split_grouped" -> ((s, dir) => splitGrouped(s, dir)),
+    "doc_dedup_weights" -> dedupWeights,
     "doc_curate" -> ((s, dir) => curate(s, dir)),
   )
 
@@ -756,6 +778,14 @@ object CurationQueries {
          |FROM flags""".stripMargin,
     // the cluster resolution is dedup_clusters' own oracle, nested as a
     // subquery; the split hash then reads the CLUSTER id
+    // soft dedup: 1/|cluster| weights over the nested cluster resolution
+    "doc_dedup_weights" ->
+      s"""SELECT doc_id, cluster_id,
+         |  CAST(count(1) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+         |  CAST(1 AS DOUBLE) / count(1) OVER (PARTITION BY cluster_id) AS weight
+         |FROM (
+         |${DedupQueries.oracleSql("dedup_clusters")}
+         |) c""".stripMargin,
     "doc_split_grouped" ->
       s"""SELECT doc_id, cluster_id,
          |  CAST(${hashModOf("md5('gsplit:' || CAST(cluster_id AS VARCHAR))", 8)} AS INT) AS split_id

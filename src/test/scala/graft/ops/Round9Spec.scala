@@ -303,6 +303,44 @@ class Round9Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // --- real resize ------------------------------------------------------------
+
+  test("mm_resize_real: box means independently recomputed from the source rasters") {
+    val rasters = MultimodalQueries.pixelGrids(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3))).toMap
+    val rows = MultimodalQueries.mediaResizeReal(spark, dir).collect()
+    assert(rows.length == rasters.size)
+    rows.foreach { r =>
+      val (w, h, raster) = rasters(r.getLong(0))
+      def px(x: Int, y: Int): Long = raster(y * w + x) & 0xffL
+      val (w2, h2) = (w / 2, h / 2)
+      assert(r.getInt(1) == w2 && r.getInt(2) == h2,
+        s"doc ${r.getLong(0)}: resized dims ${r.getInt(1)}x${r.getInt(2)} != ${w2}x$h2")
+      val expectedSum = (for (y <- 0 until h2; x <- 0 until w2) yield
+        (px(2 * x, 2 * y) + px(2 * x + 1, 2 * y) +
+          px(2 * x, 2 * y + 1) + px(2 * x + 1, 2 * y + 1)) / 4).sum
+      assert(r.getLong(3) == expectedSum,
+        s"doc ${r.getLong(0)}: sum_rluma ${r.getLong(3)} != $expectedSum")
+    }
+  }
+
+  // --- soft dedup weights ------------------------------------------------------
+
+  test("doc_dedup_weights: per-cluster mass sums to 1, singletons weigh 1") {
+    val rows = CurationQueries.dedupWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val size = members.head._3
+      assert(members.length == size, s"cluster $c: size column $size != ${members.length}")
+      assert(members.forall(_._4 == 1.0 / size))
+      // expected epoch mass of the whole duplicate group = one copy
+      assert(math.abs(members.map(_._4).sum - 1.0) < 1e-9, s"cluster $c mass != 1")
+    }
+    assert(rows.exists(_._3 == 1L) && rows.filter(_._3 == 1L).forall(_._4 == 1.0),
+      "singletons must carry weight exactly 1.0")
+  }
+
   // --- substring memoization ------------------------------------------------
 
   test("substring family: rewrite reuses the memoized extraction (values identical, one extraction)") {
