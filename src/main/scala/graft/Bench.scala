@@ -50,7 +50,10 @@ object Bench {
     "text_quality_train", "text_quality_train_cg", "text_quality_trained",
     "doc_pack", "doc_pack_bpe", "doc_pack_gpt2", "doc_chunk", "doc_chunk_bpe", "doc_sample_stratified", "doc_sample_quota", "doc_sample_weighted",
     "doc_sample_quota_sharded", "doc_mix_report", "doc_mix_rates", "q_ewma", "q_holt",
-    "doc_upsample", "doc_shuffle_split", "doc_dedup_weights", "doc_curate",
+    // doc_dedup_weights (like dedup_clusters / doc_split_grouped it composes)
+    // stays out: its jaccard-prefix pair pipeline is output-bound on this
+    // corpus's 40-word vocabulary (true pair set ~quadratic — see ROADMAP)
+    "doc_upsample", "doc_shuffle_split", "doc_curate",
     "emb_kmeans", "emb_covariance", "emb_quantize", "ann_sq8", "ann_sq8_recall",
     "ann_matryoshka", "ann_matryoshka_recall", "search_hybrid_rrf", "emb_pca_power", "emb_pca_project",
     "emb_pca_topk", "emb_pca_project_topk", "emb_pca_whiten",
