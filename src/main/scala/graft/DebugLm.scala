@@ -15,12 +15,12 @@ object DebugLm {
     graft.functions.GraftFunctions.registerAll(spark)
     val dir = "/root/testdata/sf0.001"
     val plain = spark.read.parquet(s"$dir/documents.parquet")
-      .selectExpr("doc_id", "split(trim(lower(text)), '\\\\s+') AS t")
+      .selectExpr("doc_id", s"split(trim(lower(text)), '[${graft.ops.Tokenize.WsClassSql}]+') AS t")
       .filter("size(t) >= 4")
       .selectExpr("doc_id",
         "explode(transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))) AS g")
     val barriered = spark.read.parquet(s"$dir/documents.parquet")
-      .selectExpr("doc_id", "graft_barrier(split(trim(lower(text)), '\\\\s+')) AS t")
+      .selectExpr("doc_id", s"graft_barrier(split(trim(lower(text)), '[${graft.ops.Tokenize.WsClassSql}]+')) AS t")
       .filter("size(t) >= 4")
       .selectExpr("doc_id",
         "explode(transform(sequence(1, size(t) - 3), i -> array_join(slice(t, i, 4), ' '))) AS g")

@@ -373,7 +373,7 @@ object BpeTokenizer {
   private[ops] def learnOracle(nMerges: Int = NMerges,
                                alphabet: String = duckCharsAlpha): String = {
     val ctes = scala.collection.mutable.ArrayBuffer(
-      """tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)""",
+      """tok AS (SELECT unnest(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+')) AS w FROM documents)""",
       s"""st0 AS MATERIALIZED (SELECT w, CAST(count(1) AS BIGINT) AS cnt,
         |  $alphabet AS ss FROM tok GROUP BY 1)""".stripMargin)
     for (r <- 1 to nMerges) {
@@ -400,7 +400,7 @@ object BpeTokenizer {
     * the piece tokenizer + byte alphabet) the GPT-2 tokens oracle.
     */
   private[ops] def applyCtes(merges: Seq[String] = PinnedMerges,
-      tokExpr: String = """unnest(regexp_split_to_array(trim(text), '\s+'))""",
+      tokExpr: String = """unnest(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+'))""",
       alphabet: String = duckCharsAlpha): String = {
     val m = merges.map(sq).mkString("[", ", ", "]")
     val rp = s"list_transform(range(1, len(ss)), i -> nullif(list_position($m, ss[i] || ' ' || ss[i+1]), 0))"

@@ -593,7 +593,7 @@ object CurationQueries {
     "doc_curate" -> ((s, dir) => curate(s, dir)),
   )
 
-  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private val duckToks = s"regexp_split_to_array(trim(text), '[${Tokenize.WsClass}]+')"
 
   val oracleSql: Map[String, String] = Map(
     // exact-integer systematic PPS: select where the token interval
@@ -635,7 +635,7 @@ object CurationQueries {
          |SELECT doc_id, n_tokens, score, thr FROM sc, t WHERE score >= thr""".stripMargin,
     "doc_chunk" ->
       """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents)
         |SELECT doc_id,
         |  CAST(unnest(range(0, CAST(ceil(len(t) / 40.0) AS INT))) AS INT) AS chunk_idx,
         |  unnest(list_transform(range(0, CAST(ceil(len(t) / 40.0) AS INT)),
@@ -692,7 +692,7 @@ object CurationQueries {
       ("WITH " + BpeTokenizer.applyCtes() + s""",
          |wpos AS (
          |  SELECT doc_id, unnest(t) AS w, CAST(unnest(range(0, len(t))) AS INT) AS pos
-         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents) z),
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[${Tokenize.WsClass}]+') AS t FROM documents) z),
          |j AS (SELECT p.doc_id, p.pos, p.w, c.n_sub FROM wpos p JOIN bpe_wc c USING (w)),
          |b AS (SELECT doc_id, pos, w, n_sub,
          |  CAST((sum(n_sub) OVER (PARTITION BY doc_id ORDER BY pos

@@ -73,7 +73,7 @@ object DedupQueries {
     val canon = if (nfc) "nfc_normalize(text)" else "text"
     docs
       .selectExpr("doc_id",
-        s"md5(CAST(regexp_replace(lower(trim($canon)), '\\\\s+', ' ') AS BINARY)) AS fp")
+        s"md5(CAST(regexp_replace(lower(trim($canon)), '[${Tokenize.WsClassSql}]+', ' ') AS BINARY)) AS fp")
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
   }
@@ -150,7 +150,7 @@ object DedupQueries {
     import org.apache.spark.sql.expressions.Window
     val fp = docs.selectExpr(
       "doc_id", "source",
-      "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp")
+      s"md5(CAST(regexp_replace(lower(trim(text)), '[${Tokenize.WsClassSql}]+', ' ') AS BINARY)) AS fp")
     val base = fp.filter(col("source") === baseSource)
       .groupBy(col("fp")).agg(min(col("doc_id")).as("base_keeper"))
     fp.filter(col("source") =!= baseSource)
@@ -199,7 +199,7 @@ object DedupQueries {
     graft.functions.GraftFunctions.registerAll(s)
     Tables(s, dir, "documents").selectExpr(
       "doc_id", "source",
-      "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp")
+      s"md5(CAST(regexp_replace(lower(trim(text)), '[${Tokenize.WsClassSql}]+', ' ') AS BINARY)) AS fp")
       .createOrReplaceTempView("graft_bloom_fp")
   }
 
@@ -1129,7 +1129,7 @@ object DedupQueries {
     "oracle_dedup_embedding" -> dedupEmbedding,
   )
 
-  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private val duckToks = s"regexp_split_to_array(trim(text), '[${Tokenize.WsClass}]+')"
   private def duckH(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
   private val duckShingles =
@@ -1196,7 +1196,7 @@ object DedupQueries {
     "dedup_incremental" ->
       """WITH f AS (
         |  SELECT doc_id, source,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |    md5(regexp_replace(lower(trim(text)), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS fp
         |  FROM documents),
         |base AS (
         |  SELECT fp, min(doc_id) AS base_keeper FROM f WHERE source = 'src0' GROUP BY 1),
@@ -1212,7 +1212,7 @@ object DedupQueries {
     "dedup_bloom" ->
       """WITH f AS (
         |  SELECT doc_id, source,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |    md5(regexp_replace(lower(trim(text)), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS fp
         |  FROM documents),
         |base AS (SELECT DISTINCT fp FROM f WHERE source = 'src0')
         |SELECT d.doc_id, d.fp,
@@ -1221,7 +1221,7 @@ object DedupQueries {
         |WHERE d.source <> 'src0'""".stripMargin,
     "dedup_paragraph" ->
       """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents),
         |segs AS (
         |  SELECT doc_id,
         |    unnest(range(0, CAST(ceil(len(t) / 10.0) AS INT))) AS seg_idx,
@@ -1265,7 +1265,7 @@ object DedupQueries {
          |SELECT node AS doc_id, min(r) AS cluster_id, min(r) = node AS is_survivor
          |FROM reach GROUP BY node""".stripMargin,
     "dedup_exact" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      """SELECT md5(regexp_replace(lower(trim(text)), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keeper, count(1) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "emb_dup_clusters" ->
@@ -1389,7 +1389,7 @@ object DedupQueries {
     // Spark side's padded zip_with.
     "dedup_substring_docs" ->
       """WITH tok AS MATERIALIZED (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents),
         |hs AS MATERIALIZED (
         |  SELECT doc_id, t, list_transform(range(1, len(t) - 1),
         |    i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT)) AS hs

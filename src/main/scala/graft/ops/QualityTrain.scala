@@ -251,7 +251,7 @@ object QualityTrain {
     */
   private def duckStatCtes: scala.collection.mutable.ArrayBuffer[String] =
     scala.collection.mutable.ArrayBuffer(
-      """qtok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)""",
+      """qtok AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents)""",
       s"""ft AS MATERIALIZED (SELECT doc_id, len(t) AS nt,
          |  list_transform(range(0, $Dim), b -> CAST(1000 * len(list_filter(t, tok -> $duckBucket = b)) // len(t) AS BIGINT)) AS f,
          |  CAST(list_sum(list_transform(t, tok -> ($duckWArr)[$duckBucket + 1])) AS BIGINT) AS sraw,

@@ -712,7 +712,7 @@ object SimilarityQueries {
     graft.functions.GraftFunctions.registerAll(s)
     val post = Tables(s, dir, "documents")
       .selectExpr("doc_id",
-        "explode(array_distinct(split(trim(lower(text)), '\\\\s+'))) AS token")
+        s"explode(array_distinct(split(trim(lower(text)), '[${Tokenize.WsClassSql}]+'))) AS token")
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds the query AND corpus sides
     val qtok = post.filter(col("doc_id") < 5)
       .selectExpr("doc_id AS query_id", "token")
@@ -1536,7 +1536,7 @@ object SimilarityQueries {
     // tie-broken — both engines fuse identically
     "search_hybrid_rrf" ->
       s"""WITH post AS MATERIALIZED (
-         |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS token
+         |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '[${Tokenize.WsClass}]+'))) AS token
          |  FROM documents),
          |qtok AS (SELECT doc_id AS query_id, token FROM post WHERE doc_id < 5),
          |lex AS (

@@ -76,7 +76,7 @@ object TextQueries {
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").selectExpr(
       "doc_id",
-      "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp")
+      s"md5(CAST(regexp_replace(lower(trim(text)), '[$WsSql]+', ' ') AS BINARY)) AS fp")
 
   /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
     * the MOSS local fingerprinting algorithm): hash every k-token gram,
@@ -322,7 +322,7 @@ object TextQueries {
     */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables(s, dir, "documents")
-      .selectExpr("doc_id", "explode(split(trim(lower(text)), '\\\\s+')) AS token")
+      .selectExpr("doc_id", s"explode(split(trim(lower(text)), '[$WsSql]+')) AS token")
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy(col("doc_id"))
@@ -346,7 +346,7 @@ object TextQueries {
                     benchSource: String = "src0", n: Int = 4): DataFrame = {
     require(n >= 2)
     val grams = Tables(s, dir, "documents")
-      .selectExpr("doc_id", "source", s"split(trim(lower(text)), '\\\\s+') AS t")
+      .selectExpr("doc_id", "source", s"split(trim(lower(text)), '[$WsSql]+') AS t")
       .filter(s"size(t) >= $n")
       .selectExpr("doc_id", "source",
         s"explode(transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))) AS g")
@@ -388,7 +388,7 @@ object TextQueries {
     // catalog.
     val view = s"graft_decon_grams_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     Tables(s, dir, "documents")
-      .selectExpr("doc_id", "source", s"split(trim(lower(text)), '\\\\s+') AS t")
+      .selectExpr("doc_id", "source", s"split(trim(lower(text)), '[$WsSql]+') AS t")
       .filter(s"size(t) >= $n")
       .selectExpr("doc_id", "source",
         s"explode(transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))) AS g")
@@ -456,7 +456,7 @@ object TextQueries {
                                   preAggregate: Boolean = false): (DataFrame, DataFrame) = {
     require(n >= 2)
     val positions = docs
-      .selectExpr("doc_id", "split(trim(lower(text)), '\\\\s+') AS t")
+      .selectExpr("doc_id", s"split(trim(lower(text)), '[$WsSql]+') AS t")
       .filter(s"size(t) >= $n")
       .selectExpr("doc_id",
         s"explode(transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))) AS g")
@@ -622,12 +622,14 @@ object TextQueries {
     * so interior multi-space runs become one whitespace piece here.
     * Alternation is leftmost-first in BOTH engines (Java regex; DuckDB's
     * RE2 in its default non-POSIX mode), so the piece streams agree.
-    * Whitespace is the EXPLICIT class [[WsClass]] rather than `\s`: Java's
-    * `\s` includes vertical tab (\x0B) while RE2's excludes it — the one
-    * byte where the engines' shorthands disagree, and a latent hash-gate
-    * flake if it ever appears in a corpus.
+    * Whitespace is the EXPLICIT class [[Tokenize.WsClass]] rather than
+    * `\s`: Java's `\s` includes vertical tab (\x0B) while RE2's excludes
+    * it — the one byte where the engines' shorthands disagree, and a
+    * latent hash-gate flake if it ever appears in a corpus. As of round 10
+    * every dual-engine regex in the repo spells whitespace this way.
     */
-  private val WsClass = "\\t\\n\\x0B\\f\\r "
+  private val WsClass = Tokenize.WsClass
+  private val WsSql = Tokenize.WsClassSql
   val Gpt2PretokenPattern: String =
     s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$WsClass\\p{L}\\p{N}]+|[$WsClass]+"
 
@@ -685,7 +687,7 @@ object TextQueries {
     "text_quality_model" -> qualityModel,
   )
 
-  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private val duckToks = s"regexp_split_to_array(trim(text), '[$WsClass]+')"
   private val duckWArr = modelWeights.mkString("[", ", ", "]")
   /** DuckDB twins of [[scoreRawSql]] / [[maxTokNSql]] for composed oracles. */
   private[ops] val duckScoreRawSql: String =
@@ -700,7 +702,7 @@ object TextQueries {
     * 1..m-3; the gram hash re-derives `hash60` from md5 hex bit-exactly.
     */
   private val winnowCtes: String =
-    """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents),
       |hs AS (
       |  SELECT doc_id, list_transform(range(1, len(t) - 1),
       |    i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT)) AS hs
@@ -712,7 +714,7 @@ object TextQueries {
 
   private val decontaminateOracle: String =
     """WITH tok AS (
-      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '[\t\n\x0B\f\r ]+') AS t
       |  FROM documents),
       |grams AS (
       |  SELECT doc_id, source, unnest(list_transform(range(1, len(t) - 2),
@@ -763,7 +765,7 @@ object TextQueries {
          |ORDER BY tf DESC, tok ASC LIMIT 50""".stripMargin,
     "text_lm_score" ->
       """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents),
         |grams AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
         |    i -> t[i] || ' ' || t[i + 1])) AS bg
@@ -775,7 +777,7 @@ object TextQueries {
         |FROM c GROUP BY 1""".stripMargin,
     "text_ngram_dup" ->
       """WITH tok AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '[\t\n\x0B\f\r ]+') AS t
         |  FROM documents),
         |grams AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
@@ -804,7 +806,7 @@ object TextQueries {
     "text_decontaminate_bloom" -> decontaminateOracle,
     "text_tfidf" ->
       """WITH tok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '[\t\n\x0B\f\r ]+')) AS token
         |  FROM documents),
         |tfc AS (SELECT doc_id, token, count(1) AS tf FROM tok GROUP BY 1, 2),
         |dfc AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1)
@@ -849,7 +851,7 @@ object TextQueries {
          |    CAST(len(list_filter($duckToks, t -> t IN ('el', 'los', 'y', 'de', 'que'))) AS INT) AS s_es
          |  FROM documents) t""".stripMargin,
     "text_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[\t\n\x0B\f\r ]+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
     "text_nfc_dedup" ->
       """WITH d AS (

@@ -24,11 +24,29 @@ sealed trait Tokenizer {
 
 object Tokenize {
 
+  /** The explicit whitespace class shared by EVERY dual-engine regex pair:
+    * regex source `[\t\n\x0B\f\r ]`. Java's `\s` includes vertical tab
+    * (\x0B) while RE2's (DuckDB's regex engine) EXCLUDES it, so any regex
+    * spelled `\s` on one engine and `\s` on the other silently diverges the
+    * moment a corpus carries a vertical tab. Both engines interpret this
+    * explicit class identically (Java semantics: \x0B IS whitespace).
+    *
+    * The value holds the escape TEXT (backslash-t, backslash-n, …). Use it
+    * raw inside DuckDB SQL literals (standard SQL literals do not process
+    * backslashes — RE2 receives the escapes) and in Scala-side regex APIs
+    * (`rlike`, `Column` functions). Use [[WsClassSql]] when embedding in a
+    * Spark SQL string literal, whose parser consumes one escaping level.
+    */
+  val WsClass: String = "\\t\\n\\x0B\\f\\r "
+
+  /** [[WsClass]] re-escaped for Spark SQL string literals (`selectExpr`). */
+  val WsClassSql: String = WsClass.replace("\\", "\\\\")
+
   /** Split on whitespace runs (the pinned default). `trim` first: Spark's
     * `split` keeps leading/trailing empty strings.
     */
   case object Whitespace extends Tokenizer {
-    def sql(col: String): String = s"split(trim($col), '\\\\s+')"
+    def sql(col: String): String = s"split(trim($col), '[$WsClassSql]+')"
   }
 
   /** Unicode word tokens: maximal runs of letters (`\p{L}`) and digits

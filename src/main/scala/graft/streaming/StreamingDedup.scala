@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.ops.DedupQueries
+import graft.ops.{DedupQueries, Tokenize}
 import graft.ops.DedupQueries.MinHashConfig
 
 /** Streaming fuzzy dedup: incremental MinHash-LSH candidate detection over
@@ -111,8 +111,8 @@ object StreamingDedup {
     docs
       .selectExpr(
         "doc_id",
-        "hash60(md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY))) AS fp",
-        s"CAST(pmod(hash60(md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY))), $shards) AS INT) AS shard")
+        s"hash60(md5(CAST(regexp_replace(lower(trim(text)), '[${Tokenize.WsClassSql}]+', ' ') AS BINARY))) AS fp",
+        s"CAST(pmod(hash60(md5(CAST(regexp_replace(lower(trim(text)), '[${Tokenize.WsClassSql}]+', ' ') AS BINARY))), $shards) AS INT) AS shard")
       .as[(Long, Long, Int)]
       .groupByKey(_._3)
       .flatMapGroupsWithState[Array[Long], FirstSeen](
@@ -159,7 +159,7 @@ object StreamingDedup {
     graft.functions.GraftFunctions.registerAll(spark)
     docs
       .selectExpr("doc_id", "ts",
-        "md5(CAST(regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS BINARY)) AS fp")
+        s"md5(CAST(regexp_replace(lower(trim(text)), '[${Tokenize.WsClassSql}]+', ' ') AS BINARY)) AS fp")
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("fp")
   }
