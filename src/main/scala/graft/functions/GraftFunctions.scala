@@ -37,6 +37,10 @@ object GraftFunctions {
       "phash60", exprs => PHash60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "box_resize", exprs => BoxResize(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_sum", exprs => ByteSum(exprs.head), "built-in")
     // Spark's own runtime-filter bloom sketch, exposed in SQL: the aggregate
     // builds the filter as one BINARY value (mergeable partials — no row
     // shuffle, only sketch bytes move), and the probe side consumes it via a
@@ -497,5 +501,114 @@ object Hash60Impl {
     var i = 0
     while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
     (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+}
+
+/** Codegen'd area-average (box-filter) downscale of a BINARY pixel plane:
+  * `box_resize(plane, width, factor)` averages each factor x factor block
+  * of the row-major unsigned-byte plane in exact integer arithmetic
+  * (`sum div factor^2`, identical to the `//` spelling the DuckDB oracle
+  * runs) and returns the (width div factor) x (height div factor) plane as
+  * BINARY — trailing rows/columns that don't fill a block are dropped,
+  * matching the `div` dimension arithmetic. This replaces the interpreted
+  * hex-string detour `mm_resize_real` carried (lower(hex(plane)) + four
+  * instr() lookups per output pixel inside a transform lambda — the same
+  * interpreted-HOF shape phash60 retired): one tight primitive loop per
+  * row, inside whole-stage codegen. NULL for an empty plane, a
+  * non-positive width/factor, or a plane shorter than one full block row.
+  */
+case class BoxResize(plane: Expression, width: Expression, factor: Expression)
+    extends TernaryExpression {
+  override def first: Expression = plane
+  override def second: Expression = width
+  override def third: Expression = factor
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (plane.dataType == BinaryType && width.dataType == IntegerType &&
+        factor.dataType == IntegerType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"box_resize expects (BINARY, INT, INT), got ${plane.dataType.catalogString}, " +
+        s"${width.dataType.catalogString}, ${factor.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(p: Any, w: Any, f: Any): Any =
+    BoxResizeImpl.resize(p.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], f.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, w, f) => s"""
+      |${ev.value} = graft.functions.BoxResizeImpl.resize($p, $w, $f);
+      |if (${ev.value} == null) ${ev.isNull} = true;
+     """.stripMargin)
+
+  override def prettyName: String = "box_resize"
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BoxResize =
+    copy(plane = newFirst, width = newSecond, factor = newThird)
+}
+
+object BoxResizeImpl {
+  /** static kernel shared by interpreted + generated code; null = invalid */
+  def resize(plane: Array[Byte], width: Int, factor: Int): Array[Byte] = {
+    if (plane.length == 0 || width <= 0 || factor <= 0) return null
+    val height = plane.length / width
+    val w2 = width / factor
+    val h2 = height / factor
+    if (w2 == 0 || h2 == 0) return null
+    val div = factor * factor
+    val out = new Array[Byte](w2 * h2)
+    var by = 0
+    while (by < h2) {
+      var bx = 0
+      while (bx < w2) {
+        var sum = 0
+        var dy = 0
+        while (dy < factor) {
+          val base = (by * factor + dy) * width + bx * factor
+          var dx = 0
+          while (dx < factor) { sum += plane(base + dx) & 0xff; dx += 1 }
+          dy += 1
+        }
+        out(by * w2 + bx) = (sum / div).toByte
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+}
+
+/** Codegen'd unsigned byte sum over a BINARY payload: `byte_sum(media)` =
+  * sum of all bytes read as 0..255, as BIGINT — the exact-integer
+  * checksum the multimodal entries report per plane, without round-tripping
+  * the payload through hex strings. 0 for an empty payload.
+  */
+case class ByteSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"byte_sum expects binary, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(v: Any): Any = ByteSumImpl.sum(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.ByteSumImpl.sum($c);")
+
+  override def prettyName: String = "byte_sum"
+  override protected def withNewChildInternal(newChild: Expression): ByteSum = copy(child = newChild)
+}
+
+object ByteSumImpl {
+  /** static kernel shared by interpreted + generated code */
+  def sum(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc += bytes(i) & 0xffL; i += 1 }
+    acc
   }
 }

@@ -377,8 +377,30 @@ object MultimodalQueries {
     * formula; matching proves decode + box filter + re-binarization
     * end-to-end. Supersedes the byte-subsample `mm_resize` stub (kept — it
     * exercises arbitrary-binary plumbing with its own oracle).
+    *
+    * The filter runs as the codegen'd [[graft.functions.BoxResize]]
+    * expression directly on the BINARY plane (pattern: ahash60/phash60) —
+    * the earlier SQL derivation round-tripped the plane through a
+    * lowercase-hex string with four interpreted instr() lookups per output
+    * pixel (2.0 s at sf0.1, the shape phash60 retired at 7.1 -> 0.18 s);
+    * only the DuckDB oracle keeps the hex formula. MultimodalSpec pins the
+    * expression against that SQL derivation byte-for-byte.
     */
   def mediaResizeReal(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    decodePngs(encodePngs(pixelGrids(s, dir)))
+      .selectExpr("doc_id",
+        "CAST(width div 2 AS INT) AS rwidth", "CAST(height div 2 AS INT) AS rheight",
+        "box_resize(luma, width, 2) AS rp")
+      .selectExpr("doc_id", "rwidth", "rheight",
+        "byte_sum(rp) AS sum_rluma", "ahash60(rp) AS rsig")
+  }
+
+  /** The retired hex-string SQL derivation of the 2x box filter — kept
+    * private as the spec's bit-equality anchor for [[BoxResize]], exactly
+    * as [[phashSigsSqlFrom]] anchors the codegen'd phash60.
+    */
+  private[ops] def mediaResizeRealSqlAnchor(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     def hb(pos: String) =
       s"CAST((instr('0123456789abcdef', substring(hx, 2 * ($pos) + 1, 1)) - 1) * 16 + " +

@@ -51,6 +51,48 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"oracles must spell whitespace as [${Tokenize.WsClass}]: $offenders")
   }
 
+  // --- codegen'd box-filter resize --------------------------------------
+
+  test("box_resize matches the retired hex-string SQL derivation byte-for-byte") {
+    val dir = "/root/testdata/sf0.001"
+    val fast = MultimodalQueries.mediaResizeReal(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    val anchor = MultimodalQueries.mediaResizeRealSqlAnchor(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    assert(fast.nonEmpty && fast == anchor,
+      "codegen'd BoxResize must reproduce the SQL hex derivation exactly")
+  }
+
+  test("BoxResize/ByteSum kernels: exact block means, truncation, edge cases") {
+    import graft.functions.{BoxResizeImpl, ByteSumImpl}
+    // 4x3 plane, factor 2 -> 2x1: trailing row dropped, means exact-integer
+    val plane = Array[Byte](
+      10, 20, 30, 40,
+      50, 60, 70, 80,
+      90, 91, 92, 93)
+    val out = BoxResizeImpl.resize(plane, 4, 2)
+    assert(out.toSeq == Seq[Byte](((10 + 20 + 50 + 60) / 4).toByte, ((30 + 40 + 70 + 80) / 4).toByte))
+    // unsigned bytes: 0xFF block averages to 255, not -1/4
+    val bright = BoxResizeImpl.resize(Array.fill[Byte](4)(0xFF.toByte), 2, 2)
+    assert((bright(0) & 0xff) == 255)
+    assert(BoxResizeImpl.resize(Array.empty[Byte], 4, 2) == null)
+    assert(BoxResizeImpl.resize(plane, 4, 5) == null, "block larger than plane -> null")
+    assert(ByteSumImpl.sum(Array[Byte](0xFF.toByte, 1, 0)) == 256L)
+    assert(ByteSumImpl.sum(Array.empty[Byte]) == 0L)
+  }
+
+  test("box_resize and byte_sum run inside whole-stage codegen") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // range source so the chain can't constant-fold into a LocalTableScan
+    val df = spark.range(4, 5)
+      .selectExpr("id", "unhex(lpad(hex(id), 8, '0')) AS p") // bytes [0,0,0,4]
+      .selectExpr("id", "byte_sum(box_resize(p, 2, 2)) AS s")
+    assert(df.collect()(0).getLong(1) == (0 + 0 + 0 + 4) / 4)
+    // the *(1) star marks the WholeStageCodegen span in the plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"expected codegen span:\n$plan")
+  }
+
   test("WsClassSql is WsClass re-escaped for Spark SQL literals") {
     assert(Tokenize.WsClassSql == Tokenize.WsClass.replace("\\", "\\\\"))
     // and the Spark SQL literal round-trips to the same regex source text
