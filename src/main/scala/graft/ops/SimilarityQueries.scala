@@ -509,9 +509,11 @@ object SimilarityQueries {
     * integer sum — both engines produce bit-identical rows. The codes
     * array sits behind a graft_barrier: inlined, the error lambda would
     * re-run the code transform per component (the CollapseProject hazard).
-    * The code vector is emitted comma-joined (one scalar per column) so
-    * row-oriented compare harnesses can sort/hash it; the array form stays
-    * internal to the barriered projection.
+    * The public column is the ARRAY<BIGINT> code vector (the shape a
+    * downstream index consumes); the row-oriented compare harness can't
+    * sort/hash array cells, so the CATALOG entry projects the comma-joined
+    * derivation `array_join(codes, ',')` instead — the verify-path detail
+    * stays out of the library signature (round-9 ADVICE).
     */
   def embQuantize(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
@@ -521,7 +523,7 @@ object SimilarityQueries {
         "graft_barrier(transform(sequence(0, size(qv) - 1), i -> " +
           "CASE WHEN rngs[i] = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE ((qv[i] - mins[i]) * 255) div rngs[i] END)) AS codes")
-      .selectExpr("vec_id", "array_join(codes, ',') AS codes",
+      .selectExpr("vec_id", "codes",
         "aggregate(transform(sequence(0, size(qv) - 1), i -> " +
           "CASE WHEN rngs[i] = 0 THEN CAST(0 AS BIGINT) ELSE " +
           "(qv[i] - (mins[i] + (codes[i] * rngs[i]) div 255)) * " +
@@ -1065,7 +1067,10 @@ object SimilarityQueries {
     "emb_kmeans" -> ((s, dir) => embKmeans(s, dir)),
     "emb_stats" -> embStats,
     "ann_filtered" -> annFiltered,
-    "emb_quantize" -> embQuantize,
+    // verify-path projection: the harness hash can't sort array cells, so
+    // the catalog row joins the code vector; the library call keeps the array
+    "emb_quantize" -> ((s, dir) => embQuantize(s, dir)
+      .selectExpr("vec_id", "array_join(codes, ',') AS codes", "sq_err")),
     "ann_sq8" -> annSq8,
     "ann_sq8_recall" -> annSq8Recall,
     "ann_matryoshka" -> annMatryoshka,

@@ -241,13 +241,33 @@ object StreamingDedup {
   /** Per-fingerprint state for [[substringCandidates]]: the anchor document,
     * ONE representative gram position (the earliest — sufficient for maximal
     * runs whose shared region has no internal k-gram repeat, the same
-    * precondition as the batch MOSS-completeness argument), the anchor's
-    * token array, and the emit budget used. State is bounded by ONE
-    * document's length per bucket — the substring analog of
-    * [[minhashVerifiedCandidates]] keeping the anchor's signature.
+    * precondition as the batch MOSS-completeness argument), a BOUNDED token
+    * window around that gram, and the emit budget used.
+    *
+    * The window — `ctxTokens` tokens each side of the k-gram, `off` its
+    * 0-based offset into the document — is what keeps aggregate state
+    * linear: winnowing selects ~n/w fingerprints per n-token document, so
+    * storing the FULL token array per anchored bucket (the round-9 shape)
+    * is O(n²/w) state per long document; the window caps each bucket at
+    * 2·ctx + k tokens, restoring O(n·ctx/w) — the substring analog of
+    * [[minhashVerifiedCandidates]]'s "no text in state, only the bounded
+    * signature" rule. The price is documented truncation: extension stops
+    * at the window edge, so an emitted run clips at k + 2·ctx tokens (pick
+    * ctxTokens at the longest shared region you care to extract exactly —
+    * removal still drops a true shared span, just not past the clip).
     */
-  final case class SubstringBucket(anchor: Long, pos: Int,
-                                   tks: Array[String], emitted: Int)
+  final case class SubstringBucket(anchor: Long, pos: Int, off: Int,
+                                   win: Array[String], emitted: Int)
+
+  /** The bounded anchor window: `ctx` tokens each side of the k-gram at
+    * 1-based `pos`, returned with its 0-based document offset.
+    */
+  private[streaming] def anchorWindow(tks: Array[String], pos: Int, k: Int,
+                                      ctx: Int): (Array[String], Int) = {
+    val ws = math.max(0, pos - 1 - ctx)
+    val we = math.min(tks.length, pos - 1 + k + ctx)
+    (java.util.Arrays.copyOfRange(tks, ws, we), ws)
+  }
 
   /** Streaming EXACT-SUBSTRING extraction — the incremental form of the
     * batch `dedup_substring` chain: winnowed fingerprints WITH positions
@@ -276,9 +296,10 @@ object StreamingDedup {
                           k: Int = graft.ops.TextQueries.WinnowK,
                           w: Int = graft.ops.TextQueries.WinnowW,
                           minLen: Int = -1,
-                          maxEmitsPerFp: Int = 50): Dataset[SubstringRun] = {
+                          maxEmitsPerFp: Int = 50,
+                          ctxTokens: Int = 200): Dataset[SubstringRun] = {
     val minL = if (minLen > 0) minLen else k + w - 1
-    require(k >= 1 && w >= 1 && minL >= k && maxEmitsPerFp >= 1)
+    require(k >= 1 && w >= 1 && minL >= k && maxEmitsPerFp >= 1 && ctxTokens >= minL)
     val spark = docs.sparkSession
     import spark.implicits._
     winnowPositionRows(docs, k, w)
@@ -289,27 +310,36 @@ object StreamingDedup {
           // doc_id order within the batch (smallest anchors the rest);
           // ascending pos keeps the earliest position as the representative
           val sorted = rows.toArray.sortBy(r => (r._1, r._3))
-          var SubstringBucket(anchor, apos, atks, emitted) =
-            state.getOption.getOrElse(SubstringBucket(Long.MaxValue, 0, Array.empty, 0))
+          var SubstringBucket(anchor, apos, aoff, awin, emitted) =
+            state.getOption.getOrElse(SubstringBucket(Long.MaxValue, 0, 0, Array.empty, 0))
           val out = Array.newBuilder[SubstringRun]
           sorted.foreach { case (id, _, pos, tks) =>
             if (anchor != Long.MaxValue && id != anchor && emitted < maxEmitsPerFp) {
-              // orient the pair doc_a < doc_b like the batch anchors join
-              val (ta, pa, tb, pb, da, db) =
-                if (anchor < id) (atks, apos, tks, pos, anchor, id)
-                else (tks, pos, atks, apos, id, anchor)
+              // orient the pair doc_a < doc_b like the batch anchors join;
+              // the anchor side verifies inside its bounded window
+              val (ta, pa, tb, pb) =
+                if (anchor < id) (awin, apos - aoff, tks, pos)
+                else (tks, pos, awin, apos - aoff)
               verifyExtend(ta, pa, tb, pb, k).foreach { case (extL, extR) =>
                 val runLen = extL + k + extR
                 if (runLen >= minL) {
-                  out += SubstringRun(da, db, pa - extL, pb - extL, runLen)
+                  // report starts in DOCUMENT coordinates on both sides
+                  val (da, db, sa, sb) =
+                    if (anchor < id) (anchor, id, apos - extL, pos - extL)
+                    else (id, anchor, pos - extL, apos - extL)
+                  out += SubstringRun(da, db, sa, sb, runLen)
                   emitted += 1
                 }
               }
             }
-            if (id < anchor) { anchor = id; apos = pos; atks = tks }
+            if (id < anchor) {
+              anchor = id; apos = pos
+              val (wn, of) = anchorWindow(tks, pos, k, ctxTokens)
+              awin = wn; aoff = of
+            }
           }
           if (anchor != Long.MaxValue)
-            state.update(SubstringBucket(anchor, apos, atks, emitted))
+            state.update(SubstringBucket(anchor, apos, aoff, awin, emitted))
           out.result().iterator
       }
   }
@@ -342,9 +372,10 @@ object StreamingDedup {
                      k: Int = graft.ops.TextQueries.WinnowK,
                      w: Int = graft.ops.TextQueries.WinnowW,
                      minLen: Int = -1,
-                     maxEmitsPerFp: Int = 50): Dataset[SubstringSpan] = {
+                     maxEmitsPerFp: Int = 50,
+                     ctxTokens: Int = 200): Dataset[SubstringSpan] = {
     val minL = if (minLen > 0) minLen else k + w - 1
-    require(k >= 1 && w >= 1 && minL >= k && maxEmitsPerFp >= 1)
+    require(k >= 1 && w >= 1 && minL >= k && maxEmitsPerFp >= 1 && ctxTokens >= minL)
     val spark = docs.sparkSession
     import spark.implicits._
     winnowPositionRows(docs, k, w)
@@ -353,14 +384,14 @@ object StreamingDedup {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, rows, state: GroupState[SubstringBucket]) =>
           val sorted = rows.toArray.sortBy(r => (r._1, r._3))
-          var SubstringBucket(anchor, apos, atks, emitted) =
-            state.getOption.getOrElse(SubstringBucket(Long.MaxValue, 0, Array.empty, 0))
+          var SubstringBucket(anchor, apos, aoff, awin, emitted) =
+            state.getOption.getOrElse(SubstringBucket(Long.MaxValue, 0, 0, Array.empty, 0))
           val out = Array.newBuilder[SubstringSpan]
           sorted.foreach { case (id, _, pos, tks) =>
             if (anchor != Long.MaxValue && id != anchor && emitted < maxEmitsPerFp) {
               // the ARRIVAL is always the drop side: extend its run vs the
-              // anchor and emit the arrival-side coordinates
-              verifyExtend(atks, apos, tks, pos, k).foreach { case (extL, extR) =>
+              // anchor's bounded window, emit arrival-side doc coordinates
+              verifyExtend(awin, apos - aoff, tks, pos, k).foreach { case (extL, extR) =>
                 val runLen = extL + k + extR
                 if (runLen >= minL) {
                   out += SubstringSpan(id, anchor, pos - extL, runLen, tks)
@@ -368,10 +399,14 @@ object StreamingDedup {
                 }
               }
             }
-            if (id < anchor) { anchor = id; apos = pos; atks = tks }
+            if (id < anchor) {
+              anchor = id; apos = pos
+              val (wn, of) = anchorWindow(tks, pos, k, ctxTokens)
+              awin = wn; aoff = of
+            }
           }
           if (anchor != Long.MaxValue)
-            state.update(SubstringBucket(anchor, apos, atks, emitted))
+            state.update(SubstringBucket(anchor, apos, aoff, awin, emitted))
           out.result().iterator
       }
   }

@@ -378,7 +378,7 @@ class Round8Spec extends AnyFunSuite with BeforeAndAfterAll {
     // per-dim |err| <= rng div 255 + 1 (floor-division remainder bound)
     val bound = rngs.map(r => { val e = r / 255 + 1; e * e }).sum
     rows.foreach { r =>
-      val codes = r.getString(1).split(',').map(_.toLong)
+      val codes = r.getSeq[Long](1) // library surface keeps the ARRAY column
       assert(codes.length == dims && codes.forall(c => c >= 0 && c <= 255),
         s"vec ${r.getLong(0)}: code out of byte range")
       assert(r.getLong(2) >= 0 && r.getLong(2) <= bound,

@@ -393,6 +393,51 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(1L, 3L, 8L), s"expected first-seen {1, 3, 8}, got $got")
   }
 
+  test("bounded anchor window: edges, offsets, and the 2*ctx+k cap") {
+    val tks = (1 to 20).map(i => s"t$i").toArray
+    // interior gram at 1-based pos 10, k=3, ctx=2: window t8..t14, offset 7
+    val (w1, o1) = StreamingDedup.anchorWindow(tks, 10, 3, 2)
+    assert(o1 == 7 && w1.toSeq == (8 to 14).map(i => s"t$i"),
+      s"interior window: off=$o1 win=${w1.toSeq}")
+    assert(w1.length == 3 + 2 * 2, "interior window is exactly k + 2*ctx")
+    // left edge: the window clips at the document start
+    val (w2, o2) = StreamingDedup.anchorWindow(tks, 1, 3, 2)
+    assert(o2 == 0 && w2.toSeq == (1 to 5).map(i => s"t$i"),
+      s"left-edge window: off=$o2 win=${w2.toSeq}")
+    // right edge: the window clips at the document end
+    val (w3, o3) = StreamingDedup.anchorWindow(tks, 18, 3, 2)
+    assert(o3 == 15 && w3.toSeq == (16 to 20).map(i => s"t$i"),
+      s"right-edge window: off=$o3 win=${w3.toSeq}")
+  }
+
+  test("bounded anchor window clips emitted runs at k + 2*ctx, in true document coordinates") {
+    import spark.implicits._
+    // a 30-token planted run: far longer than the ctx=6 window can extend
+    val run = (1 to 30).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $run a3"),
+      (7L, s"d1 d2 d3 $run")).toDF("doc_id", "text")
+    val toks1 = s"a1 a2 $run a3".split(' ')
+    val toks7 = s"d1 d2 d3 $run".split(' ')
+    val got = StreamingDedup.substringCandidates(docs, ctxTokens = 6)
+      .collect().map(r => (r.doc_a, r.doc_b, r.start_a, r.start_b, r.run_len))
+    assert(got.nonEmpty, "the planted run must surface candidates")
+    got.foreach { case (da, db, sa, sb, len) =>
+      assert(da == 1L && db == 7L, s"orientation: ($da,$db)")
+      // the cap: extension stops at the window edge on the anchor side
+      assert(len <= 3 + 2 * 6, s"run_len $len exceeds k + 2*ctx = 15")
+      assert(len >= 6, s"run_len $len below minL")
+      // document coordinates: the reported span must be a REAL shared run
+      val (ta, tb) = (toks1.slice(sa - 1, sa - 1 + len), toks7.slice(sb - 1, sb - 1 + len))
+      assert(ta.sameElements(tb) && ta.length == len,
+        s"span at ($sa,$sb,len=$len) is not a shared substring: ${ta.toSeq} vs ${tb.toSeq}")
+    }
+    // a window covering the whole document reproduces the full maximal run
+    val full = StreamingDedup.substringCandidates(docs, ctxTokens = 200)
+      .collect().map(r => (r.doc_a, r.doc_b, r.start_a, r.start_b, r.run_len)).toSet
+    assert(full == Set((1L, 7L, 3, 4, 30)), s"uncapped recovery: $full")
+  }
+
   test("bloom dedup false positives only ever DROP novel docs, never pass dups") {
     import spark.implicits._
     // 200 distinct docs through one 64-bit shard: heavy saturation — many
