@@ -265,11 +265,12 @@ object BpeTokenizer {
     "6d 616c6c", "20 726f77", "2073 63616e", "20 64",
     "2073 6d616c6c", "67 65", "6c 6f77", "6d6572 6765")
 
-  /** Catalog entry: GPT-2-SHAPED tokenization end to end — the
-    * [[graft.ops.TextQueries.Gpt2PretokenPattern]] pre-tokenizer feeds
-    * byte-level merges applied WITHIN pieces (the composition of the two
-    * round-9 stages; spaces travel inside pieces and merge into their
-    * words, exactly like the real tokenizer). Applied to the DISTINCT
+  /** Catalog entry: GPT-2-SHAPED tokenization end to end — the TRUE-
+    * boundary pre-tokenizer ([[graft.ops.TextQueries.gpt2PiecesSqlOf]]:
+    * base pattern + lookahead post-pass, round 10) feeds byte-level merges
+    * applied WITHIN pieces (the composition of the two round-9 stages;
+    * spaces travel inside pieces and merge into their words, exactly like
+    * the real tokenizer). Applied to the DISTINCT
     * piece frame and joined back — cost scales with the piece vocabulary,
     * not the corpus. The oracle re-runs the identical pre-tokenize →
     * byte-alphabet → pinned-merge chain.
@@ -280,9 +281,8 @@ object BpeTokenizer {
   /** The GPT-2-shaped counting kernel over any (doc_id, text) frame. */
   def gpt2TokensFrom(docs: DataFrame,
                      merges: Seq[String] = PinnedByteMerges): DataFrame = {
-    val pieces = regexp_extract_all(col("text"),
-      lit(TextQueries.Gpt2PretokenPattern), lit(0))
-    val tok = docs.select(col("doc_id"), explode(pieces).as("w"))
+    val tok = docs.selectExpr("doc_id",
+      s"explode(${TextQueries.gpt2PiecesSqlOf("text")}) AS w")
     tok.join(applyWordsBytes(tok.select(col("w")).distinct(), merges), Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_pieces"),
@@ -340,8 +340,7 @@ object BpeTokenizer {
       */
     case object Gpt2 extends TokenCounter {
       def project(docs: DataFrame, keep: Seq[String]): DataFrame = {
-        val pieces = regexp_extract_all(col("text"),
-          lit(TextQueries.Gpt2PretokenPattern), lit(0))
+        val pieces = expr(TextQueries.gpt2PiecesSqlOf("text"))
         val tok = docs.select(keep.map(col) :+ explode(pieces).as("w"): _*)
         tok.join(applyWordsBytes(tok.select(col("w")).distinct(), PinnedByteMerges), Seq("w"))
           .groupBy(keep.map(col): _*)
@@ -430,11 +429,9 @@ object BpeTokenizer {
     * merges) through `bpe_wc` — shared by the tokens oracle and the
     * GPT-2-dial curation oracles.
     */
-  private[ops] def gpt2ApplyCtes: String = {
-    val pat = TextQueries.Gpt2PretokenPattern.replace("'", "''")
+  private[ops] def gpt2ApplyCtes: String =
     applyCtes(PinnedByteMerges,
-      s"unnest(regexp_extract_all(text, '$pat'))", duckBytesAlpha)
-  }
+      s"unnest(${TextQueries.duckGpt2PiecesOf("text")})", duckBytesAlpha)
 
   private[ops] def gpt2TokensOracle: String =
     "WITH " + gpt2ApplyCtes + """

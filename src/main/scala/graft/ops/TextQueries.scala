@@ -613,25 +613,96 @@ object TextQueries {
       .limit(50)
   }
 
-  /** GPT-2-style regex PRE-tokenIZER pattern, simplified to the
-    * RE2-expressible subset so the DuckDB oracle can replay it exactly:
-    * contraction suffixes, optionally-space-prefixed letter runs, digit
-    * runs, punctuation runs, then whitespace runs. The one divergence from
-    * GPT-2's original is documented: its `\s+(?!\S)` lookahead (leave the
-    * last space of a run for the following word) is not RE2-expressible,
-    * so interior multi-space runs become one whitespace piece here.
+  /** GPT-2-style regex pre-tokenizer BASE pattern, restricted to the
+    * RE2 ∩ java.util.regex intersection so the DuckDB oracle can replay it
+    * exactly: contraction suffixes, optionally-space-prefixed letter runs,
+    * digit runs, punctuation runs, then maximal whitespace runs.
     * Alternation is leftmost-first in BOTH engines (Java regex; DuckDB's
-    * RE2 in its default non-POSIX mode), so the piece streams agree.
+    * RE2 in its default non-POSIX mode), so the base piece streams agree.
     * Whitespace is the EXPLICIT class [[Tokenize.WsClass]] rather than
     * `\s`: Java's `\s` includes vertical tab (\x0B) while RE2's excludes
     * it — the one byte where the engines' shorthands disagree, and a
     * latent hash-gate flake if it ever appears in a corpus. As of round 10
     * every dual-engine regex in the repo spells whitespace this way.
+    *
+    * This base pattern alone diverges from true GPT-2 on one construct:
+    * GPT-2's `\s+(?!\S)` lookahead hands the LAST whitespace char of an
+    * interior run to the following piece, and lookahead is
+    * RE2-inexpressible. [[gpt2PiecesSqlOf]] / [[duckGpt2PiecesOf]] close
+    * that gap with a position-arithmetic post-pass over the base pieces —
+    * use THOSE for the true piece stream; the raw pattern is only the
+    * shared first pass.
     */
   private val WsClass = Tokenize.WsClass
   private val WsSql = Tokenize.WsClassSql
   val Gpt2PretokenPattern: String =
     s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$WsClass\\p{L}\\p{N}]+|[$WsClass]+"
+
+  /** The lookahead-closing post-pass over a bound base-piece array `b`,
+    * identical arithmetic on both engines. Derivation of true GPT-2
+    * behavior (leftmost-first alternation, reference pattern
+    * `.. | \s+(?!\S) | \s+`):
+    *   - a maximal whitespace run of length n >= 2 followed by \S matches
+    *     `\s+(?!\S)` for exactly n-1 chars (backtracking stops where the
+    *     next char is still whitespace); the leftover char then either
+    *     fuses into the next piece (it is ' ' — the ` ?X+` alternatives
+    *     absorb it) or stands alone (any other whitespace — ` ?` matches
+    *     only a literal space);
+    *   - a fused ' ' before a contraction re-splits it: at " 's" the
+    *     contraction alternative cannot match (leading space), so
+    *     ` ?[^ws L N]+` takes " '" and the letters follow as their own
+    *     piece — [" '", "s"], NOT [" 's"];
+    *   - terminal runs (nothing follows) match `\s+(?!\S)` whole, and
+    *     single-char interior runs only ever arise for non-space
+    *     whitespace (a lone ' ' is absorbed by the next alternative), so
+    *     both pass through unchanged.
+    * Pinned against a true-lookahead reference on multi-space/tab/newline
+    * fixtures in Round10Spec. Conserves characters, so the lossless gate
+    * still proves full coverage.
+    */
+  private def gpt2PostPassSql(b: String): String = {
+    // Spark SQL string literals: quotes escape as \' (doubling '' would
+    // parse as two ADJACENT literals and silently concatenate)
+    val wsRun = s"'^[$WsSql]+$$'"
+    val contr = "'^\\'(?:s|t|re|ve|m|ll|d)$'"
+    val p = s"element_at($b, i)"
+    val q = s"element_at($b, i - 1)"
+    s"""CASE WHEN size($b) = 0 THEN $b ELSE flatten(transform(sequence(1, size($b)), i ->
+       |  CASE WHEN $p rlike $wsRun AND i < size($b) AND length($p) >= 2 THEN
+       |         CASE WHEN right($p, 1) = ' ' THEN array(left($p, length($p) - 1))
+       |              ELSE array(left($p, length($p) - 1), right($p, 1)) END
+       |       WHEN i > 1 AND $q rlike $wsRun AND length($q) >= 2 AND right($q, 1) = ' ' THEN
+       |         CASE WHEN $p rlike $contr THEN array(' \\'', substring($p, 2))
+       |              ELSE array(concat(' ', $p)) END
+       |       ELSE array($p) END)) END""".stripMargin
+  }
+
+  /** Spark SQL expression: the TRUE GPT-2 piece stream of `textRef`.
+    * The base extraction is bound ONCE through a 1-element-array lambda
+    * (`transform(array(base), b -> postpass)`), so no alias inlining can
+    * ever re-run the regex per reference.
+    */
+  def gpt2PiecesSqlOf(textRef: String): String = {
+    val pat = Gpt2PretokenPattern.replace("\\", "\\\\").replace("'", "\\'")
+    val base = s"regexp_extract_all($textRef, '$pat', 0)"
+    s"element_at(transform(array($base), b -> ${gpt2PostPassSql("b")}), 1)"
+  }
+
+  /** DuckDB twin of [[gpt2PiecesSqlOf]] (1-based list slicing; RE2). */
+  private[ops] def duckGpt2PiecesOf(textRef: String): String = {
+    val pat = Gpt2PretokenPattern.replace("'", "''")
+    val wsRun = s"'^[$WsClass]+$$'"
+    val contr = "'^''(?:s|t|re|ve|m|ll|d)$'"
+    val b = s"regexp_extract_all($textRef, '$pat')"
+    s"""CASE WHEN len($b) = 0 THEN [] ELSE flatten(list_transform(range(1, len($b) + 1), i ->
+       |  CASE WHEN regexp_matches($b[i], $wsRun) AND i < len($b) AND length($b[i]) >= 2 THEN
+       |         CASE WHEN $b[i][-1] = ' ' THEN [$b[i][1:-2]] ELSE [$b[i][1:-2], $b[i][-1]] END
+       |       WHEN i > 1 AND regexp_matches($b[i-1], $wsRun) AND length($b[i-1]) >= 2
+       |            AND $b[i-1][-1] = ' ' THEN
+       |         CASE WHEN regexp_matches($b[i], $contr) THEN [' ''', $b[i][2:]]
+       |              ELSE [' ' || $b[i]] END
+       |       ELSE [$b[i]] END)) END""".stripMargin
+  }
 
   /** Catalog entry: pre-tokenization profile per document — the stage that
     * feeds byte-level BPE in a real GPT-2-shaped tokenizer (pre-tokenize →
@@ -645,11 +716,17 @@ object TextQueries {
   def pretokenize(s: SparkSession, dir: String): DataFrame =
     pretokenizeFrom(Tables(s, dir, "documents"))
 
-  /** The pre-tokenizer kernel over any (doc_id, text) frame. */
-  def pretokenizeFrom(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        regexp_extract_all(col("text"), lit(Gpt2PretokenPattern), lit(0)).as("pieces"),
-        length(col("text")).as("n_chars"))
+  /** The pre-tokenizer kernel over any (doc_id, text) frame — TRUE GPT-2
+    * piece boundaries ([[gpt2PiecesSqlOf]]: base pattern + lookahead
+    * post-pass). The piece array is barriered: the counting projection
+    * references it seven times, and CollapseProject would otherwise inline
+    * seven regex extractions per row.
+    */
+  def pretokenizeFrom(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    docs.selectExpr("doc_id",
+        s"graft_barrier(${gpt2PiecesSqlOf("text")}) AS pieces",
+        "length(text) AS n_chars")
       .select(col("doc_id"),
         size(col("pieces")).as("n_pieces"),
         // the FULL contraction shape, anchored: a bare/closing quote piece
@@ -665,6 +742,7 @@ object TextQueries {
         (col("n_pieces") - col("n_contraction") - col("n_alpha") -
           col("n_num") - col("n_space")).as("n_other"),
         when(col("covered") === col("n_chars"), 1).otherwise(0).as("lossless"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pretokenize" -> pretokenize,
@@ -728,15 +806,14 @@ object TextQueries {
       |GROUP BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    // same RE2-expressible pattern, leftmost-first in both engines; the
+    // base pattern + the SAME lookahead post-pass on both engines; the
     // lossless flag pinned at 1 proves the piece stream covers every char
     "text_pretokenize" -> {
-      val pat = Gpt2PretokenPattern.replace("'", "''")
       val contr = "'^''(?:s|t|re|ve|m|ll|d)$$'"
       val space = s"'^[$WsClass]+$$'"
       s"""WITH p AS (
          |  SELECT doc_id, length(text) AS n_chars,
-         |    regexp_extract_all(text, '$pat') AS pieces
+         |    ${duckGpt2PiecesOf("text")} AS pieces
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(pieces) AS INT) AS n_pieces,

@@ -51,6 +51,50 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
       s"oracles must spell whitespace as [${Tokenize.WsClass}]: $offenders")
   }
 
+  // --- true GPT-2 piece boundaries (lookahead closed) -------------------
+
+  test("gpt2 pieces match true \\s+(?!\\S) lookahead boundaries on pinned fixtures") {
+    import spark.implicits._
+    // expectations computed with the REAL GPT-2 pattern (with lookahead)
+    // via java.util.regex, which supports (?!\S); the engine expression
+    // must reproduce them through the RE2-safe base + post-pass
+    val fixtures = Seq(
+      "a   b" -> Seq("a", "  ", " b"),
+      "hello  world" -> Seq("hello", " ", " world"),
+      // interior run's last space fuses into the following word piece;
+      // a fused space before a contraction re-splits it: " '" + letters
+      "a  's b" -> Seq("a", " ", " '", "s", " b"),
+      "it's  fine, isn't   it?" ->
+        Seq("it", "'s", " ", " fine", ",", " isn", "'t", "  ", " it", "?"),
+      // non-space leftovers stand alone (` ?` only absorbs a literal space)
+      "a \nb" -> Seq("a", " ", "\n", "b"),
+      "a\n b" -> Seq("a", "\n", " b"),
+      "tab\t\tx and  \t y" -> Seq("tab", "\t", "\t", "x", " and", "  \t", " y"),
+      // terminal runs keep all their whitespace (lookahead succeeds at EOS)
+      "end with spaces   " -> Seq("end", " with", " spaces", "   "),
+      "   lead" -> Seq("  ", " lead"),
+      "''quoted''  'll 'x" -> Seq("''", "quoted", "''", " ", " '", "ll", " '", "x"),
+      "   " -> Seq("   "),
+      "" -> Seq())
+    // the java.util.regex ground truth, lookahead included — the spec's
+    // own independent reference, not the implementation under test
+    val truthPat = java.util.regex.Pattern.compile(
+      "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\t\\n\\x0B\\f\\r \\p{L}\\p{N}]+" +
+        "|[\\t\\n\\x0B\\f\\r ]+(?![^\\t\\n\\x0B\\f\\r ])|[\\t\\n\\x0B\\f\\r ]+")
+    fixtures.foreach { case (text, want) =>
+      val m = truthPat.matcher(text)
+      val truth = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toSeq
+      assert(truth == want, s"fixture expectation wrong for '$text': regex says $truth")
+    }
+    val got = fixtures.map(_._1).toDF("text")
+      .selectExpr("text", s"${TextQueries.gpt2PiecesSqlOf("text")} AS pieces")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    fixtures.foreach { case (text, want) =>
+      assert(got(text) == want, s"'$text': got ${got(text)}, want $want")
+      assert(got(text).mkString == text, s"'$text': pieces must concatenate losslessly")
+    }
+  }
+
   // --- codegen'd box-filter resize --------------------------------------
 
   test("box_resize matches the retired hex-string SQL derivation byte-for-byte") {
