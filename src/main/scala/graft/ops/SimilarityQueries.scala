@@ -99,6 +99,43 @@ object SimilarityQueries {
     bruteForceFrom(emb, corpus = emb.join(keep, Seq("vec_id"), "left_semi"))
   }
 
+  /** The recall monitor [[annFiltered]]'s Scaladoc promises: POST-filtering
+    * a fixed unfiltered top-k starves under a selective predicate, while
+    * PRE-filtering is exact over the eligible set (recall 1 by
+    * construction — it IS the ground truth here). Per query: how many of
+    * the pre-filter top-5 survive when the strategy is instead "take the
+    * unfiltered top-5, then drop ineligible hits". An eligible neighbor
+    * inside the unfiltered top-5 is necessarily inside the eligible top-5
+    * (fewer than 5 candidates of ANY language beat it), so post_hits is
+    * exactly the eligible count of the unfiltered top-5 — every non-'en'
+    * row in that top-5 is an unrecoverable loss, which is the starvation
+    * the row quantifies (0.0–0.8 on this corpus; never padded back).
+    * Same broadcast-queries scoring kernel both strategies, one persisted
+    * corpus pass shared.
+    */
+  def annFilteredRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val keep = Tables(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val emb = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$toDouble AS v")
+      .selectExpr("vec_id", "v", s"${norm("v")} AS nv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = bruteForceFrom(emb, corpus = emb.join(keep, Seq("vec_id"), "left_semi"))
+      .select(col("query_id"), col("neighbor_id"))
+    val post = bruteForceFrom(emb)
+      .join(broadcast(keep.withColumnRenamed("vec_id", "neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(post, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val recall = truth.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .selectExpr("query_id", "CAST(coalesce(hits, 0) AS BIGINT) AS post_hits",
+        "CAST(coalesce(hits, 0) AS DOUBLE) / 5.0 AS post_recall")
+    Lifecycle.released(recall, emb)
+  }
+
   // --- IVF with a real coarse quantizer -------------------------------
 
   /** IVF index configuration: centroid count, Lloyd refinement iterations,
@@ -1067,6 +1104,7 @@ object SimilarityQueries {
     "emb_kmeans" -> ((s, dir) => embKmeans(s, dir)),
     "emb_stats" -> embStats,
     "ann_filtered" -> annFiltered,
+    "ann_filtered_recall" -> annFilteredRecall,
     // verify-path projection: the harness hash can't sort array cells, so
     // the catalog row joins the code vector; the library call keeps the array
     "emb_quantize" -> ((s, dir) => embQuantize(s, dir)
@@ -1685,6 +1723,40 @@ object SimilarityQueries {
          |  SELECT query_id, neighbor_id,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rk
          |  FROM sims) t WHERE rk <= 5""".stripMargin,
+    // post-filter-the-unfiltered-top-5 measured against the pre-filter
+    // ground truth (which has recall 1 by construction)
+    "ann_filtered_recall" ->
+      s"""WITH keep AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+         |e AS MATERIALIZED (SELECT vec_id, $duckV AS v FROM embeddings),
+         |c AS (SELECT e.vec_id, e.v FROM e JOIN keep USING (vec_id)),
+         |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |tsims AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    ${duckDot("qv", "v")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("v", "v")})) AS sim
+         |  FROM q JOIN c ON c.vec_id <> q.query_id),
+         |truth AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |    FROM tsims) t WHERE rk <= 5),
+         |usims AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    ${duckDot("qv", "v")} / (sqrt(${duckDot("qv", "qv")}) * sqrt(${duckDot("v", "v")})) AS sim
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |utop AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |    FROM usims) t WHERE rk <= 5),
+         |post AS (SELECT u.query_id, u.neighbor_id FROM utop u JOIN keep k ON k.vec_id = u.neighbor_id),
+         |hit_counts AS (
+         |  SELECT t.query_id, count(1) AS hits
+         |  FROM truth t JOIN post p ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+         |  GROUP BY 1)
+         |SELECT qy.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS post_hits,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS post_recall
+         |FROM (SELECT DISTINCT query_id FROM truth) qy
+         |LEFT JOIN hit_counts h ON h.query_id = qy.query_id""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, $duckV AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
