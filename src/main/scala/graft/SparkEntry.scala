@@ -32,7 +32,8 @@ object SparkEntry {
       ops.IterativeQueries.queries ++
       ops.LayoutQueries.queries ++
       ops.BpeTokenizer.queries ++
-      ops.QualityTrain.queries
+      ops.QualityTrain.queries ++
+      streaming.StreamingGate.queries
 
   /** Test-only quadratic baselines (`oracle_` prefix), fenced out of
     * [[queries]] so a user cannot accidentally run an all-pairs join at
@@ -57,7 +58,8 @@ object SparkEntry {
       ops.IterativeQueries.oracleSql ++
       ops.LayoutQueries.oracleSql ++
       ops.BpeTokenizer.oracleSql ++
-      ops.QualityTrain.oracleSql
+      ops.QualityTrain.oracleSql ++
+      streaming.StreamingGate.oracleSql
 
   /** Oracles for [[oracleBaselines]], key-for-key. */
   def baselineOracleSql: Map[String, String] =

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.{DedupQueries, Lifecycle, RelationalQueries, Tables}
+
+/** The driver-gated face of the streaming surface.
+  *
+  * Every streaming operator in this package is spec-pinned (batch
+  * equivalence, crash/replay, bounded state), but specs are not the
+  * driver's oracle gate. These catalog entries run the REAL streaming
+  * path — file source, state store, `Trigger.AvailableNow`, a terminating
+  * query — over the gate corpus and return the sink contents as a static
+  * frame, gated by the SAME DuckDB oracle as the operator's batch twin.
+  * That makes "the streaming path produces the batch answer" a
+  * hash-checked gate row instead of a test-suite claim.
+  *
+  * Shape: the input frame is staged to parquet once (the file source needs
+  * files; the gate corpus arrives as a DataFrame), streamed back through
+  * the operator, and drained into a memory sink. The sink is DRIVER-sized
+  * by construction for these entries — one row per session / per shared
+  * run, i.e. the operator's aggregated output, not the corpus — the same
+  * bound the [[graft.ops.DriverMemo]] statistic families rely on; the
+  * result is immediately checkpointed ([[Lifecycle.released]]) and the
+  * sink's temp view dropped, so nothing streaming-scoped outlives the
+  * entry (CacheLifecycleSpec's contract).
+  */
+object StreamingGate {
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Stage `input`, stream it through `transform` to completion under
+    * AvailableNow, and return the sink table checkpointed.
+    *
+    * @param outputMode "append" for flatMapGroups-style emission streams;
+    *   "complete" for aggregations whose open state must surface at end of
+    *   input (a finite gate corpus has no later watermark to close them).
+    */
+  private[streaming] def runToCompletion(input: DataFrame, outputMode: String,
+      post: DataFrame => DataFrame = identity)
+      (transform: DataFrame => DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    val tmp = Files.createTempDirectory("graft-sgate").toString
+    val inDir = s"$tmp/in"
+    input.write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val name = s"graft_sgate_${counter.incrementAndGet()}"
+    val q = transform(spark.readStream.schema(schema).parquet(inDir))
+      .writeStream.format("memory").queryName(name).outputMode(outputMode)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    try Lifecycle.released(post(spark.table(name)))
+    finally spark.catalog.dropTempView(name)
+  }
+
+  /** Catalog entry: event-gap sessions from the STREAMING merging
+    * `session_window` aggregation run as a real stream — gated by the
+    * batch `q_session_window` oracle (lag/cumulative-sum re-derivation in
+    * DuckDB). Complete mode: the finite corpus ends with every session
+    * still open state-wise, and complete output surfaces them all — the
+    * same finite-input convention StreamingSessionizeSpec pins.
+    */
+  def sessionWindowStream(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(
+      Tables(s, dir, "events").select("user_id", "ts"), "complete") {
+      st => StreamingSessionize.sessions(st)
+    }
+
+  /** Catalog entry: exact-substring extraction through the STREAMING
+    * anchor-state kernel ([[StreamingDedup.substringCandidates]]) run as a
+    * real stream over the constructed overlap corpus — gated by the batch
+    * `dedup_substring` oracle (the full winnow → anchor → verify → extend
+    * re-derivation in DuckDB). AvailableNow with no file cap reads the
+    * staged corpus as one micro-batch, where the kernel's per-bucket
+    * (doc_id, pos) sort makes its min-anchor pairing coincide with the
+    * batch all-pairs join — the overlap corpus carries each fingerprint on
+    * at most the two sides of its pair (the same static-mode equivalence
+    * StreamingDedupSpec pins, here hash-gated). The stream emits one run
+    * PER FINGERPRINT bucket (every fingerprint inside a shared region
+    * extends to the same maximal run); the batch entry collapses those
+    * with distinct, so the gate frame does too.
+    */
+  def dedupSubstringStream(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(DedupQueries.overlapCorpus(s, dir), "append",
+      post = _.distinct()) {
+      st => StreamingDedup.substringCandidates(st).toDF()
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_session_window" -> sessionWindowStream,
+    "stream_dedup_substring" -> dedupSubstringStream,
+  )
+
+  /** The batch twins' oracles, verbatim: the POINT of these entries is
+    * that the streaming path must reproduce the batch answer.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "stream_session_window" -> RelationalQueries.oracleSql("q_session_window"),
+    "stream_dedup_substring" -> DedupQueries.oracleSql("dedup_substring"),
+  )
+}
