@@ -171,9 +171,16 @@ object BpeTokenizer {
     graft.functions.GraftFunctions.registerAll(spark)
     import org.apache.spark.storage.StorageLevel
     val toks = Tokenize.Whitespace.sql("text")
+    // the corpus aggregation is map-side parallel (partial counts combine
+    // before the shuffle); the RESULTING state is vocabulary-bounded — KBs
+    // to MBs at any corpus scale — so it lives on ONE partition: every
+    // learning round is then a single-task chain + a 1-map-task argmax
+    // shuffle instead of 32 near-empty tasks x nMerges rounds (the
+    // round-count, not the corpus, dominates learn cost)
     val vocab = docs.selectExpr(s"explode($toks) AS w")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .selectExpr("w", "cnt", s"$alphabet AS ss")
+      .coalesce(1)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the state chain needs TWO growth bounds for large merge tables:
     // plan-side, the barriered splice projections stack one per round (the
@@ -369,12 +376,26 @@ object BpeTokenizer {
     "list_transform(range(1, octet_length(encode(w)) + 1), " +
       "i -> substr(lower(hex(encode(w))), CAST(2 * i - 1 AS INT), 2))"
 
+  /** @param corpusCte optional extra CTE defining `source` (the rich arm);
+    * @param source the table/CTE the token stream reads;
+    * @param setup statements prefixed BEFORE the query — the 256-round
+    *   rich chain exceeds DuckDB's default max_expression_depth of 1000
+    *   (the 3-CTE-per-round chain, not the final union), so its oracle
+    *   carries a `SET max_expression_depth` first statement (the gate
+    *   harness executes oracles via duckdb-python `execute`, which runs
+    *   `;`-separated statements and returns the last result — verified
+    *   against the same duckdb 1.0.0 the driver uses).
+    */
   private[ops] def learnOracle(nMerges: Int = NMerges,
-                               alphabet: String = duckCharsAlpha): String = {
-    val ctes = scala.collection.mutable.ArrayBuffer(
-      """tok AS (SELECT unnest(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+')) AS w FROM documents)""",
-      s"""st0 AS MATERIALIZED (SELECT w, CAST(count(1) AS BIGINT) AS cnt,
-        |  $alphabet AS ss FROM tok GROUP BY 1)""".stripMargin)
+                               alphabet: String = duckCharsAlpha,
+                               corpusCte: String = "",
+                               source: String = "documents",
+                               setup: String = ""): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (corpusCte.nonEmpty) ctes += corpusCte
+    ctes += """tok AS (SELECT unnest(regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+')) AS w FROM """ + source + ")"
+    ctes += s"""st0 AS MATERIALIZED (SELECT w, CAST(count(1) AS BIGINT) AS cnt,
+        |  $alphabet AS ss FROM tok GROUP BY 1)""".stripMargin
     for (r <- 1 to nMerges) {
       val p = r - 1
       ctes += s"""pc$r AS MATERIALIZED (
@@ -388,7 +409,7 @@ object BpeTokenizer {
         |  SELECT w, cnt, CASE WHEN b.x IS NULL THEN ss ELSE ${duckSplice("ss", "b.x", "b.y")} END AS ss
         |  FROM st$p LEFT JOIN b$r b ON true)""".stripMargin
     }
-    "WITH " + ctes.mkString(",\n") +
+    setup + "WITH " + ctes.mkString(",\n") +
       "\nSELECT CAST(rank AS INT) AS rank, pr AS pair, CAST(n AS BIGINT) AS n FROM (" +
       (1 to nMerges).map(r => s"SELECT rank, pr, n FROM b$r").mkString(" UNION ALL ") +
       ") u"
@@ -439,9 +460,23 @@ object BpeTokenizer {
       |  CAST(sum(c.n_sub) AS BIGINT) AS n_gpt2_tokens
       |FROM btok t JOIN bpe_wc c USING (w) GROUP BY 1""".stripMargin
 
+  /** Merge budget of the rich-vocabulary arm: 256 LIVE merges (the
+    * 31-word documents corpus exhausts at 89 — [[learnFrom]]'s exhaustion
+    * pin). On [[graft.ops.TextQueries.richCorpus]]'s ~2048-word hex
+    * dictionary the rank-256 pair still counts in the hundreds, so every
+    * round does real frequency work — the vocabulary-scaled measurement
+    * production tokenizers (10^4-10^5 merges) are shaped like.
+    */
+  val RichMerges = 256
+
+  /** Catalog entry: 256-merge BPE learn over the rich-vocabulary arm. */
+  def learnRich(s: SparkSession, dir: String): DataFrame =
+    learnFrom(TextQueries.richCorpus(s, dir), RichMerges)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_learn" -> learn,
     "text_bpe_bytes_learn" -> learnBytes,
+    "text_bpe_learn_rich" -> learnRich,
     "text_bpe_tokens" -> tokens,
     "text_bpe_gpt2" -> gpt2Tokens,
   )
@@ -449,6 +484,9 @@ object BpeTokenizer {
   val oracleSql: Map[String, String] = Map(
     "text_bpe_learn" -> learnOracle(),
     "text_bpe_bytes_learn" -> learnOracle(ByteMerges, duckBytesAlpha),
+    "text_bpe_learn_rich" -> learnOracle(RichMerges,
+      corpusCte = TextQueries.duckRichCorpusCte, source = "rich",
+      setup = "SET max_expression_depth TO 8192;\n"),
     "text_bpe_tokens" -> tokensOracle,
     "text_bpe_gpt2" -> gpt2TokensOracle,
   )

@@ -432,8 +432,12 @@ object DedupQueries {
     * window by doc_id to rank tokens, the candidate equi-join on (lang,
     * prefix token), then a verification join on the two doc ids.
     */
-  def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+  def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    dedupJaccardPrefixFrom(Tables(s, dir, "documents"))
+
+  /** The PPJoin kernel over any (doc_id, lang, text) frame. */
+  def dedupJaccardPrefixFrom(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .selectExpr("doc_id", "lang", s"array_distinct($toks) AS tset")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = docs.selectExpr("doc_id", "lang", "size(tset) AS sz", "explode(tset) AS tok")
@@ -463,6 +467,62 @@ object DedupQueries {
       .filter(col("inter") * 2 >= col("union_sz"))
       .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
     Lifecycle.released(verified, docs)
+  }
+
+  /** The PPJoin pipeline on the RICH-vocabulary arm
+    * ([[TextQueries.richCorpus]]): with thousands of distinct words the
+    * true pair set is the LINEAR planted minority (one near-dup pair per
+    * five customer keys), not the quadratic blob the 31-word documents
+    * corpus produces — the non-output-bound measurement ROADMAP's caveat
+    * asked for.
+    */
+  def dedupJaccardRich(s: SparkSession, dir: String): DataFrame =
+    dedupJaccardPrefixFrom(TextQueries.richCorpus(s, dir))
+
+  /** The pruning measurement itself, one gate-checked row: documents,
+    * same-block pair universe, candidates surviving the prefix+length
+    * filter, and verified true pairs. On the rich arm candidates run ~2
+    * orders of magnitude below the block universe while true pairs stay
+    * linear — hash-gated proof the prefix index prunes rather than rides
+    * an output-bound corpus. All counts exact integers; the three
+    * aggregates are 1-row broadcast frames.
+    */
+  def dedupJaccardRichStats(s: SparkSession, dir: String): DataFrame = {
+    val docsIn = TextQueries.richCorpus(s, dir)
+    val docs = docsIn
+      .selectExpr("doc_id", "lang", s"array_distinct($toks) AS tset")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = docs.selectExpr("doc_id", "lang", "size(tset) AS sz", "explode(tset) AS tok")
+    val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = postings.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
+      .filter(col("rk") <= col("sz") / 2 + 1)
+      .select(col("doc_id"), col("lang"), col("tok"), col("sz"))
+    val candidates = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.lang") === col("b.lang") && col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTrue = candidates
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .selectExpr("doc_a", "doc_b",
+        "CAST(size(array_intersect(da.tset, db.tset)) AS BIGINT) AS inter",
+        "CAST(size(da.tset) + size(db.tset) - size(array_intersect(da.tset, db.tset)) AS BIGINT) AS union_sz")
+      .filter(col("inter") * 2 >= col("union_sz"))
+      .agg(count(lit(1)).as("n_true"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nBlockPairs = docs.groupBy(col("lang")).agg(count(lit(1)).as("nb"))
+      .agg(sum(expr("nb * (nb - 1) / 2")).cast("bigint").as("n_block_pairs"))
+    val nCand = candidates.agg(count(lit(1)).as("n_candidates"))
+    val out = broadcast(nDocs).crossJoin(broadcast(nBlockPairs))
+      .crossJoin(broadcast(nCand)).crossJoin(broadcast(nTrue))
+    Lifecycle.released(out, docs, candidates)
   }
 
   // --- embedding-cosine near-dup ---------------------------------------
@@ -1109,6 +1169,8 @@ object DedupQueries {
     "dedup_minhash_lsh" -> ((s, dir) => minhashLsh(s, dir)),
     "dedup_simhash" -> simhash,
     "dedup_jaccard_prefix" -> dedupJaccardPrefix,
+    "dedup_jaccard_rich" -> dedupJaccardRich,
+    "dedup_jaccard_rich_stats" -> dedupJaccardRichStats,
     "dedup_simhash_lsh" -> ((s, dir) => simhashLsh(s, dir)),
     "dedup_embedding_lsh" -> ((s, dir) => dedupEmbeddingLsh(s, dir)),
     "dedup_substring" -> dedupSubstring,
@@ -1343,6 +1405,52 @@ object DedupQueries {
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE inter * 2 >= sa.sz + sb.sz - inter""".stripMargin,
+    // truth on the rich arm: same postings-intersection derivation, rich CTE
+    "dedup_jaccard_rich" ->
+      s"""WITH ${TextQueries.duckRichCorpusCte},
+         |d AS (SELECT doc_id, lang, list_distinct($duckToks) AS tset FROM rich),
+         |sizes AS (SELECT doc_id, lang, len(tset) AS sz FROM d),
+         |postings AS (SELECT doc_id, lang, unnest(tset) AS tok FROM d),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS inter
+         |  FROM postings a JOIN postings b
+         |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter,
+         |  CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
+         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE inter * 2 >= sa.sz + sb.sz - inter""".stripMargin,
+    // the pruning measurement: re-derives the prefix+length candidate set
+    // itself, so the candidate count is hash-gated, not just spec-sampled
+    "dedup_jaccard_rich_stats" ->
+      s"""WITH ${TextQueries.duckRichCorpusCte},
+         |d AS MATERIALIZED (SELECT doc_id, lang, list_distinct($duckToks) AS tset FROM rich),
+         |post AS (SELECT doc_id, lang, len(tset) AS sz, unnest(tset) AS tok FROM d),
+         |dfreq AS (SELECT tok, count(1) AS df FROM post GROUP BY 1),
+         |ranked AS (
+         |  SELECT doc_id, lang, tok, sz FROM (
+         |    SELECT p.doc_id, p.lang, p.tok, p.sz,
+         |      row_number() OVER (PARTITION BY p.doc_id ORDER BY f.df ASC, p.tok ASC) AS rk
+         |    FROM post p JOIN dfreq f USING (tok)) t
+         |  WHERE rk <= sz // 2 + 1),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ranked a JOIN ranked b
+         |    ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+         |   AND a.sz * 2 >= b.sz AND b.sz * 2 >= a.sz),
+         |ver AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_intersect(da.tset, db.tset)) AS inter,
+         |    len(da.tset) + len(db.tset) - len(list_intersect(da.tset, db.tset)) AS u
+         |  FROM cand JOIN d da ON da.doc_id = doc_a JOIN d db ON db.doc_id = doc_b)
+         |SELECT (SELECT CAST(count(1) AS BIGINT) FROM d) AS n_docs,
+         |  (SELECT CAST(sum(nb * (nb - 1) / 2) AS BIGINT) FROM
+         |     (SELECT count(1) AS nb FROM d GROUP BY lang) g) AS n_block_pairs,
+         |  (SELECT CAST(count(1) AS BIGINT) FROM cand) AS n_candidates,
+         |  (SELECT CAST(count(1) AS BIGINT) FROM ver WHERE inter * 2 >= u) AS n_true""".stripMargin,
     "dedup_simhash_lsh" ->
       s"""WITH sigs AS (
          |  SELECT doc_id, lang,

@@ -774,6 +774,53 @@ object TextQueries {
     s"CAST(list_max(list_transform(list_distinct($duckToks), t -> len(list_filter($duckToks, x -> x = t)))) AS INT)"
   private[ops] val duckNTokensSql: String = s"CAST(len($duckToks) AS INT)"
 
+  // --- the RICH-VOCABULARY text arm -------------------------------------
+
+  /** Vocabulary dial of the rich arm: hex pseudo-words drawn from a
+    * [[RichVocab]]-word dictionary — thousands of distinct words where the
+    * synthetic documents corpus has ~31, so BPE runs hundreds of LIVE
+    * merges (the 31-word corpus exhausts at 89) and Jaccard true-pair sets
+    * stay LINEAR (the 31-word corpus's are quadratic — ROADMAP's
+    * "output-bound" caveat, retired on this arm).
+    */
+  val RichVocab = 2048
+
+  /** Deterministic high-vocabulary corpus derived on-engine, identically
+    * re-derivable in DuckDB ([[duckRichCorpusCte]]): per customer key g,
+    * TWO 16-word docs (ids 2g, 2g+1) of hex pseudo-words
+    * `substr(md5('v' || widx), 1, 10)` with `widx = hash60(seed) % RichVocab`
+    * (hash60 = the portable 15-hex-md5-prefix bigint, nonnegative so `%`
+    * == pmod on both engines). Every fifth pair is a PLANTED near-dup —
+    * side 1 reuses side 0's seeds at positions 1..14 (Jaccard ≈ 14/18);
+    * all other cross-doc similarity is the ~16/2048 random-draw floor.
+    * `lang = g % 4` gives the block dial its four groups. Map-side only:
+    * one projection over the customer scan, no shuffle, corpus-size
+    * scaling with the fact table.
+    */
+  private[ops] def richCorpus(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    Tables(s, dir, "customer").selectExpr("c_custkey AS g")
+      .selectExpr("g", "explode(array(0, 1)) AS side")
+      .selectExpr("2 * g + side AS doc_id", "CAST(g % 4 AS STRING) AS lang",
+        "array_join(transform(sequence(1, 16), i -> " +
+          "substr(md5(concat('v', CAST(hash60(" +
+          "CASE WHEN side = 0 OR (g % 5 = 0 AND i <= 14) " +
+          "THEN concat('r', g, '_', i) ELSE concat('q', g, '_', i) END" +
+          s") % $RichVocab AS STRING))), 1, 10)), ' ') AS text")
+  }
+
+  /** DuckDB twin of [[richCorpus]] — a `rich(doc_id, lang, text)` CTE. */
+  private[ops] def duckRichCorpusCte: String = {
+    val seed = "CASE WHEN side = 0 OR (g % 5 = 0 AND i <= 14) " +
+      "THEN 'r' || g || '_' || i ELSE 'q' || g || '_' || i END"
+    val h60 = s"CAST(('0x' || substr(md5($seed), 1, 15)) AS BIGINT)"
+    s"""rich AS (
+       |  SELECT 2 * g + side AS doc_id, CAST(g % 4 AS VARCHAR) AS lang,
+       |    array_to_string(list_transform(range(1, 17), i ->
+       |      substr(md5('v' || CAST($h60 % $RichVocab AS VARCHAR)), 1, 10)), ' ') AS text
+       |  FROM (SELECT c_custkey AS g, unnest([0, 1]) AS side FROM customer) b)""".stripMargin
+  }
+
   /** Shared winnowing CTE chain (k=3 grams, w=4 windows; `wins(doc_id, fp)`
     * one row per window). Range bounds mirror the Spark sequences exactly:
     * gram positions 1..n-2 (DuckDB range is end-exclusive), window positions

@@ -137,6 +137,61 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1) Project"), s"expected codegen span:\n$plan")
   }
 
+  // --- the rich-vocabulary text arm --------------------------------------
+
+  test("rich corpus: deterministic shape, thousands-word vocabulary, planted near-dup structure") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = TextQueries.richCorpus(spark, dir)
+    val rows = docs.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.size == 300, s"customer x 2 sides at sf0.001: ${rows.size}")
+    val vocab = rows.values.flatMap(_.split(' ')).toSet
+    assert(vocab.size > 500 && vocab.size <= TextQueries.RichVocab,
+      s"vocabulary must be dictionary-sized, got ${vocab.size}")
+    assert(vocab.forall(w => w.length == 10 && w.forall("0123456789abcdef".contains(_))),
+      "hex pseudo-words, 10 chars")
+    // determinism: a second derivation is bit-identical
+    assert(TextQueries.richCorpus(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap == rows)
+    // planted pairs (g % 5 = 0): sides share >= 14 of 16 positions
+    val g5 = rows.keys.filter(id => id % 2 == 0 && (id / 2) % 5 == 0)
+    g5.foreach { a =>
+      val (sa, sb) = (rows(a).split(' '), rows(a + 1).split(' '))
+      val shared = sa.zip(sb).count { case (x, y) => x == y }
+      assert(shared >= 14, s"planted pair ($a,${a + 1}) shares only $shared positions")
+    }
+    // an unplanted pair's overlap sits at the random floor
+    val g1 = rows.keys.find(id => id % 2 == 0 && (id / 2) % 5 == 1).get
+    val inter = rows(g1).split(' ').toSet.intersect(rows(g1 + 1).split(' ').toSet)
+    assert(inter.size <= 3, s"unplanted pair overlap ${inter.size} above the random floor")
+  }
+
+  test("rich arm jaccard: true pairs are the LINEAR planted set; prefix filter prunes the block universe") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = DedupQueries.dedupJaccardRich(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every true pair is a planted (2g, 2g+1) with g % 5 = 0 — no quadratic blob
+    assert(pairs.nonEmpty && pairs.forall { case (a, b) =>
+      b == a + 1 && a % 2 == 0 && (a / 2) % 5 == 0 },
+      s"only planted sides may clear J >= 0.5: ${pairs.take(5)}")
+    val st = DedupQueries.dedupJaccardRichStats(spark, dir).collect()(0)
+    val (nDocs, nBlock, nCand, nTrue) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    assert(nDocs == 300 && nTrue == pairs.size.toLong)
+    assert(nCand < nBlock / 10,
+      s"prefix+length filter must prune the block universe: $nCand of $nBlock")
+    assert(nTrue <= nCand, "verification only ever shrinks the candidate set")
+  }
+
+  test("rich arm BPE: merges stay live (counts >= 2) far past the 31-word corpus's exhaustion shape") {
+    val dir = "/root/testdata/sf0.001"
+    val m = BpeTokenizer.learnFrom(TextQueries.richCorpus(spark, dir), nMerges = 24)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(m.length == 24 && m.forall(_._3 >= 2),
+      s"24 live merges expected on the rich arm, got ${m.length}; min n = ${m.map(_._3).min}")
+    // ranks are the learning order, 1-based and contiguous
+    assert(m.map(_._1).toSeq == (1 to 24), "contiguous ranks")
+  }
+
   test("WsClassSql is WsClass re-escaped for Spark SQL literals") {
     assert(Tokenize.WsClassSql == Tokenize.WsClass.replace("\\", "\\\\"))
     // and the Spark SQL literal round-trips to the same regex source text
