@@ -58,7 +58,28 @@ object Bench {
     "ann_matryoshka", "ann_matryoshka_recall", "search_hybrid_rrf", "emb_pca_power", "emb_pca_project",
     "emb_pca_topk", "emb_pca_project_topk", "emb_pca_whiten",
     "mm_features", "mm_ahash", "mm_phash", "mm_ahash_dedup", "mm_frame_dedup", "mm_decode",
-    "mm_resize_real")
+    "mm_resize_real",
+    // round 10: the filtered-search recall monitor and the rich-arm jaccard
+    // measurement (linear true pairs — the NON-output-bound PPJoin number).
+    // text_bpe_learn_rich stays out: 256 sequential argmax rounds are
+    // round-count-bound and corpus-size-INDEPENDENT (~40 s at any sf — a
+    // vocabulary property, measured and recorded in ROADMAP), so the
+    // headline would measure the same constant 5x. stream_* entries stay
+    // out too: they time the gate staging harness (write + availableNow
+    // drain), not an operator.
+    "ann_filtered_recall", "dedup_jaccard_rich", "dedup_jaccard_rich_stats")
+
+  /** Entries whose chain replays a [[graft.ops.DriverMemo]] statistic: the
+    * median measures warm REPLAY (the policy the round-8 verdict asked
+    * for), so the archive also carries run 0's time — measured truly cold
+    * by invalidating every memo first — as "cold" (the round-9 verdict's
+    * transparency ask: the median must not be misread as compute cost).
+    */
+  val memoized: Set[String] = Set(
+    "dedup_substring", "dedup_substring_rewrite", "dedup_substring_docs",
+    "emb_pca_power", "emb_pca_project", "emb_pca_topk", "emb_pca_project_topk",
+    "emb_pca_whiten", "ann_pca_reduced", "ann_pca_recall",
+    "text_quality_train", "text_quality_train_cg", "text_quality_trained")
 
   /** Timed runs per query; the reported time is the median, so one GC pause /
     * noisy-neighbor stall in the sandbox no longer poisons the recorded
@@ -124,8 +145,12 @@ object Bench {
     // steady-state is the honest throughput number. clearCache() between
     // runs keeps each run computing the full pipeline (only JVM-level warmth
     // persists).
-    def measure(name: String): (Double, Double) = {
-      val times = (0 to RunsPerQuery).map { run =>
+    def measure(name: String): (Double, Double, Double) = {
+      // memoized families: run 0 must actually COMPUTE (a prior family
+      // member would otherwise have pre-filled the shared memo and "cold"
+      // would silently read warm)
+      if (memoized(name)) ops.DriverMemo.invalidateAll()
+      val raw = (0 to RunsPerQuery).map { run =>
         spark.catalog.clearCache() // isolate queries: no cross-query cache leaks
         val t0 = System.nanoTime()
         try catalog(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -133,8 +158,9 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-20s ${if (run == 0) "warm" else s"run$run"} $dt%8.2f s")
         dt
-      }.drop(1)
-      (times.sorted.apply(times.length / 2), times.min)
+      }
+      val times = raw.drop(1)
+      (times.sorted.apply(times.length / 2), times.min, raw.head)
     }
 
     // pollution fingerprint: median far above the fastest observed run
@@ -143,7 +169,7 @@ object Bench {
     val results = headline.filter(catalog.contains)
       .filter(n => wanted.forall(_.contains(n))).map { name =>
       val loadStart = load1()
-      var (med, floor) = measure(name)
+      var (med, floor, cold) = measure(name)
       // rerun guard: median >> fastest run = transient pollution, not the
       // query — retry, REPLACING the polluted measurement with the rerun's
       // own median (never best-of-N min: a genuinely bimodal query — e.g.
@@ -156,19 +182,25 @@ object Bench {
       while (polluted(med, floor) && reruns < MaxReruns) {
         reruns += 1
         System.err.println(f"[bench] $name%-20s median $med%.2f s > ${RerunRatio}%.0fx floor $floor%.2f s — rerun $reruns (load ${load1()}%.2f)")
-        val (m2, f2) = measure(name)
+        val (m2, f2, c2) = measure(name)
         med = m2
         floor = math.min(floor, f2)
+        cold = math.min(cold, c2) // keep the least-polluted cold observation
       }
       val exhausted = polluted(med, floor)
       if (exhausted)
         System.err.println(f"[bench] $name%-20s STILL polluted after $MaxReruns reruns — archiving median $med%.2f s (floor $floor%.2f s)")
-      System.err.println(f"[bench] $name%-20s median $med%8.2f s")
-      (name, med, loadStart, exhausted)
+      System.err.println(f"[bench] $name%-20s median $med%8.2f s" +
+        (if (memoized(name)) f" (cold $cold%.2f s)" else ""))
+      (name, med, loadStart, exhausted, cold)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val loads = results.map { case (k, _, l, _) => "\"" + k + f"\":$l%.2f" }.mkString("{", ",", "}")
-    val flagged = results.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val loads = results.map { case (k, _, l, _, _) => "\"" + k + f"\":$l%.2f" }.mkString("{", ",", "}")
+    val flagged = results.collect { case (k, _, _, true, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    // cold = run 0 under a freshly invalidated memo, for DriverMemo families
+    // only (everywhere else run 0 is JIT warm-up, not a meaningful number)
+    val colds = results.collect { case (k, _, _, _, c) if memoized(k) =>
+      "\"" + k + f"\":$c%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // honesty fields: totals recorded under external load are garbage (see
     // ROADMAP's bench cautions) — "loads" archives each query's 1-min load
@@ -176,7 +208,7 @@ object Bench {
     // polluted number is self-identifying in the archived JSON;
     // "rerun_exhausted" lists queries whose median never came within
     // RerunRatio of their floor even after MaxReruns full re-measurements.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"loads":$loads,"rerun_exhausted":$flagged,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold":$colds,"loads":$loads,"rerun_exhausted":$flagged,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}"""
     println(line)
     // tail-capture-proofing: archives that keep only the LAST N chars of
     // output (the driver's does) would otherwise truncate the headline away
