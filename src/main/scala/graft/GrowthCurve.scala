@@ -95,11 +95,11 @@ object GrowthCurve {
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/growth")
-    // optional second arg: run one section only (docs | graph | emb | 100x)
+    // optional second arg: run one section only (docs | graph | emb | rich | 100x)
     // — fast re-measurement of a single arm family after a kernel change.
     // Fail fast on a typo: a silently-empty run would read as a successful
     // measurement of nothing.
-    val sections = Set("docs", "graph", "emb", "100x")
+    val sections = Set("docs", "graph", "emb", "rich", "100x")
     val section = args.lift(1)
     section.foreach(s => require(sections(s),
       s"unknown section '$s' — expected one of ${sections.mkString(", ")}"))
@@ -211,6 +211,38 @@ object GrowthCurve {
       rows += (("dedup_paragraph", tag, n, -1L, pgOut, pgSec))
       val (lmOut, lmSec) = timed(graft.ops.TextQueries.lmScore(spark, dir).count())
       rows += (("text_lm_score", tag, n, -1L, lmOut, lmSec))
+    }
+
+    // --- the rich-vocabulary jaccard arm --------------------------------
+    // The PPJoin kernel on the corpus shape it was built for: a
+    // dictionary vocabulary with a LINEAR planted near-dup minority (one
+    // pair per five keys). Candidate column = the prefix+length survivors
+    // (the verification join's input — the count
+    // dedup_jaccard_rich_stats hash-gates on testdata); output = verified
+    // true pairs, which must read 10x at 10x keys. Two vocabulary
+    // regimes, both honest:
+    //   - V fixed (the catalog's 2048): postings per token grow with the
+    //     corpus, so candidates trend ~n^2/V — the dictionary-saturation
+    //     regime any token-keyed prefix join has;
+    //   - V ∝ n (shingle-like — real PPJoin features are n-grams whose
+    //     space grows with the corpus): postings per token stay flat and
+    //     candidates must track the LINEAR output.
+    if (want("rich")) docScales.foreach { case (tag, n) =>
+      val keys = n / 10 // two docs per key: corpus ~n/5 docs
+      Seq(("V=2048", graft.ops.TextQueries.RichVocab),
+          ("V~n", (graft.ops.TextQueries.RichVocab * keys / 500).toInt)).foreach {
+        case (vtag, v) =>
+          val dir = s"$base/rich-$tag-$vtag"
+          spark.range(1, keys + 1).selectExpr("id AS c_custkey")
+            .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+          val docs = graft.ops.TextQueries.richCorpus(spark, dir, vocab = v)
+          val st = DedupQueries.dedupJaccardPrefixStatsFrom(docs).head()
+          val (out, sec) = timed(
+            DedupQueries.dedupJaccardPrefixFrom(
+              graft.ops.TextQueries.richCorpus(spark, dir, vocab = v)).count())
+          rows += ((s"dedup_jaccard_rich[$vtag]", tag, st.getLong(0),
+            st.getLong(2), out, sec))
+      }
     }
 
     // --- graph ops (derived-edge workloads) -----------------------------

@@ -487,8 +487,13 @@ object DedupQueries {
     * an output-bound corpus. All counts exact integers; the three
     * aggregates are 1-row broadcast frames.
     */
-  def dedupJaccardRichStats(s: SparkSession, dir: String): DataFrame = {
-    val docsIn = TextQueries.richCorpus(s, dir)
+  def dedupJaccardRichStats(s: SparkSession, dir: String): DataFrame =
+    dedupJaccardPrefixStatsFrom(TextQueries.richCorpus(s, dir))
+
+  /** The stats kernel over any (doc_id, lang, text) frame — also the
+    * GrowthCurve "rich" arm's measurement probe.
+    */
+  private[graft] def dedupJaccardPrefixStatsFrom(docsIn: DataFrame): DataFrame = {
     val docs = docsIn
       .selectExpr("doc_id", "lang", s"array_distinct($toks) AS tset")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

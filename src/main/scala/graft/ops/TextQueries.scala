@@ -797,7 +797,8 @@ object TextQueries {
     * one projection over the customer scan, no shuffle, corpus-size
     * scaling with the fact table.
     */
-  private[ops] def richCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def richCorpus(s: SparkSession, dir: String,
+                                vocab: Int = RichVocab): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     Tables(s, dir, "customer").selectExpr("c_custkey AS g")
       .selectExpr("g", "explode(array(0, 1)) AS side")
@@ -806,7 +807,7 @@ object TextQueries {
           "substr(md5(concat('v', CAST(hash60(" +
           "CASE WHEN side = 0 OR (g % 5 = 0 AND i <= 14) " +
           "THEN concat('r', g, '_', i) ELSE concat('q', g, '_', i) END" +
-          s") % $RichVocab AS STRING))), 1, 10)), ' ') AS text")
+          s") % $vocab AS STRING))), 1, 10)), ' ') AS text")
   }
 
   /** DuckDB twin of [[richCorpus]] — a `rich(doc_id, lang, text)` CTE. */
