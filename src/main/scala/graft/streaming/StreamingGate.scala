@@ -91,9 +91,42 @@ object StreamingGate {
       st => StreamingDedup.substringCandidates(st).toDF()
     }
 
+  /** Catalog entry: the Markov transition matrix from the STREAMING
+    * last-event-state extraction ([[StreamingTransitions.transitions]])
+    * run as a real stream — gated by the batch `q_transition_matrix`
+    * oracle (lead-window derivation in DuckDB). Staging assigns each
+    * event its per-user dense `seq` under the batch's (ts, event_id)
+    * order, so the kernel's (seq, etype) within-batch fold IS the batch
+    * order; the sink (one pair row per event — corpus-bounded at gate
+    * scale; a production run points the pair stream at a file sink)
+    * aggregates to counts + probabilities with the batch entry's exact
+    * expression.
+    */
+  def transitionsStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val staged = Tables(s, dir, "events")
+      .withColumn("seq", row_number().over(w))
+      .selectExpr("user_id AS key", "CAST(seq AS LONG) AS seq",
+        "event_type AS etype")
+    runToCompletion(staged, "append", post = pairs => {
+      val c = pairs.groupBy(col("from"), col("to")).agg(count(lit(1)).as("n"))
+      // rename the key before re-aggregating: both sides derive from the
+      // same sink view, and a bare self-join fails attribute resolution
+      val tot = c.select(col("from").as("ftot"), col("n"))
+        .groupBy(col("ftot")).agg(sum(col("n")).as("tot"))
+      c.join(broadcast(tot), col("from") === col("ftot"))
+        .select(col("from").as("event_type"), col("to").as("next_type"),
+          col("n"),
+          (col("n").cast("double") / col("tot").cast("double")).as("prob"))
+    }) { st => StreamingTransitions.transitions(st).toDF() }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_session_window" -> sessionWindowStream,
     "stream_dedup_substring" -> dedupSubstringStream,
+    "stream_transitions" -> transitionsStream,
   )
 
   /** The batch twins' oracles, verbatim: the POINT of these entries is
@@ -102,5 +135,6 @@ object StreamingGate {
   val oracleSql: Map[String, String] = Map(
     "stream_session_window" -> RelationalQueries.oracleSql("q_session_window"),
     "stream_dedup_substring" -> DedupQueries.oracleSql("dedup_substring"),
+    "stream_transitions" -> RelationalQueries.oracleSql("q_transition_matrix"),
   )
 }
