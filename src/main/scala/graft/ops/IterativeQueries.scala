@@ -228,6 +228,7 @@ object IterativeQueries {
     */
   private[graft] def pagerankFrom(edges: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
     // out-degree via a window over the SAME shuffle that co-locates the
     // edges on src — the edge build (an expensive self-join + distinct)
     // runs exactly once; a groupBy+join spelling would recompute it for
@@ -242,19 +243,40 @@ object IterativeQueries {
     val consts = broadcast(edgesDeg.agg(countDistinct(col("src")).as("n")).select(
       expr(s"((CAST($PagerankScale AS BIGINT) * 15) div 100) div n").as("base"),
       expr(s"CAST($PagerankScale AS BIGINT) div n").as("init")))
-    var ranks = edgesDeg.select(col("src").as("node")).distinct()
+    // generations are MATERIALIZED (the directed kernel's shape, adopted in
+    // round 10): the per-round rank vector is node-count bounded, and as a
+    // materialized LogicalRDD it can be broadcast-hinted below the
+    // [[BroadcastNodeCap]] dial — each round is then ONE map-side pass over
+    // the once-partitioned edges plus a partial-aggregated groupBy, with no
+    // per-round edge sort (the lazy 10-round chain sort-merged the full
+    // edge frame every round: measured 11.6 -> ~6 s at sf0.1). Above the
+    // dial the join falls back to shuffled form — only the rank vector
+    // moves — and materialization doubles as lineage truncation, the
+    // fault-tolerance checkpointing synchronous PageRank wants at scale
+    // anyway.
+    val init0 = edgesDeg.select(col("src").as("node")).distinct()
       .crossJoin(consts)
       .select(col("node"), col("init").as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bcast = init0.count() <= BroadcastNodeCap
+    def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    var ranks = spark.createDataFrame(init0.rdd, init0.schema)
+    var backing = init0
     for (_ <- 1 to PagerankIters) {
-      ranks = edgesDeg.join(ranks, col("src") === col("node"))
+      val next = edgesDeg.join(hinted(ranks), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("rank div deg")).as("contrib"))
         .crossJoin(consts)
         .select(col("dst").as("node"),
           expr("base + (85 * contrib) div 100").as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize the generation, truncate lineage
+      backing.unpersist()
+      backing = next
+      ranks = spark.createDataFrame(next.rdd, next.schema)
     }
     val out = ranks.select(col("node").as("partkey"), col("rank").as("pr_fixed"))
-    Lifecycle.released(out, edgesDeg)
+    Lifecycle.released(out, edgesDeg, backing)
   }
 
   /** Round cap for [[pagerankDirected]] — the oracle unrolls exactly this
@@ -264,6 +286,13 @@ object IterativeQueries {
     * fixed-point integer).
     */
   private val PagerankDirectedIters = 12
+
+  /** Node-count ceiling for broadcasting the per-round rank/contrib
+    * vectors in [[pagerankDirectedFrom]] — ~4M (node, rank) rows is tens
+    * of MB, comfortably under executor broadcast budgets; larger graphs
+    * keep the shuffled join.
+    */
+  private val BroadcastNodeCap = 4000000L
 
   /** PageRank on a genuinely DIRECTED graph: the co-occurrence pairs
     * oriented low-key → high-key, so nodes that only ever appear as the
@@ -325,6 +354,17 @@ object IterativeQueries {
     val init0 = nodeDeg.crossJoin(consts)
       .select(col("node"), col("odeg"), col("init").as("rank"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the rank vector and the contrib frame are both NODE-count bounded,
+    // but they surface as LogicalRDDs (no stats), so the planner would
+    // sort-merge the full edge frame against them EVERY round. Below the
+    // dial, hint them broadcast: the contrib join goes map-side over the
+    // once-partitioned edges (per-round cost = one edge scan + a partial
+    // agg, no per-round edge sort); above it — web-scale node counts — the
+    // joins fall back to the shuffled form, where only the rank vector
+    // moves. Same rows either way; this is the hint AQE would derive if
+    // the generations carried statistics.
+    val bcast = nodeDeg.count() <= BroadcastNodeCap
+    def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var ranks = spark.createDataFrame(init0.rdd, init0.schema)
     var backing = init0
     var round = 0
@@ -335,10 +375,10 @@ object IterativeQueries {
       val dm = broadcast(ranks.filter(col("odeg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dm")))
       val contrib = edgesDeg
-        .join(ranks.select(col("node"), col("rank")), col("src") === col("node"))
+        .join(hinted(ranks.select(col("node"), col("rank"))), col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(expr("rank div deg")).as("contrib"))
       val next = ranks.select(col("node"), col("odeg"), col("rank").as("prev"))
-        .join(contrib, col("node") === col("dst"), "left")
+        .join(hinted(contrib), col("node") === col("dst"), "left")
         .crossJoin(dm).crossJoin(consts)
         .select(col("node"), col("odeg"),
           expr("base + (85 * (coalesce(contrib, CAST(0 AS BIGINT)) + dm div n)) div 100")
