@@ -156,7 +156,10 @@ object Bench {
         try catalog(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-20s ${if (run == 0) "warm" else s"run$run"} $dt%8.2f s")
+        // run 0 is JIT warm-up everywhere EXCEPT memoized entries, where
+        // the invalidation above makes it the forced-cold compute run
+        val label = if (run != 0) s"run$run" else if (memoized(name)) "cold" else "warm"
+        System.err.println(f"[bench] $name%-20s $label $dt%8.2f s")
         dt
       }
       val times = raw.drop(1)

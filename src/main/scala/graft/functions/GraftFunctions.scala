@@ -558,13 +558,16 @@ object BoxResizeImpl {
     val w2 = width / factor
     val h2 = height / factor
     if (w2 == 0 || h2 == 0) return null
-    val div = factor * factor
+    // Long accumulator: a full block at factor >= 2903 sums past
+    // Int.MaxValue (255 * factor^2) — the exact-integer promise must hold
+    // for ANY factor, not just the catalog's 2
+    val div = factor.toLong * factor
     val out = new Array[Byte](w2 * h2)
     var by = 0
     while (by < h2) {
       var bx = 0
       while (bx < w2) {
-        var sum = 0
+        var sum = 0L
         var dy = 0
         while (dy < factor) {
           val base = (by * factor + dy) * width + bx * factor

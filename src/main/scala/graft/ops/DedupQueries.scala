@@ -437,6 +437,21 @@ object DedupQueries {
 
   /** The PPJoin kernel over any (doc_id, lang, text) frame. */
   def dedupJaccardPrefixFrom(docsIn: DataFrame): DataFrame = {
+    val (docs, candidates) = jaccardPrefixCandidates(docsIn)
+    val verified = jaccardVerified(docs, candidates)
+      .filter(col("inter") * 2 >= col("union_sz"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
+    Lifecycle.released(verified, docs)
+  }
+
+  /** The PPJoin front half, defined ONCE for the dedup entry, the stats
+    * row, and the growth probe — so a measurement can never silently
+    * diverge from the pipeline it claims to measure: the persisted
+    * token-set frame plus the prefix+length candidate set (unpersisted —
+    * single-consumer callers use it inline, the stats kernel persists it
+    * for its two consumers).
+    */
+  private def jaccardPrefixCandidates(docsIn: DataFrame): (DataFrame, DataFrame) = {
     val docs = docsIn
       .selectExpr("doc_id", "lang", s"array_distinct($toks) AS tset")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -458,16 +473,19 @@ object DedupQueries {
           col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val verified = candidates
+    (docs, candidates)
+  }
+
+  /** The verification join over (docs, candidates): per pair, the exact
+    * intersection and union sizes (pre-threshold).
+    */
+  private def jaccardVerified(docs: DataFrame, candidates: DataFrame): DataFrame =
+    candidates
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
       .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
       .selectExpr("doc_a", "doc_b",
         "CAST(size(array_intersect(da.tset, db.tset)) AS BIGINT) AS inter",
         "CAST(size(da.tset) + size(db.tset) - size(array_intersect(da.tset, db.tset)) AS BIGINT) AS union_sz")
-      .filter(col("inter") * 2 >= col("union_sz"))
-      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
-    Lifecycle.released(verified, docs)
-  }
 
   /** The PPJoin pipeline on the RICH-vocabulary arm
     * ([[TextQueries.richCorpus]]): with thousands of distinct words the
@@ -494,31 +512,10 @@ object DedupQueries {
     * GrowthCurve "rich" arm's measurement probe.
     */
   private[graft] def dedupJaccardPrefixStatsFrom(docsIn: DataFrame): DataFrame = {
-    val docs = docsIn
-      .selectExpr("doc_id", "lang", s"array_distinct($toks) AS tset")
+    val (docs, cand) = jaccardPrefixCandidates(docsIn)
+    val candidates = cand
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val postings = docs.selectExpr("doc_id", "lang", "size(tset) AS sz", "explode(tset) AS tok")
-    val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ranked = postings.join(dfreq, "tok")
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc)))
-      .filter(col("rk") <= col("sz") / 2 + 1)
-      .select(col("doc_id"), col("lang"), col("tok"), col("sz"))
-    val candidates = ranked.as("a")
-      .join(ranked.as("b"),
-        col("a.lang") === col("b.lang") && col("a.tok") === col("b.tok") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("a.sz") * 2 >= col("b.sz") && col("b.sz") * 2 >= col("a.sz"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nTrue = candidates
-      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
-      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
-      .selectExpr("doc_a", "doc_b",
-        "CAST(size(array_intersect(da.tset, db.tset)) AS BIGINT) AS inter",
-        "CAST(size(da.tset) + size(db.tset) - size(array_intersect(da.tset, db.tset)) AS BIGINT) AS union_sz")
+    val nTrue = jaccardVerified(docs, candidates)
       .filter(col("inter") * 2 >= col("union_sz"))
       .agg(count(lit(1)).as("n_true"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))

@@ -288,11 +288,15 @@ object IterativeQueries {
   private val PagerankDirectedIters = 12
 
   /** Node-count ceiling for broadcasting the per-round rank/contrib
-    * vectors in [[pagerankDirectedFrom]] — ~4M (node, rank) rows is tens
-    * of MB, comfortably under executor broadcast budgets; larger graphs
-    * keep the shuffled join.
+    * vectors. Budgeted in BYTES of the built HashedRelation, not row
+    * count: a broadcast long-keyed relation costs ~50-100 B/row
+    * (UnsafeRow + map overhead), and the driver holds each round's build
+    * until the ContextCleaner retires it — 512k rows keeps every build
+    * under ~50 MB, safely inside default driver/executor broadcast
+    * budgets even with a few generations in flight. Larger graphs keep
+    * the shuffled join (only the rank vector moves).
     */
-  private val BroadcastNodeCap = 4000000L
+  private val BroadcastNodeCap = 512000L
 
   /** PageRank on a genuinely DIRECTED graph: the co-occurrence pairs
     * oriented low-key → high-key, so nodes that only ever appear as the

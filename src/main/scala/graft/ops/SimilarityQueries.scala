@@ -90,14 +90,29 @@ object SimilarityQueries {
     * bucket probing.
     */
   def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val (keep, emb) = filteredSearchParts(s, dir)
+    filteredTruthFrom(keep, emb)
+  }
+
+  /** Shared by [[annFiltered]] and [[annFilteredRecall]]: the eligible-id
+    * frame and the normalized embedding frame — ONE definition, so the
+    * monitor can never drift from the entry it monitors.
+    */
+  private def filteredSearchParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(s)
     val keep = Tables(s, dir, "documents")
       .filter(col("lang") === "en")
       .select(col("doc_id").as("vec_id"))
     val emb = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$toDouble AS v")
       .selectExpr("vec_id", "v", s"${norm("v")} AS nv")
-    bruteForceFrom(emb, corpus = emb.join(keep, Seq("vec_id"), "left_semi"))
+    (keep, emb)
   }
+
+  /** The PRE-filter exact top-5 over the eligible corpus — [[annFiltered]]'s
+    * result and the recall monitor's ground truth.
+    */
+  private def filteredTruthFrom(keep: DataFrame, emb: DataFrame): DataFrame =
+    bruteForceFrom(emb, corpus = emb.join(keep, Seq("vec_id"), "left_semi"))
 
   /** The recall monitor [[annFiltered]]'s Scaladoc promises: POST-filtering
     * a fixed unfiltered top-k starves under a selective predicate, while
@@ -114,14 +129,9 @@ object SimilarityQueries {
     * corpus pass shared.
     */
   def annFilteredRecall(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(s)
-    val keep = Tables(s, dir, "documents")
-      .filter(col("lang") === "en")
-      .select(col("doc_id").as("vec_id"))
-    val emb = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$toDouble AS v")
-      .selectExpr("vec_id", "v", s"${norm("v")} AS nv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = bruteForceFrom(emb, corpus = emb.join(keep, Seq("vec_id"), "left_semi"))
+    val (keep, embRaw) = filteredSearchParts(s, dir)
+    val emb = embRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = filteredTruthFrom(keep, emb)
       .select(col("query_id"), col("neighbor_id"))
     val post = bruteForceFrom(emb)
       .join(broadcast(keep.withColumnRenamed("vec_id", "neighbor_id")),

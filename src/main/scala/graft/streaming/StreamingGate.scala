@@ -43,19 +43,28 @@ object StreamingGate {
       post: DataFrame => DataFrame = identity)
       (transform: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
-    val tmp = Files.createTempDirectory("graft-sgate").toString
-    val inDir = s"$tmp/in"
-    input.write.parquet(inDir)
-    val schema = spark.read.parquet(inDir).schema
-    val name = s"graft_sgate_${counter.incrementAndGet()}"
-    val q = transform(spark.readStream.schema(schema).parquet(inDir))
-      .writeStream.format("memory").queryName(name).outputMode(outputMode)
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    try Lifecycle.released(post(spark.table(name)))
-    finally spark.catalog.dropTempView(name)
+    val tmp = Files.createTempDirectory("graft-sgate")
+    try {
+      val inDir = s"$tmp/in"
+      input.write.parquet(inDir)
+      val schema = spark.read.parquet(inDir).schema
+      val name = s"graft_sgate_${counter.incrementAndGet()}"
+      val q = transform(spark.readStream.schema(schema).parquet(inDir))
+        .writeStream.format("memory").queryName(name).outputMode(outputMode)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      try Lifecycle.released(post(spark.table(name)))
+      finally spark.catalog.dropTempView(name)
+    } finally {
+      // the staged corpus + streaming checkpoint are per-invocation
+      // scratch: delete them or every gate/spec run leaks a corpus copy
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => })
+    }
   }
 
   /** Catalog entry: event-gap sessions from the STREAMING merging

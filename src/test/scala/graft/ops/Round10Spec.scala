@@ -44,7 +44,10 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("no oracle SQL reintroduces the \\s shorthand (dual-engine divergence)") {
-    val offenders = graft.SparkEntry.oracleSql.collect {
+    // Verify ships BOTH maps to DuckDB — the fenced baselines' oracles
+    // can flake the gate exactly like the public ones
+    val offenders = (graft.SparkEntry.oracleSql ++
+        graft.ops.DedupQueries.baselineOracleSql).collect {
       case (name, sql) if sql.contains("\\s") || sql.contains("\\S") => name
     }
     assert(offenders.isEmpty,
@@ -123,6 +126,13 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(BoxResizeImpl.resize(plane, 4, 5) == null, "block larger than plane -> null")
     assert(ByteSumImpl.sum(Array[Byte](0xFF.toByte, 1, 0)) == 256L)
     assert(ByteSumImpl.sum(Array.empty[Byte]) == 0L)
+    // Long accumulator: 255 * 2903^2 > Int.MaxValue — an Int sum wraps
+    // negative and emits garbage where the exact block mean is 255
+    val big = 2903
+    val full = BoxResizeImpl.resize(
+      Array.fill(big * big)(0xFF.toByte), big, big)
+    assert(full.length == 1 && (full(0) & 0xff) == 255,
+      s"factor-$big full block must average to 255, got ${full(0) & 0xff}")
   }
 
   test("box_resize and byte_sum run inside whole-stage codegen") {
