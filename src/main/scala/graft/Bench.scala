@@ -67,7 +67,8 @@ object Bench {
     // headline would measure the same constant 5x. stream_* entries stay
     // out too: they time the gate staging harness (write + availableNow
     // drain), not an operator.
-    "ann_filtered_recall", "dedup_jaccard_rich", "dedup_jaccard_rich_stats")
+    "ann_filtered_recall", "dedup_jaccard_rich", "dedup_jaccard_rich_stats",
+    "ann_filtered_ivf", "ann_filtered_ivf_recall")
 
   /** Entries whose chain replays a [[graft.ops.DriverMemo]] statistic: the
     * median measures warm REPLAY (the policy the round-8 verdict asked

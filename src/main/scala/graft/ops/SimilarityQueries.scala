@@ -100,13 +100,18 @@ object SimilarityQueries {
     */
   private def filteredSearchParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(s)
-    val keep = Tables(s, dir, "documents")
-      .filter(col("lang") === "en")
-      .select(col("doc_id").as("vec_id"))
     val emb = Tables(s, dir, "embeddings").selectExpr("vec_id", s"$toDouble AS v")
       .selectExpr("vec_id", "v", s"${norm("v")} AS nv")
-    (keep, emb)
+    (eligibleIds(s, dir), emb)
   }
+
+  /** The eligibility predicate of the whole filtered-search family — the
+    * ONE place the 'en' rule lives.
+    */
+  private def eligibleIds(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
 
   /** The PRE-filter exact top-5 over the eligible corpus — [[annFiltered]]'s
     * result and the recall monitor's ground truth.
@@ -144,6 +149,46 @@ object SimilarityQueries {
       .selectExpr("query_id", "CAST(coalesce(hits, 0) AS BIGINT) AS post_hits",
         "CAST(coalesce(hits, 0) AS DOUBLE) / 5.0 AS post_recall")
     Lifecycle.released(recall, emb)
+  }
+
+  /** Filtered search on the IVF SCALE PATH: one index over the FULL corpus
+    * serves every predicate (no per-predicate rebuild), the multi-probe
+    * bucket selection depends only on the query, and the eligible-id semi
+    * join restricts the probed candidates BEFORE the ranking pass
+    * ([[ivfFrom]]'s `keep` arm). Emits the top-5 among eligible probed
+    * candidates — the production ANN+metadata-filter pattern
+    * [[annFiltered]]'s Scaladoc promises, with [[annFilteredIvfRecall]]
+    * reporting its quality against the exact pre-filter truth.
+    */
+  def annFilteredIvf(s: SparkSession, dir: String,
+                     cfg: IvfConfig = IvfConfig()): DataFrame = {
+    val (emb, centroids) = buildIndex(s, dir, cfg)
+    val out = ivfFrom(emb, centroids, cfg, keep = eligibleIds(s, dir))
+    Lifecycle.released(out, emb, centroids)
+  }
+
+  /** Recall of the filtered-IVF search vs the exact pre-filter top-5 over
+    * the eligible set: the quality dial a production deployment watches
+    * when it tunes probes against a selective predicate (a filter shrinks
+    * every probed bucket, so filtered recall needs MORE probes than the
+    * unfiltered monitor suggests — this row is where that shows). Both
+    * arms share one index build, the [[annRecall]] discipline.
+    */
+  def annFilteredIvfRecall(s: SparkSession, dir: String,
+                           cfg: IvfConfig = IvfConfig()): DataFrame = {
+    val (emb, centroids) = buildIndex(s, dir, cfg)
+    val keep = eligibleIds(s, dir)
+    val truth = filteredTruthFrom(keep, emb)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = ivfFrom(emb, centroids, cfg, keep = keep)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val recall = truth.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .selectExpr("query_id", "CAST(coalesce(hits, 0) AS BIGINT) AS hits",
+        "CAST(coalesce(hits, 0) AS DOUBLE) / 5.0 AS recall")
+    Lifecycle.released(recall, emb, centroids)
   }
 
   // --- IVF with a real coarse quantizer -------------------------------
@@ -273,9 +318,21 @@ object SimilarityQueries {
     Lifecycle.released(out, emb, frozen)
   }
 
-  /** The multi-probe search over an already-built index. */
-  private def ivfFrom(emb: DataFrame, centroids: DataFrame, cfg: IvfConfig): DataFrame = {
-    val assigned = assignBuckets(emb, centroids)
+  /** The multi-probe search over an already-built index. With `keep`, the
+    * probed candidates are restricted to the eligible ids BEFORE ranking —
+    * the filtered-search pattern on the IVF scale path: ONE index serves
+    * every predicate (no per-predicate rebuild), the bucket probe depends
+    * only on the query, and eligibility is an equi-semi-join on the
+    * bucket-assigned rows (pushable below the scoring pass; broadcastable
+    * when the eligible set is small, shuffle otherwise — the planner
+    * decides from the dimension scan's stats).
+    */
+  private def ivfFrom(emb: DataFrame, centroids: DataFrame, cfg: IvfConfig,
+                      keep: DataFrame = null): DataFrame = {
+    val assignedAll = assignBuckets(emb, centroids)
+    val assigned = Option(keep)
+      .map(k => assignedAll.join(k, Seq("vec_id"), "left_semi"))
+      .getOrElse(assignedAll)
     val probes = emb.filter(col("vec_id") < 10).crossJoin(broadcast(centroids))
       .selectExpr("vec_id AS query_id", "v AS qv", "nv AS qnv", "cid",
         s"CAST(${idot("q", "s")} AS DOUBLE) / cnt AS score")
@@ -1115,6 +1172,8 @@ object SimilarityQueries {
     "emb_stats" -> embStats,
     "ann_filtered" -> annFiltered,
     "ann_filtered_recall" -> annFilteredRecall,
+    "ann_filtered_ivf" -> ((s, dir) => annFilteredIvf(s, dir)),
+    "ann_filtered_ivf_recall" -> ((s, dir) => annFilteredIvfRecall(s, dir)),
     // verify-path projection: the harness hash can't sort array cells, so
     // the catalog row joins the code vector; the library call keeps the array
     "emb_quantize" -> ((s, dir) => embQuantize(s, dir)
@@ -1163,11 +1222,18 @@ object SimilarityQueries {
     * centroids, `cfg.iters` unrolled Lloyd iterations, final assignment,
     * multi-probe candidates ranked by exact cosine.
     */
-  private def duckIvfCtes(cfg: IvfConfig): String = {
+  private def duckIvfCtes(cfg: IvfConfig, filtered: Boolean = false): String = {
     val lloyds = (1 to cfg.iters)
       .map(i => duckLloyd(s"c${i - 1}", s"a$i", s"c$i") + ",\n").mkString
     val cFinal = s"c${cfg.iters}"
-    s"""e AS (SELECT vec_id, $duckV AS v,
+    // the filtered variant restricts bucket-assigned candidates to the
+    // eligible ids BEFORE ranking — ivfFrom's `keep` arm, re-derived
+    val keepCte = if (filtered)
+      "keep AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),\n" else ""
+    val assignedF = if (filtered)
+      ",\nassigned_f AS (SELECT a.* FROM assigned a JOIN keep USING (vec_id))" else ""
+    val candSrc = if (filtered) "assigned_f" else "assigned"
+    s"""${keepCte}e AS (SELECT vec_id, $duckV AS v,
        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, q AS s, CAST(1 AS BIGINT) AS cnt FROM e WHERE vec_id < ${cfg.k}),
@@ -1176,7 +1242,7 @@ object SimilarityQueries {
        |    SELECT e.vec_id, e.v, e.q, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY CAST(${duckDot("e.q", "c.s")} AS DOUBLE) / c.cnt DESC, c.cid ASC) AS rk
-       |    FROM e CROSS JOIN $cFinal c) t WHERE rk = 1),
+       |    FROM e CROSS JOIN $cFinal c) t WHERE rk = 1)$assignedF,
        |probes AS (
        |  SELECT query_id, qv, bucket FROM (
        |    SELECT e.vec_id AS query_id, e.v AS qv, c.cid AS bucket,
@@ -1186,7 +1252,7 @@ object SimilarityQueries {
        |ivf_sims AS (
        |  SELECT p.query_id, p.bucket, a.vec_id AS neighbor_id,
        |    ${duckDot("p.qv", "a.v")} / (sqrt(${duckDot("p.qv", "p.qv")}) * sqrt(${duckDot("a.v", "a.v")})) AS sim
-       |  FROM probes p JOIN assigned a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+       |  FROM probes p JOIN $candSrc a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
        |ivf_top AS (
        |  SELECT query_id, bucket, neighbor_id, rk FROM (
        |    SELECT query_id, bucket, neighbor_id,
@@ -1782,6 +1848,33 @@ object SimilarityQueries {
       s"""WITH ${duckIvfCtes(IvfConfig())}
          |SELECT query_id, CAST(bucket AS BIGINT) AS bucket, neighbor_id, rk
          |FROM ivf_top""".stripMargin,
+    "ann_filtered_ivf" ->
+      s"""WITH ${duckIvfCtes(IvfConfig(), filtered = true)}
+         |SELECT query_id, CAST(bucket AS BIGINT) AS bucket, neighbor_id, rk
+         |FROM ivf_top""".stripMargin,
+    // filtered-IVF quality vs the exact PRE-filter truth over the
+    // eligible corpus (the same truth CTEs as ann_filtered_recall)
+    "ann_filtered_ivf_recall" ->
+      s"""WITH ${duckIvfCtes(IvfConfig(), filtered = true)},
+         |c AS (SELECT e.vec_id, e.v FROM e JOIN keep USING (vec_id)),
+         |tsims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${duckDot("q.v", "c.v")} / (sqrt(${duckDot("q.v", "q.v")}) * sqrt(${duckDot("c.v", "c.v")})) AS sim
+         |  FROM e q JOIN c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+         |truth AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |    FROM tsims) t WHERE rk <= 5),
+         |hit_counts AS (
+         |  SELECT t.query_id, count(1) AS hits
+         |  FROM truth t JOIN ivf_top i
+         |    ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+         |  GROUP BY 1)
+         |SELECT qy.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM truth) qy
+         |LEFT JOIN hit_counts h ON h.query_id = qy.query_id""".stripMargin,
     "ann_ivfpq" ->
       s"""WITH $duckIvfPqCtes
          |SELECT query_id, neighbor_id, rk FROM ivfpq_top""".stripMargin,
