@@ -132,10 +132,32 @@ object StreamingGate {
     }) { st => StreamingTransitions.transitions(st).toDF() }
   }
 
+  /** Catalog entry: Misra-Gries heavy hitters through the real streaming
+    * path in its EXACTNESS regime — with distinct items ≤ k per shard the
+    * sketch's counters ARE the exact counts (the spec-pinned guarantee),
+    * so the event-type frequency table it emits is gated by a plain
+    * batch GROUP BY oracle. Each item hashes to exactly one shard, so
+    * summing the per-shard counters per token is the per-token count.
+    * AvailableNow with no file cap drains the staged corpus as one
+    * micro-batch (the same one-batch convention as the substring entry),
+    * so the append-mode snapshot in the sink is the final counter state.
+    */
+  def heavyHittersStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    runToCompletion(
+      Tables(s, dir, "events").selectExpr("event_type AS item"), "append",
+      post = snap => snap.groupBy(col("token"))
+        .agg(sum(col("est")).as("n"))
+        .selectExpr("token AS event_type", "CAST(n AS BIGINT) AS n")) {
+      st => StreamingSketch.heavyHitters(st).toDF()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_session_window" -> sessionWindowStream,
     "stream_dedup_substring" -> dedupSubstringStream,
     "stream_transitions" -> transitionsStream,
+    "stream_heavy_hitters" -> heavyHittersStream,
   )
 
   /** The batch twins' oracles, verbatim: the POINT of these entries is
@@ -145,5 +167,8 @@ object StreamingGate {
     "stream_session_window" -> RelationalQueries.oracleSql("q_session_window"),
     "stream_dedup_substring" -> DedupQueries.oracleSql("dedup_substring"),
     "stream_transitions" -> RelationalQueries.oracleSql("q_transition_matrix"),
+    "stream_heavy_hitters" ->
+      """SELECT event_type, CAST(count(1) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }
