@@ -324,6 +324,22 @@ object GrowthCurve {
     // and some (quadratic-threshold configs) would not fit the sandbox.
     val dir100 = s"$base/100x"
     if (want("100x")) {
+    // rich jaccard at TWO decades, vocabulary scaling with the corpus —
+    // the shingle-like regime must stay linear at 100x too
+    locally {
+      val keys = 50000L // 100k docs
+      val v = (graft.ops.TextQueries.RichVocab * keys / 500).toInt
+      val dir = s"$base/rich-100x-Vn"
+      spark.range(1, keys + 1).selectExpr("id AS c_custkey")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val st = DedupQueries.dedupJaccardPrefixStatsFrom(
+        graft.ops.TextQueries.richCorpus(spark, dir, vocab = v)).head()
+      val (out, sec) = timed(
+        DedupQueries.dedupJaccardPrefixFrom(
+          graft.ops.TextQueries.richCorpus(spark, dir, vocab = v)).count())
+      rows += (("dedup_jaccard_rich[V~n]", "100x", st.getLong(0),
+        st.getLong(2), out, sec))
+    }
     genDocuments(spark, 500000L, dir100)
     val probed100 = DedupQueries.bloomProbed(spark, dir100)
       .agg(count(lit(1)).as("delta"), sum(expr("IF(maybe, 1, 0)")).as("maybe")).head()
