@@ -665,15 +665,30 @@ object TextQueries {
     // parse as two ADJACENT literals and silently concatenate)
     val wsRun = s"'^[$WsSql]+$$'"
     val contr = "'^\\'(?:s|t|re|ve|m|ll|d)$'"
+    val letter = "'^\\\\p{L}'"
     val p = s"element_at($b, i)"
     val q = s"element_at($b, i - 1)"
+    def donor(x: String) =
+      s"$x rlike $wsRun AND length($x) >= 2 AND right($x, 1) = ' '"
+    // A donated space re-splits a contraction (" 's" -> " '" + "s") and
+    // the FREED LETTERS then fuse with an immediately-following space-less
+    // letter run ("ws 'lldon't": true pieces are " '", "lldon", "'t" —
+    // ` ?\p{L}+` runs through the old piece boundary). The third branch
+    // drops the absorbed run; digits/punct/contractions after the
+    // re-split do NOT fuse (`\p{L}+` stops at them), property-pinned
+    // against the with-lookahead reference on randomized fixtures.
     s"""CASE WHEN size($b) = 0 THEN $b ELSE flatten(transform(sequence(1, size($b)), i ->
        |  CASE WHEN $p rlike $wsRun AND i < size($b) AND length($p) >= 2 THEN
        |         CASE WHEN right($p, 1) = ' ' THEN array(left($p, length($p) - 1))
        |              ELSE array(left($p, length($p) - 1), right($p, 1)) END
-       |       WHEN i > 1 AND $q rlike $wsRun AND length($q) >= 2 AND right($q, 1) = ' ' THEN
-       |         CASE WHEN $p rlike $contr THEN array(' \\'', substring($p, 2))
+       |       WHEN i > 1 AND ${donor(q)} THEN
+       |         CASE WHEN $p rlike $contr THEN array(' \\'', concat(substring($p, 2),
+       |                CASE WHEN i < size($b) AND element_at($b, i + 1) rlike $letter
+       |                     THEN element_at($b, i + 1) ELSE '' END))
        |              ELSE array(concat(' ', $p)) END
+       |       WHEN i > 2 AND ${donor(s"element_at($b, i - 2)")}
+       |            AND element_at($b, i - 1) rlike $contr AND $p rlike $letter THEN
+       |         CAST(array() AS ARRAY<STRING>)
        |       ELSE array($p) END)) END""".stripMargin
   }
 
@@ -693,14 +708,21 @@ object TextQueries {
     val pat = Gpt2PretokenPattern.replace("'", "''")
     val wsRun = s"'^[$WsClass]+$$'"
     val contr = "'^''(?:s|t|re|ve|m|ll|d)$'"
+    val letter = "'^\\p{L}'"
     val b = s"regexp_extract_all($textRef, '$pat')"
+    def donor(x: String) =
+      s"regexp_matches($x, $wsRun) AND length($x) >= 2 AND $x[-1] = ' '"
     s"""CASE WHEN len($b) = 0 THEN [] ELSE flatten(list_transform(range(1, len($b) + 1), i ->
        |  CASE WHEN regexp_matches($b[i], $wsRun) AND i < len($b) AND length($b[i]) >= 2 THEN
        |         CASE WHEN $b[i][-1] = ' ' THEN [$b[i][1:-2]] ELSE [$b[i][1:-2], $b[i][-1]] END
-       |       WHEN i > 1 AND regexp_matches($b[i-1], $wsRun) AND length($b[i-1]) >= 2
-       |            AND $b[i-1][-1] = ' ' THEN
-       |         CASE WHEN regexp_matches($b[i], $contr) THEN [' ''', $b[i][2:]]
+       |       WHEN i > 1 AND ${donor(s"$b[i-1]")} THEN
+       |         CASE WHEN regexp_matches($b[i], $contr) THEN [' ''', $b[i][2:] ||
+       |                CASE WHEN i < len($b) AND regexp_matches($b[i+1], $letter)
+       |                     THEN $b[i+1] ELSE '' END]
        |              ELSE [' ' || $b[i]] END
+       |       WHEN i > 2 AND ${donor(s"$b[i-2]")}
+       |            AND regexp_matches($b[i-1], $contr) AND regexp_matches($b[i], $letter) THEN
+       |         []
        |       ELSE [$b[i]] END)) END""".stripMargin
   }
 

@@ -77,6 +77,12 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
       "end with spaces   " -> Seq("end", " with", " spaces", "   "),
       "   lead" -> Seq("  ", " lead"),
       "''quoted''  'll 'x" -> Seq("''", "quoted", "''", " ", " '", "ll", " '", "x"),
+      // a re-split contraction's freed letters FUSE with a following
+      // space-less letter run (`\p{L}+` runs through the base boundary) —
+      // but not with digits, punct, or another contraction
+      "a  'lldon't" -> Seq("a", " ", " '", "lldon", "'t"),
+      "a  'll42" -> Seq("a", " ", " '", "ll", "42"),
+      "a  'll'd" -> Seq("a", " ", " '", "ll", "'d"),
       "   " -> Seq("   "),
       "" -> Seq())
     // the java.util.regex ground truth, lookahead included — the spec's
@@ -95,6 +101,35 @@ class Round10Spec extends AnyFunSuite with BeforeAndAfterAll {
     fixtures.foreach { case (text, want) =>
       assert(got(text) == want, s"'$text': got ${got(text)}, want $want")
       assert(got(text).mkString == text, s"'$text': pieces must concatenate losslessly")
+    }
+  }
+
+  test("gpt2 pieces match the lookahead ground truth on 400 randomized fixtures") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus over the constructs the post-pass
+    // arbitrates: words, digits, punct, contractions, quotes, and ws runs
+    // of every class member at lengths 1..4 — one DataFrame pass for all
+    val atoms = Vector("ab", "Cd", "9", "42", "!", "?!", "'s", "'ll", "'x",
+      "''", "don't", " ", "  ", "   ", "\t", "\t ", " \t", "\n\n ", "",
+      "  ", "\f", "\r ", "    ")
+    val rnd = new scala.util.Random(20261015L)
+    val fixtures = (1 to 400).map { _ =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    }.distinct
+    val truthPat = java.util.regex.Pattern.compile(
+      "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\t\\n\\x0B\\f\\r \\p{L}\\p{N}]+" +
+        "|[\\t\\n\\x0B\\f\\r ]+(?![^\\t\\n\\x0B\\f\\r ])|[\\t\\n\\x0B\\f\\r ]+")
+    def truth(text: String): Seq[String] = {
+      val m = truthPat.matcher(text)
+      Iterator.continually(m).takeWhile(_.find()).map(_.group()).toSeq
+    }
+    val got = fixtures.toDF("text")
+      .selectExpr("text", s"${TextQueries.gpt2PiecesSqlOf("text")} AS pieces")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    fixtures.foreach { text =>
+      assert(got(text) == truth(text),
+        s"divergence on ${text.map(c => f"\\u${c.toInt}%04x").mkString}: " +
+          s"got ${got(text)}, want ${truth(text)}")
     }
   }
 
