@@ -1,11 +1,13 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
 
-import graft.ops.{DedupQueries, Lifecycle, RelationalQueries, Tables}
+import graft.ops.{DedupQueries, Lifecycle, RelationalQueries, Tables, Tokenize}
 
 /** The driver-gated face of the streaming surface.
   *
@@ -17,6 +19,20 @@ import graft.ops.{DedupQueries, Lifecycle, RelationalQueries, Tables}
   * frame, gated by the SAME DuckDB oracle as the operator's batch twin.
   * That makes "the streaming path produces the batch answer" a
   * hash-checked gate row instead of a test-suite claim.
+  *
+  * Two staging shapes:
+  *
+  *   - [[runToCompletion]] — the corpus is staged as ONE parquet write and
+  *     AvailableNow (no file cap) drains it as a single micro-batch. Entries
+  *     whose post-aggregation RELIES on that (summing append-mode summary
+  *     re-emissions) pass `requireSingleBatch = true` and fail loudly if the
+  *     engine ever splits the drain.
+  *   - [[runMultiBatch]] — the corpus is staged as N separate parquet files
+  *     with pinned, strictly-increasing modification times and streamed with
+  *     `maxFilesPerTrigger = 1`, so the query provably processes ≥ N data
+  *     micro-batches (asserted from the query progress after termination).
+  *     These are the CROSS-BATCH entries: the state store must carry state
+  *     between micro-batches to reproduce the batch answer.
   *
   * Shape: the input frame is staged to parquet once (the file source needs
   * files; the gate corpus arrives as a DataFrame), streamed back through
@@ -38,33 +54,125 @@ object StreamingGate {
     * @param outputMode "append" for flatMapGroups-style emission streams;
     *   "complete" for aggregations whose open state must surface at end of
     *   input (a finite gate corpus has no later watermark to close them).
+    * @param requireSingleBatch assert the query drained the corpus as
+    *   exactly ONE data micro-batch — for entries whose post-aggregation
+    *   double-counts under a multi-batch drain (append-mode summary
+    *   re-emission). A Spark default change or a session-level file cap
+    *   then fails with a diagnosis instead of a confusing hash mismatch.
     */
   private[streaming] def runToCompletion(input: DataFrame, outputMode: String,
-      post: DataFrame => DataFrame = identity)
+      post: DataFrame => DataFrame = identity,
+      requireSingleBatch: Boolean = false)
       (transform: DataFrame => DataFrame): DataFrame = {
     val spark = input.sparkSession
     val tmp = Files.createTempDirectory("graft-sgate")
     try {
       val inDir = s"$tmp/in"
       input.write.parquet(inDir)
-      val schema = spark.read.parquet(inDir).schema
-      val name = s"graft_sgate_${counter.incrementAndGet()}"
-      val q = transform(spark.readStream.schema(schema).parquet(inDir))
-        .writeStream.format("memory").queryName(name).outputMode(outputMode)
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      try Lifecycle.released(post(spark.table(name)))
-      finally spark.catalog.dropTempView(name)
-    } finally {
-      // the staged corpus + streaming checkpoint are per-invocation
-      // scratch: delete them or every gate/spec run leaks a corpus copy
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(p =>
-          try java.nio.file.Files.deleteIfExists(p) catch { case _: Exception => })
-    }
+      drain(spark, tmp, inDir, outputMode, post, transform,
+        maxFilesPerTrigger = None,
+        checkBatches = n => if (requireSingleBatch) require(n == 1,
+          s"gate entry relies on a single-micro-batch drain but observed $n data batches"))
+    } finally cleanupScratch(tmp)
+  }
+
+  /** Stage `input` as `nFiles` separate parquet files (assignment =
+    * `fileOf`, an expression in [0, nFiles)) with strictly-increasing
+    * pinned modification times, and stream with `maxFilesPerTrigger = 1` so
+    * AvailableNow processes one staged file per micro-batch, oldest first —
+    * the cross-batch state-carry path, asserted (≥ nFiles data batches)
+    * from the query progress.
+    *
+    * Every slice must be non-empty (the caller's assignment guarantees it);
+    * the per-slice write + single-file move is gate-harness staging cost,
+    * not operator cost.
+    */
+  private[streaming] def runMultiBatch(input: DataFrame, fileOf: Column,
+      nFiles: Int, outputMode: String,
+      post: DataFrame => DataFrame = identity)
+      (transform: DataFrame => DataFrame): DataFrame = {
+    require(nFiles >= 2, "a multi-batch gate entry needs at least two files")
+    val spark = input.sparkSession
+    val tmp = Files.createTempDirectory("graft-sgate")
+    try {
+      val inDir = Files.createDirectory(tmp.resolve("in"))
+      val tagged = input.withColumn("__file", fileOf)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        (0 until nFiles).foreach { i =>
+          val stage = s"$tmp/stage_$i"
+          tagged.filter(col("__file") === i).drop("__file")
+            .coalesce(1).write.parquet(stage)
+          import scala.jdk.CollectionConverters._
+          val parts = Files.list(java.nio.file.Paths.get(stage)).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          require(parts.size == 1, s"expected one staged part file, got $parts")
+          val dst = inDir.resolve(f"chunk_$i%03d.parquet")
+          Files.move(parts.head, dst)
+          // FileStreamSource orders new files by modification time (oldest
+          // first) — pin the per-file arrival order explicitly, 60 s apart
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+        }
+      } finally tagged.unpersist()
+      drain(spark, tmp, inDir.toString, outputMode, post, transform,
+        maxFilesPerTrigger = Some(1),
+        checkBatches = n => require(n >= nFiles,
+          s"multi-batch gate entry expected >= $nFiles data micro-batches, observed $n"))
+    } finally cleanupScratch(tmp)
+  }
+
+  /** The shared drain: read the staged dir as a file-source stream, run the
+    * transform into a memory sink to completion, verify the data-batch
+    * count, and return the post-processed sink checkpointed.
+    */
+  private def drain(spark: SparkSession, tmp: Path, inDir: String,
+      outputMode: String, post: DataFrame => DataFrame,
+      transform: DataFrame => DataFrame,
+      maxFilesPerTrigger: Option[Int],
+      checkBatches: Long => Unit): DataFrame = {
+    val schema = spark.read.parquet(inDir).schema
+    val name = s"graft_sgate_${counter.incrementAndGet()}"
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n.toString))
+      .getOrElse(reader)
+      .parquet(inDir)
+    val q = transform(src)
+      .writeStream.format("memory").queryName(name).outputMode(outputMode)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    checkBatches(dataBatches(q))
+    try Lifecycle.released(post(spark.table(name)))
+    finally spark.catalog.dropTempView(name)
+  }
+
+  /** Micro-batches that actually carried input rows (AvailableNow can run a
+    * trailing no-data commit batch — not part of any batching claim).
+    */
+  private def dataBatches(q: StreamingQuery): Long =
+    q.recentProgress.count(_.numInputRows > 0).toLong
+
+  /** The staged corpus + streaming checkpoint are per-invocation scratch:
+    * delete them or every gate/spec run leaks a corpus copy. A path that
+    * cannot be deleted (open handle, permissions) is LOGGED — a silent
+    * leak of a full staged corpus per run is the worse failure.
+    */
+  private def cleanupScratch(tmp: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    var failed = 0
+    Files.walk(tmp).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(p =>
+        try Files.deleteIfExists(p)
+        catch { case e: Exception =>
+          failed += 1
+          System.err.println(s"[StreamingGate] failed to delete scratch $p: $e")
+        })
+    if (failed > 0 || Files.exists(tmp))
+      System.err.println(s"[StreamingGate] scratch dir $tmp not fully removed " +
+        s"($failed deletion failures) — staged corpus may be leaking")
   }
 
   /** Catalog entry: event-gap sessions from the STREAMING merging
@@ -72,7 +180,9 @@ object StreamingGate {
     * batch `q_session_window` oracle (lag/cumulative-sum re-derivation in
     * DuckDB). Complete mode: the finite corpus ends with every session
     * still open state-wise, and complete output surfaces them all — the
-    * same finite-input convention StreamingSessionizeSpec pins.
+    * same finite-input convention StreamingSessionizeSpec pins. (Complete
+    * mode REPLACES the sink each batch, so this entry is multi-batch-safe
+    * by construction and needs no single-batch assertion.)
     */
   def sessionWindowStream(s: SparkSession, dir: String): DataFrame =
     runToCompletion(
@@ -80,25 +190,81 @@ object StreamingGate {
       st => StreamingSessionize.sessions(st)
     }
 
+  /** The clip-proof context size for a substring gate entry: the corpus
+    * max token count. With the anchor window covering every document end
+    * to end, the bounded-window kernel's documented k+2·ctx clip cannot
+    * fire for ANY shared run on this corpus — the gate entry matches the
+    * batch oracle's FULL maximal runs by construction, not by the corpus
+    * happening to stay under a default. One scalar statistic collect
+    * (the DriverMemo convention).
+    */
+  private def clipProofCtx(docs: DataFrame): Int = {
+    val maxLen = docs
+      .selectExpr(s"max(size(${Tokenize.Whitespace.sql("text")})) AS m")
+      .head().getInt(0)
+    math.max(maxLen, graft.ops.TextQueries.WinnowK + graft.ops.TextQueries.WinnowW - 1)
+  }
+
   /** Catalog entry: exact-substring extraction through the STREAMING
     * anchor-state kernel ([[StreamingDedup.substringCandidates]]) run as a
     * real stream over the constructed overlap corpus — gated by the batch
     * `dedup_substring` oracle (the full winnow → anchor → verify → extend
     * re-derivation in DuckDB). AvailableNow with no file cap reads the
-    * staged corpus as one micro-batch, where the kernel's per-bucket
-    * (doc_id, pos) sort makes its min-anchor pairing coincide with the
-    * batch all-pairs join — the overlap corpus carries each fingerprint on
-    * at most the two sides of its pair (the same static-mode equivalence
-    * StreamingDedupSpec pins, here hash-gated). The stream emits one run
-    * PER FINGERPRINT bucket (every fingerprint inside a shared region
-    * extends to the same maximal run); the batch entry collapses those
-    * with distinct, so the gate frame does too.
+    * staged corpus as one micro-batch; the overlap corpus carries each
+    * fingerprint on at most the two sides of its pair, which makes the
+    * anchor-state pairing coincide with the batch all-pairs join in ANY
+    * batching (the same equivalence StreamingDedupSpec pins, here
+    * hash-gated; [[dedupSubstringMultiBatchStream]] gates the cross-batch
+    * form explicitly). The window context is [[clipProofCtx]]-sized, so
+    * the kernel's documented run clip cannot fire on this corpus. The
+    * stream emits one run PER FINGERPRINT bucket (every fingerprint inside
+    * a shared region extends to the same maximal run); the batch entry
+    * collapses those with distinct, so the gate frame does too.
     */
-  def dedupSubstringStream(s: SparkSession, dir: String): DataFrame =
-    runToCompletion(DedupQueries.overlapCorpus(s, dir), "append",
-      post = _.distinct()) {
-      st => StreamingDedup.substringCandidates(st).toDF()
+  def dedupSubstringStream(s: SparkSession, dir: String): DataFrame = {
+    val corpus = DedupQueries.overlapCorpus(s, dir)
+    val ctx = clipProofCtx(corpus)
+    runToCompletion(corpus, "append", post = _.distinct()) {
+      st => StreamingDedup.substringCandidates(st, ctxTokens = ctx).toDF()
     }
+  }
+
+  /** Catalog entry: [[dedupSubstringStream]] run as ≥ 3 REAL micro-batches
+    * (`maxFilesPerTrigger = 1` over round-robin-staged files) — the
+    * cross-batch state-carry gate the one-batch entry cannot provide. File
+    * assignment is `doc_id % 3`, so each planted pair (2g, 2g+1) lands in
+    * DIFFERENT micro-batches: every shared run is anchored in one batch
+    * and completed against carried state in another. Arrival order is
+    * id-agnostic for the kernel (a later-arriving smaller id still pairs
+    * against the carried anchor, then takes the anchor role), so the
+    * emitted pair set equals the batch all-pairs answer on this
+    * two-carrier corpus in any batch split. Same batch oracle as the
+    * one-batch twin.
+    */
+  def dedupSubstringMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
+    val corpus = DedupQueries.overlapCorpus(s, dir)
+    val ctx = clipProofCtx(corpus)
+    runMultiBatch(corpus, pmod(col("doc_id"), lit(3)).cast("int"), 3, "append",
+      post = _.distinct()) {
+      st => StreamingDedup.substringCandidates(st, ctxTokens = ctx).toDF()
+    }
+  }
+
+  /** The pair-stream → transition-matrix post-aggregation shared by the
+    * transitions gate entries: counts + per-source probabilities with the
+    * batch entry's exact expression.
+    */
+  private def transitionMatrixFromPairs(pairs: DataFrame): DataFrame = {
+    val c = pairs.groupBy(col("from"), col("to")).agg(count(lit(1)).as("n"))
+    // rename the key before re-aggregating: both sides derive from the
+    // same sink view, and a bare self-join fails attribute resolution
+    val tot = c.select(col("from").as("ftot"), col("n"))
+      .groupBy(col("ftot")).agg(sum(col("n")).as("tot"))
+    c.join(broadcast(tot), col("from") === col("ftot"))
+      .select(col("from").as("event_type"), col("to").as("next_type"),
+        col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("prob"))
+  }
 
   /** Catalog entry: the Markov transition matrix from the STREAMING
     * last-event-state extraction ([[StreamingTransitions.transitions]])
@@ -109,27 +275,44 @@ object StreamingGate {
     * order; the sink (one pair row per event — corpus-bounded at gate
     * scale; a production run points the pair stream at a file sink)
     * aggregates to counts + probabilities with the batch entry's exact
-    * expression.
+    * expression. [[transitionsMultiBatchStream]] is the stronger form:
+    * no batch-side sequencing, ≥ 3 micro-batches.
     */
   def transitionsStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val staged = Tables(s, dir, "events")
       .withColumn("seq", row_number().over(w))
       .selectExpr("user_id AS key", "CAST(seq AS LONG) AS seq",
         "event_type AS etype")
-    runToCompletion(staged, "append", post = pairs => {
-      val c = pairs.groupBy(col("from"), col("to")).agg(count(lit(1)).as("n"))
-      // rename the key before re-aggregating: both sides derive from the
-      // same sink view, and a bare self-join fails attribute resolution
-      val tot = c.select(col("from").as("ftot"), col("n"))
-        .groupBy(col("ftot")).agg(sum(col("n")).as("tot"))
-      c.join(broadcast(tot), col("from") === col("ftot"))
-        .select(col("from").as("event_type"), col("to").as("next_type"),
-          col("n"),
-          (col("n").cast("double") / col("tot").cast("double")).as("prob"))
-    }) { st => StreamingTransitions.transitions(st).toDF() }
+    runToCompletion(staged, "append", post = transitionMatrixFromPairs) {
+      st => StreamingTransitions.transitions(st).toDF()
+    }
+  }
+
+  /** Catalog entry: the transition matrix through the SELF-SEQUENCING
+    * stateful kernel ([[StreamingTransitions.transitionsOrdered]]) across
+    * ≥ 3 real micro-batches — the gate row for the state store's defining
+    * job. No batch-side `row_number` staging: the kernel itself orders
+    * each micro-batch by (event time, event_id) and carries the last
+    * (time, id, type) per user in state, so a user's chain is stitched
+    * ACROSS batches by carried state alone. Staging splits the corpus
+    * into 3 contiguous GLOBAL (ts, event_id) time ranges (`ntile` — a
+    * one-off single-partition staging window over the gate corpus, not
+    * operator cost), which preserves every user's per-event order across
+    * files — the documented arrival contract any log-structured upstream
+    * (kafka per-key order, time-partitioned files) provides. Same batch
+    * `q_transition_matrix` oracle.
+    */
+  def transitionsMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = Tables(s, dir, "events")
+      .selectExpr("user_id AS key", "unix_micros(ts) AS tsm",
+        "event_id AS eid", "event_type AS etype")
+    val fileOf = (ntile(3).over(Window.orderBy(col("tsm"), col("eid"))) - 1)
+    runMultiBatch(staged, fileOf, 3, "append", post = transitionMatrixFromPairs) {
+      st => StreamingTransitions.transitionsOrdered(st).toDF()
+    }
   }
 
   /** Catalog entry: Misra-Gries heavy hitters through the real streaming
@@ -138,14 +321,25 @@ object StreamingGate {
     * so the event-type frequency table it emits is gated by a plain
     * batch GROUP BY oracle. Each item hashes to exactly one shard, so
     * summing the per-shard counters per token is the per-token count.
-    * AvailableNow with no file cap drains the staged corpus as one
-    * micro-batch (the same one-batch convention as the substring entry),
-    * so the append-mode snapshot in the sink is the final counter state.
+    * Both preconditions are ASSERTED, not assumed: the post-aggregation
+    * sums append-mode summary re-emissions, so the drain must be exactly
+    * one micro-batch (`requireSingleBatch`), and the exactness regime
+    * (distinct items per shard ≤ k) is checked against the corpus before
+    * the claim is made — a violation fails with a diagnosis instead of a
+    * confusing hash mismatch. [[heavyHittersBoundStream]] gates the
+    * sketch's APPROXIMATION guarantee where this regime does not hold.
     */
   def heavyHittersStream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    runToCompletion(
-      Tables(s, dir, "events").selectExpr("event_type AS item"), "append",
+    graft.functions.GraftFunctions.registerAll(s)
+    val items = Tables(s, dir, "events").selectExpr("event_type AS item")
+    val maxDistinct = items
+      .selectExpr("CAST(pmod(hash60(item), 8) AS INT) AS shard", "item")
+      .groupBy(col("shard")).agg(countDistinct(col("item")).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    require(maxDistinct <= 16,
+      s"stream_heavy_hitters gates the EXACTNESS regime (distinct items per " +
+        s"shard <= k=16) but observed a shard with $maxDistinct distinct items")
+    runToCompletion(items, "append", requireSingleBatch = true,
       post = snap => snap.groupBy(col("token"))
         .agg(sum(col("est")).as("n"))
         .selectExpr("token AS event_type", "CAST(n AS BIGINT) AS n")) {
@@ -153,22 +347,101 @@ object StreamingGate {
     }
   }
 
+  /** Catalog entry: the Misra-Gries APPROXIMATION guarantee, oracle-gated —
+    * the regime [[heavyHittersStream]] cannot reach. The item stream is
+    * deliberately high-cardinality and skewed (5 hot event-type tokens +
+    * 150 cold per-user tokens over shards=4, k=8 counters: 30–45 distinct
+    * items per shard, so decrement evictions fire constantly), and the
+    * gate row checks the guarantee itself, per shard of size N with k
+    * counters:
+    *
+    *   - every token with true count > N/(k+1) SURVIVES in the summary
+    *     (`survived`),
+    *   - its counter undercounts by at most N/(k+1) and never overcounts
+    *     (`within_bound`),
+    *   - NO surviving token anywhere violates est ≤ true ≤ est + N/(k+1)
+    *     (`n_survivor_violations`, a broadcast 1-row statistic).
+    *
+    * The DuckDB oracle re-derives the must-survive set (true counts,
+    * shard hash via the md5-hex hash60 re-derivation, the N/(k+1) bound)
+    * and asserts the three checks as constants — if the sketch ever
+    * under-delivers its bound, a flag flips and the hash gate fails.
+    * Single-batch drain asserted (the snapshot sum convention); the fold
+    * order within the batch is the kernel's sorted order, so the counter
+    * values themselves are deterministic — but the gate row never relies
+    * on WHICH non-guaranteed tokens survive, only on the guarantee.
+    */
+  def heavyHittersBoundStream(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val items = Tables(s, dir, "events").selectExpr(
+      "CASE WHEN event_id % 2 = 0 THEN concat('hot:', event_type) " +
+        "ELSE concat('u:', CAST(user_id AS STRING)) END AS item")
+    runToCompletion(items, "append", requireSingleBatch = true,
+      post = snap => {
+        val truth = items
+          .selectExpr("CAST(pmod(hash60(item), 4) AS INT) AS shard", "item")
+          .groupBy(col("shard"), col("item")).agg(count(lit(1)).as("n_true"))
+        val ns = truth.groupBy(col("shard")).agg(sum(col("n_true")).as("n_shard"))
+        val joined = truth.join(broadcast(ns), Seq("shard"))
+          .join(snap.selectExpr("shard", "token AS item", "est"),
+            Seq("shard", "item"), "left")
+        val violations = joined.filter(col("est").isNotNull &&
+            (col("est") > col("n_true") ||
+              col("n_true") - col("est") > col("n_shard").cast("double") / 9.0))
+          .agg(count(lit(1)).as("nv"))
+        joined
+          .filter(col("n_true").cast("double") > col("n_shard").cast("double") / 9.0)
+          .crossJoin(broadcast(violations))
+          .selectExpr("shard", "item AS token", "CAST(n_true AS BIGINT) AS n_true",
+            "est IS NOT NULL AS survived",
+            "(est IS NOT NULL AND est <= n_true AND " +
+              "CAST(n_true - est AS DOUBLE) <= CAST(n_shard AS DOUBLE) / 9.0) AS within_bound",
+            "CAST(nv AS BIGINT) AS n_survivor_violations")
+      }) {
+      st => StreamingSketch.heavyHitters(st, shards = 4, k = 8).toDF()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_session_window" -> sessionWindowStream,
     "stream_dedup_substring" -> dedupSubstringStream,
+    "stream_dedup_substring_mb" -> dedupSubstringMultiBatchStream,
     "stream_transitions" -> transitionsStream,
+    "stream_transitions_mb" -> transitionsMultiBatchStream,
     "stream_heavy_hitters" -> heavyHittersStream,
+    "stream_heavy_hitters_bound" -> heavyHittersBoundStream,
   )
 
   /** The batch twins' oracles, verbatim: the POINT of these entries is
-    * that the streaming path must reproduce the batch answer.
+    * that the streaming path must reproduce the batch answer. The
+    * `_mb` rows reuse their one-batch twins' oracles — same answer,
+    * stronger execution claim.
     */
   val oracleSql: Map[String, String] = Map(
     "stream_session_window" -> RelationalQueries.oracleSql("q_session_window"),
     "stream_dedup_substring" -> DedupQueries.oracleSql("dedup_substring"),
+    "stream_dedup_substring_mb" -> DedupQueries.oracleSql("dedup_substring"),
     "stream_transitions" -> RelationalQueries.oracleSql("q_transition_matrix"),
+    "stream_transitions_mb" -> RelationalQueries.oracleSql("q_transition_matrix"),
     "stream_heavy_hitters" ->
       """SELECT event_type, CAST(count(1) AS BIGINT) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    // the guarantee re-derived: must-survive set (true > N_shard/(k+1)),
+    // shard via the md5-hex hash60 re-derivation, checks as constants
+    "stream_heavy_hitters_bound" ->
+      """WITH items AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN 'hot:' || event_type
+        |              ELSE 'u:' || user_id END AS item
+        |  FROM events),
+        |sh AS (SELECT item,
+        |  CAST(CAST(('0x' || substr(md5(item), 1, 15)) AS BIGINT) % 4 AS INT) AS shard
+        |  FROM items),
+        |per AS (SELECT shard, item, count(1) AS cnt FROM sh GROUP BY 1, 2),
+        |ns AS (SELECT shard, sum(cnt) AS n_shard FROM per GROUP BY 1)
+        |SELECT p.shard, p.item AS token, CAST(p.cnt AS BIGINT) AS n_true,
+        |  TRUE AS survived, TRUE AS within_bound,
+        |  CAST(0 AS BIGINT) AS n_survivor_violations
+        |FROM per p JOIN ns USING (shard)
+        |WHERE CAST(p.cnt AS DOUBLE) > CAST(ns.n_shard AS DOUBLE) / 9.0""".stripMargin,
   )
 }

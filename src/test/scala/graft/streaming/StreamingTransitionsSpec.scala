@@ -73,4 +73,49 @@ class StreamingTransitionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(("a", "b"), ("b", "b"), ("b", "c")),
       s"expected the cross-batch (b,b) pair exactly once: $got")
   }
+
+  test("self-sequencing kernel equals the batch matrix with NO upstream ordering") {
+    // raw (key, tsm, eid, etype) rows, deliberately shuffled: the kernel
+    // must order the batch by (tsm, eid) itself
+    val ev = Tables(spark, dir, "events").selectExpr(
+        "user_id AS key", "unix_micros(ts) AS tsm",
+        "event_id AS eid", "event_type AS etype")
+      .orderBy(org.apache.spark.sql.functions.expr("hash(eid)"))
+    val streaming = countPairs(StreamingTransitions.transitionsOrdered(ev).collect()
+      .map(t => (t.from, t.to)).toSeq)
+    val batch = RelationalQueries.transitionMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toInt).toMap
+    assert(streaming == batch,
+      s"pair multisets diverge: streaming ${streaming.size} keys vs batch ${batch.size}")
+  }
+
+  test("self-sequencing kernel stitches across batches and sorts within each") {
+    val tmp = Files.createTempDirectory("graft-strans2").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    // within-batch rows arrive OUT of (tsm, eid) order — the kernel sorts;
+    // across batches the carried (tsm, eid, etype) state stitches (b, b)
+    val batches = Seq(
+      Seq("""{"key": 1, "tsm": 20, "eid": 1, "etype": "b"}""",
+        """{"key": 1, "tsm": 10, "eid": 1, "etype": "a"}"""),
+      Seq("""{"key": 1, "tsm": 40, "eid": 1, "etype": "c"}""",
+        """{"key": 1, "tsm": 30, "eid": 1, "etype": "b"}"""))
+    batches.zipWithIndex.foreach { case (lines, b) =>
+      val p = java.nio.file.Paths.get(s"$tmp/in/b$b.jsonl")
+      Files.writeString(p, lines.mkString("\n"))
+      p.toFile.setLastModified(1700000000000L + b * 2000L)
+    }
+    val schema = StructType(Seq(StructField("key", LongType),
+      StructField("tsm", LongType), StructField("eid", LongType),
+      StructField("etype", StringType)))
+    val in = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .json(s"$tmp/in")
+    val q = StreamingTransitions.transitionsOrdered(in.toDF()).writeStream
+      .format("memory").queryName("strans2").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("strans2").collect()
+      .map(r => (r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq(("a", "b"), ("b", "b"), ("b", "c")),
+      s"expected in-batch sort + cross-batch stitch: $got")
+  }
 }
