@@ -947,18 +947,46 @@ object DedupQueries {
     * blocks — which makes the pure token-level oracle below exact.
     */
   private[graft] def overlapCorpus(s: SparkSession, dir: String): DataFrame =
+    overlapCorpusGen(s, dir, OverlapNs1Sql, OverlapNs1Max)
+
+  /** The default planted-block length rule (4–11 tokens) and its max —
+    * shared with the oracle CTE builder so Spark corpus and DuckDB
+    * re-derivation cannot drift.
+    */
+  private[graft] val OverlapNs1Sql = "4 + g % 8"
+  private[graft] val OverlapNs1Max = 11
+
+  /** LONG-run variant for the offline-exact streaming substring gate:
+    * planted blocks of 30–50 tokens — longer than any small bounded-window
+    * clip (k + 2·ctx at ctx = 8 clips at 19), so full-run extraction on
+    * this corpus PROVES the online-pointer / offline-extend split removes
+    * the window cap rather than happening to fit under it.
+    */
+  private[graft] val LongNs1Sql = "30 + g % 21"
+  private[graft] val LongNs1Max = 50
+
+  private[graft] def overlapLongCorpus(s: SparkSession, dir: String): DataFrame =
+    overlapCorpusGen(s, dir, LongNs1Sql, LongNs1Max)
+
+  /** The constructed-overlap corpus with a parameterized shared-block
+    * length rule `ns1Sql` (max `ns1Max`) — see [[overlapCorpus]] for the
+    * construction invariants (cross-document token equality ONLY inside
+    * planted blocks; no in-region gram repeats).
+    */
+  private def overlapCorpusGen(s: SparkSession, dir: String,
+      ns1Sql: String, ns1Max: Int): DataFrame =
     Tables(s, dir, "customer").selectExpr("c_custkey AS g")
       .selectExpr("g", "explode(array(0, 1)) AS side")
       .selectExpr("2 * g + side AS doc_id", "g",
         "CAST(CASE WHEN side = 0 THEN g % 5 ELSE 1 + g % 3 END AS INT) AS np",
         "CAST(CASE WHEN side = 0 THEN 2 ELSE 1 END AS INT) AS nm",
         "CAST(CASE WHEN side = 0 THEN 3 WHEN g % 7 = 0 THEN 0 ELSE 2 END AS INT) AS nq",
-        "CAST(4 + g % 8 AS INT) AS ns1",
+        s"CAST($ns1Sql AS INT) AS ns1",
         "CAST(CASE WHEN g % 4 = 0 THEN 7 ELSE 0 END AS INT) AS ns2")
       .selectExpr("doc_id",
-        """array_join(concat(
+        s"""array_join(concat(
           |  slice(transform(sequence(1, 4), i -> concat('d', doc_id, 'p', i)), 1, np),
-          |  slice(transform(sequence(1, 11), j -> concat('s', g, 'x', j)), 1, ns1),
+          |  slice(transform(sequence(1, $ns1Max), j -> concat('s', g, 'x', j)), 1, ns1),
           |  slice(transform(sequence(1, 2), i -> concat('d', doc_id, 'm', i)), 1, nm),
           |  slice(transform(sequence(1, 7), j -> concat('s', g, 'y', j)), 1, ns2),
           |  slice(transform(sequence(1, 3), i -> concat('d', doc_id, 'q', i)), 1, nq)
@@ -1038,7 +1066,20 @@ object DedupQueries {
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pa"), col("b.pos").as("pb"))
-    val out = anchors
+    (extendAnchors(anchors, toksF, k, minL), Seq(toksF, sel, kept))
+  }
+
+  /** The verify + extend + emit half of the substring kernel, factored so
+    * the batch pipeline and the streaming-pointer OFFLINE resolution run
+    * the IDENTICAL expressions: join both documents' token arrays onto the
+    * anchor rows (doc_a, doc_b, pa, pb — 1-based gram starts), drop hash
+    * collisions by comparing the anchor grams token-for-token, extend
+    * left/right to the first mismatch, and emit distinct maximal runs of
+    * at least `minL` tokens.
+    */
+  private[graft] def extendAnchors(anchors: DataFrame, toksF: DataFrame,
+      k: Int, minL: Int): DataFrame =
+    anchors
       .join(toksF.select(col("doc_id").as("doc_a"), col("tks").as("ta")), Seq("doc_a"))
       .join(toksF.select(col("doc_id").as("doc_b"), col("tks").as("tb")), Seq("doc_b"))
       .filter(s"slice(ta, pa, $k) = slice(tb, pb, $k)") // hash-collision guard
@@ -1060,7 +1101,26 @@ object DedupQueries {
         s"CAST(ext_l + $k + ext_r AS INT) AS run_len")
       .filter(s"run_len >= $minL")
       .distinct()
-    (out, Seq(toksF, sel, kept))
+
+  /** OFFLINE resolution for the streaming pointer kernel
+    * ([[graft.streaming.StreamingDedup.substringPointerCandidates]]): the
+    * pointers carry only (doc_a, doc_b, pos_a, pos_b) — verified-gram
+    * coordinates with ZERO retained text — and this pass joins the corpus
+    * store back and runs the batch verify+extend ([[extendAnchors]], the
+    * same expressions as [[dedupSubstringFrom]]) to emit FULL maximal
+    * runs. No window, no clip: run length is bounded only by the
+    * documents themselves — the online-cheap / offline-exact split that
+    * removes the bounded-window kernel's k + 2·ctx truncation.
+    */
+  def resolveSubstringPointers(pointers: DataFrame, docs: DataFrame,
+      k: Int = TextQueries.WinnowK, w: Int = TextQueries.WinnowW,
+      minLen: Int = -1): DataFrame = {
+    val minL = if (minLen > 0) minLen else k + w - 1
+    val toksF = docs.selectExpr("doc_id", s"${Tokenize.Whitespace.sql("text")} AS tks")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anchors = pointers.selectExpr("doc_a", "doc_b",
+      "pos_a AS pa", "pos_b AS pb")
+    Lifecycle.released(extendAnchors(anchors, toksF, k, minL), toksF)
   }
 
   /** The extraction output is PAIR-COUNT-sized (one row per maximal shared
@@ -1228,17 +1288,24 @@ object DedupQueries {
   /** Shared CTE chain for the substring oracles: the constructed corpus,
     * per-token positions, and the maximal diagonal islands (`runs`). */
   private val substringRunsCtes: String =
-    """base AS (SELECT c_custkey AS g FROM customer),
+    substringRunsCtesFor(OverlapNs1Sql, OverlapNs1Max)
+
+  /** The chain with a parameterized shared-block rule — term-for-term with
+    * [[overlapCorpusGen]]; the long-run streaming gate builds its oracle
+    * from [[LongNs1Sql]]/[[LongNs1Max]].
+    */
+  private[graft] def substringRunsCtesFor(ns1Sql: String, ns1Max: Int): String =
+    s"""base AS (SELECT c_custkey AS g FROM customer),
       |sides AS (SELECT g, unnest([0, 1]) AS side FROM base),
       |params AS MATERIALIZED (SELECT 2*g + side AS doc_id, g,
       |  CAST(CASE WHEN side = 0 THEN g % 5 ELSE 1 + g % 3 END AS INT) AS np,
       |  CAST(CASE WHEN side = 0 THEN 2 ELSE 1 END AS INT) AS nm,
       |  CAST(CASE WHEN side = 0 THEN 3 WHEN g % 7 = 0 THEN 0 ELSE 2 END AS INT) AS nq,
-      |  CAST(4 + g % 8 AS INT) AS ns1,
+      |  CAST($ns1Sql AS INT) AS ns1,
       |  CAST(CASE WHEN g % 4 = 0 THEN 7 ELSE 0 END AS INT) AS ns2 FROM sides),
       |docs AS MATERIALIZED (SELECT doc_id,
       |  list_transform(range(1, 5), i -> 'd' || doc_id || 'p' || i)[1:np] ||
-      |  list_transform(range(1, 12), j -> 's' || g || 'x' || j)[1:ns1] ||
+      |  list_transform(range(1, ${ns1Max + 1}), j -> 's' || g || 'x' || j)[1:ns1] ||
       |  list_transform(range(1, 3), i -> 'd' || doc_id || 'm' || i)[1:nm] ||
       |  list_transform(range(1, 8), j -> 's' || g || 'y' || j)[1:ns2] ||
       |  list_transform(range(1, 4), i -> 'd' || doc_id || 'q' || i)[1:nq] AS toks

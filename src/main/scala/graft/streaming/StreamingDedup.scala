@@ -251,10 +251,14 @@ object StreamingDedup {
     * is O(n²/w) state per long document; the window caps each bucket at
     * 2·ctx + k tokens, restoring O(n·ctx/w) — the substring analog of
     * [[minhashVerifiedCandidates]]'s "no text in state, only the bounded
-    * signature" rule. The price is documented truncation: extension stops
-    * at the window edge, so an emitted run clips at k + 2·ctx tokens (pick
-    * ctxTokens at the longest shared region you care to extract exactly —
-    * removal still drops a true shared span, just not past the clip).
+    * signature" rule. The price is truncation: extension stops at the
+    * window edge, so an emitted run clips at k + 2·ctx tokens. When runs
+    * longer than any affordable window matter, use the clip-FREE split
+    * instead: [[substringPointerCandidates]] online (k gram tokens of
+    * state per bucket, pointers out) +
+    * [[graft.ops.DedupQueries.resolveSubstringPointers]] offline — full
+    * maximal runs of any length, hash-gated by the
+    * `stream_dedup_substring_exact` entry.
     */
   final case class SubstringBucket(anchor: Long, pos: Int, off: Int,
                                    win: Array[String], emitted: Int)
@@ -340,6 +344,81 @@ object StreamingDedup {
           }
           if (anchor != Long.MaxValue)
             state.update(SubstringBucket(anchor, apos, aoff, awin, emitted))
+          out.result().iterator
+      }
+  }
+
+  /** A verified-gram POINTER between the arriving document and the
+    * fingerprint's anchor — coordinates only, zero retained text: the
+    * offline pass ([[graft.ops.DedupQueries.resolveSubstringPointers]])
+    * joins the corpus store back and extends to the FULL maximal run.
+    * `doc_a < doc_b`; positions are 1-based gram starts in document
+    * coordinates.
+    */
+  final case class SubstringPointer(doc_a: Long, doc_b: Long,
+                                    pos_a: Int, pos_b: Int)
+
+  /** Per-fingerprint state for [[substringPointerCandidates]]: the anchor
+    * document, its representative gram position, the k gram TOKENS (enough
+    * to drop hash collisions online — nothing more), and the emit budget.
+    */
+  final case class PointerBucket(anchor: Long, pos: Int,
+                                 gram: Array[String], emitted: Int)
+
+  /** The ONLINE half of exact-substring dedup with NO run-length cap — the
+    * online-cheap / offline-exact split that removes
+    * [[substringCandidates]]'s documented k + 2·ctx clip: state per bucket
+    * is (anchor id, position, the k anchor-gram tokens) — O(n·k/w)
+    * aggregate state, SMALLER than the bounded-window kernel — and the
+    * emitted rows are verified-gram pointers, not runs. Verification
+    * (the hash-collision guard) happens in-stream against the stored
+    * gram; EXTENSION is deferred to the offline pass
+    * ([[graft.ops.DedupQueries.resolveSubstringPointers]], typically a
+    * `foreachBatch` join against the corpus store), which runs the batch
+    * kernel's own extend expressions and therefore recovers full maximal
+    * runs of ANY length. On a corpus whose shared regions contain no
+    * internally-repeated k-gram and whose fingerprints are carried by at
+    * most two documents, the resolved distinct output EQUALS
+    * `dedupSubstringFrom` row-for-row in any micro-batch split (the
+    * multi-batch gate entry hash-checks exactly that).
+    */
+  def substringPointerCandidates(docs: DataFrame,
+                                 k: Int = graft.ops.TextQueries.WinnowK,
+                                 w: Int = graft.ops.TextQueries.WinnowW,
+                                 maxEmitsPerFp: Int = 50): Dataset[SubstringPointer] = {
+    require(k >= 1 && w >= 1 && maxEmitsPerFp >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    winnowPositionRows(docs, k, w)
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[PointerBucket, SubstringPointer](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[PointerBucket]) =>
+          val sorted = rows.toArray.sortBy(r => (r._1, r._3))
+          var PointerBucket(anchor, apos, agram, emitted) =
+            state.getOption.getOrElse(PointerBucket(Long.MaxValue, 0, Array.empty, 0))
+          val out = Array.newBuilder[SubstringPointer]
+          sorted.foreach { case (id, _, pos, tks) =>
+            if (anchor != Long.MaxValue && id != anchor && emitted < maxEmitsPerFp) {
+              // in-stream hash-collision guard: the arriving gram must
+              // equal the stored anchor gram token-for-token
+              val ok = pos + k - 1 <= tks.length &&
+                agram.length == k &&
+                (0 until k).forall(j => tks(pos - 1 + j) == agram(j))
+              if (ok) {
+                val (da, db, pa, pb) =
+                  if (anchor < id) (anchor, id, apos, pos) else (id, anchor, pos, apos)
+                out += SubstringPointer(da, db, pa, pb)
+                emitted += 1
+              }
+            }
+            if (id < anchor) {
+              anchor = id; apos = pos
+              agram = java.util.Arrays.copyOfRange(tks, pos - 1, pos - 1 + k)
+            }
+          }
+          if (anchor != Long.MaxValue)
+            state.update(PointerBucket(anchor, apos, agram, emitted))
           out.result().iterator
       }
   }

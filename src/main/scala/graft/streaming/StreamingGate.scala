@@ -250,6 +250,28 @@ object StreamingGate {
     }
   }
 
+  /** Catalog entry: the CLIP-FREE streaming substring split — online
+    * pointer kernel ([[StreamingDedup.substringPointerCandidates]]: k gram
+    * tokens of state per bucket, verified-gram pointers out, NO run-length
+    * cap) + offline resolution
+    * ([[graft.ops.DedupQueries.resolveSubstringPointers]]: the batch
+    * kernel's own verify+extend over the corpus store, here the post pass
+    * standing in for the production `foreachBatch`) — run as ≥ 3 real
+    * micro-batches over the LONG-run corpus (planted blocks of 30–50
+    * tokens, far past the k + 2·ctx = 19 clip a ctx = 8 bounded window
+    * would impose), gated by the pure token-level maximal-run oracle.
+    * This is the gate row that retires the bounded-window kernel's
+    * documented truncation: full runs longer than any window, extracted
+    * exactly through the real streaming path.
+    */
+  def dedupSubstringExactStream(s: SparkSession, dir: String): DataFrame = {
+    val corpus = DedupQueries.overlapLongCorpus(s, dir)
+    runMultiBatch(corpus, pmod(col("doc_id"), lit(3)).cast("int"), 3, "append",
+      post = ptrs => DedupQueries.resolveSubstringPointers(ptrs, corpus)) {
+      st => StreamingDedup.substringPointerCandidates(st).toDF()
+    }
+  }
+
   /** The pair-stream → transition-matrix post-aggregation shared by the
     * transitions gate entries: counts + per-source probabilities with the
     * batch entry's exact expression.
@@ -406,6 +428,7 @@ object StreamingGate {
     "stream_session_window" -> sessionWindowStream,
     "stream_dedup_substring" -> dedupSubstringStream,
     "stream_dedup_substring_mb" -> dedupSubstringMultiBatchStream,
+    "stream_dedup_substring_exact" -> dedupSubstringExactStream,
     "stream_transitions" -> transitionsStream,
     "stream_transitions_mb" -> transitionsMultiBatchStream,
     "stream_heavy_hitters" -> heavyHittersStream,
@@ -421,6 +444,13 @@ object StreamingGate {
     "stream_session_window" -> RelationalQueries.oracleSql("q_session_window"),
     "stream_dedup_substring" -> DedupQueries.oracleSql("dedup_substring"),
     "stream_dedup_substring_mb" -> DedupQueries.oracleSql("dedup_substring"),
+    // the long-run corpus re-derived with the same diagonal-islands chain,
+    // parameterized by the long planted-block rule
+    "stream_dedup_substring_exact" ->
+      (s"""WITH ${DedupQueries.substringRunsCtesFor(
+            DedupQueries.LongNs1Sql, DedupQueries.LongNs1Max)}
+        |SELECT doc_a, doc_b, start_a, start_b, run_len FROM runs
+        |WHERE run_len >= 6""".stripMargin),
     "stream_transitions" -> RelationalQueries.oracleSql("q_transition_matrix"),
     "stream_transitions_mb" -> RelationalQueries.oracleSql("q_transition_matrix"),
     "stream_heavy_hitters" ->

@@ -250,6 +250,31 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runs == Set((1L, 7L, 3, 4, 8)), s"recovered runs: $runs")
   }
 
+  test("pointer kernel + offline extend recover FULL runs where the bounded window clips") {
+    // the long corpus plants 30-50-token shared runs; a ctx = 8 bounded
+    // window can only ever emit k + 2*ctx = 19 tokens of any of them
+    val docs = DedupQueries.overlapLongCorpus(spark, dir)
+    val clipped = StreamingDedup.substringCandidates(docs, ctxTokens = 8)
+      .collect().map(_.run_len)
+    assert(clipped.nonEmpty && clipped.max == 19,
+      s"expected every windowed run clipped at 19, got max ${clipped.max}")
+    // the pointer/offline split has no cap: resolved distinct runs equal
+    // the batch kernel row-for-row, full 30+-token runs included
+    val ptrs = StreamingDedup.substringPointerCandidates(docs).toDF()
+    val got = DedupQueries.resolveSubstringPointers(ptrs, docs).collect().map { r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("start_a"),
+        r.getAs[Int]("start_b"), r.getAs[Int]("run_len"))
+    }.toSet
+    val want = DedupQueries.dedupSubstringFrom(docs).collect().map { r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("start_a"),
+        r.getAs[Int]("start_b"), r.getAs[Int]("run_len"))
+    }.toSet
+    assert(got == want && got.exists(_._5 >= 30),
+      s"pointer resolution diverged: ${got.diff(want).take(3)} extra, " +
+        s"${want.diff(got).take(3)} missing (of ${want.size}); " +
+        s"max run ${if (got.nonEmpty) got.map(_._5).max else -1}")
+  }
+
   test("streaming span rewrite equals the batch rewrite on affected docs (static mode)") {
     val docs = DedupQueries.overlapCorpus(spark, dir)
     // single static batch: arrival order within each bucket is doc_id order,
