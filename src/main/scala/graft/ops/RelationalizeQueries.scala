@@ -34,20 +34,43 @@ object RelationalizeQueries {
     * [[relExplode]]'s materialize-then-release wrapper.
     */
   private[graft] def relExplodePlan(
-      spark: SparkSession, dir: String): (DataFrame, graft.relationalize.RelationalizeResult) = {
+      spark: SparkSession, dir: String,
+      options: graft.relationalize.RelationalizeOptions =
+        graft.relationalize.RelationalizeOptions())
+      : (DataFrame, graft.relationalize.RelationalizeResult) = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     val docs = li.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("items"))
       .select(to_json(struct(col("l_orderkey").as("orderkey"), col("items"))).as("doc"))
       .as(Encoders.STRING)
-    val res = RelationalizeSpark(docs, "orders")
+    val res = RelationalizeSpark(docs, "orders", options)
     val root = res("orders").select(col("orderkey"), col("items"))
     val child = res("orders_items")
     val joined = root.join(child, root("items") === child("items__rid_"))
       .select(col("orderkey"), col("items__index_"),
         col("items_l_linenumber"), col("items_l_quantity"))
     (joined, res)
+  }
+
+  /** [[relExplode]] through CONTENT-derived document keys
+    * (`contentDocKeys = true`: rids key off md5(document text) instead of
+    * the positional `(partitionId, ordinal)` default) — the
+    * repartition-/recompute-stable rid variant ROADMAP's known-gaps entry
+    * points to, here run through the full explode + rid join-back oracle.
+    * Matching `rel_explode`'s oracle proves the content-keyed rid tree
+    * carries the parent/child lineage end-to-end. Safe on this corpus
+    * because each constructed document is unique (one per orderkey);
+    * byte-identical duplicate documents would share one rid tree — the
+    * documented trade (dedup first, or keep positional keys).
+    * RelationalizeSparkSpec pins the hazard this variant removes: a
+    * repartition between two positional-key emits re-keys rids and
+    * silently orphans children, while content keys survive any split.
+    */
+  def relExplodeContent(spark: SparkSession, dir: String): DataFrame = {
+    val (df, res) = relExplodePlan(spark, dir,
+      graft.relationalize.RelationalizeOptions(contentDocKeys = true))
+    Lifecycle.releasedBy(df)(res.release())
   }
 
   /** Deletion cascade through the relationalized table family — the
@@ -267,6 +290,7 @@ object RelationalizeQueries {
     "rel_sql_generator" -> relSqlGenerator,
     "rel_flat" -> relFlat,
     "rel_explode" -> relExplode,
+    "rel_explode_content" -> relExplodeContent,
     "rel_delete_cascade" -> relDeleteCascade,
     "rel_choice" -> relChoice,
     "rel_schema" -> relSchema,
@@ -294,6 +318,14 @@ object RelationalizeQueries {
         |       l_quantity AS items_l_quantity
         |FROM lineitem WHERE l_orderkey % 7 <> 0""".stripMargin,
     "rel_explode" ->
+      """SELECT l_orderkey AS orderkey,
+        |       CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS BIGINT) AS items__index_,
+        |       CAST(l_linenumber AS BIGINT) AS items_l_linenumber,
+        |       l_quantity AS items_l_quantity
+        |FROM lineitem""".stripMargin,
+    // same derivation: the content-keyed rid tree must reproduce the
+    // positional variant's answer exactly
+    "rel_explode_content" ->
       """SELECT l_orderkey AS orderkey,
         |       CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS BIGINT) AS items__index_,
         |       CAST(l_linenumber AS BIGINT) AS items_l_linenumber,

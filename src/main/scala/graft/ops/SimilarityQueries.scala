@@ -558,14 +558,23 @@ object SimilarityQueries {
   }
 
   /** The composed search: (persisted barriers, the shared per-vector
-    * projection, the lazy IVF-pruned ADC top-5).
+    * projection, the lazy IVF-pruned ADC top-5). With `keep`, the
+    * bucket-assigned candidates are restricted to the eligible ids BEFORE
+    * the probe join and the ADC ranking — the filtered-search pattern on
+    * the full production index shape ([[ivfFrom]]'s `keep` arm composed
+    * with PQ compression): ONE quantized index serves every predicate at
+    * 100 TB memory budgets, no per-predicate rebuild, pre-filter not
+    * post-filter top-k.
     */
   private def ivfPqTop(s: SparkSession, dir: String, ivfCfg: IvfConfig,
-      pqCfg: PqConfig): (Seq[DataFrame], DataFrame, DataFrame) = {
+      pqCfg: PqConfig, keep: DataFrame = null): (Seq[DataFrame], DataFrame, DataFrame) = {
     val (emb, centroids) = buildIndex(s, dir, ivfCfg)
     val (subs, cb, encoded, qtab) =
       pqIndex(s, dir, pqCfg, qSource = Some(emb.select(col("vec_id"), col("q"))))
-    val assigned = assignBuckets(emb, centroids).select(col("vec_id"), col("bucket"))
+    val assignedAll = assignBuckets(emb, centroids).select(col("vec_id"), col("bucket"))
+    val assigned = Option(keep)
+      .map(k => assignedAll.join(k, Seq("vec_id"), "left_semi"))
+      .getOrElse(assignedAll)
     val probes = emb.filter(col("vec_id") < 10).crossJoin(broadcast(centroids))
       .selectExpr("vec_id AS query_id", "cid",
         s"CAST(${idot("q", "s")} AS DOUBLE) / cnt AS score")
@@ -586,6 +595,46 @@ object SimilarityQueries {
       .filter(col("rk") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rk").cast("int").as("rk"))
     (Seq(emb, centroids, subs, cb), emb, top)
+  }
+
+  /** Filtered search on the full production index shape: IVF pruning + PQ
+    * compression + the eligibility semi-join BEFORE ADC ranking — one
+    * quantized index serving every predicate (the [[annFilteredIvf]]
+    * pattern at IVF-PQ memory budgets: m codes per corpus vector, full
+    * vectors never touched after encoding). Emits the top-5 among
+    * eligible probed candidates; [[annFilteredIvfPqRecall]] reports its
+    * quality against the exact pre-filter truth.
+    */
+  def annFilteredIvfPq(s: SparkSession, dir: String,
+                       ivfCfg: IvfConfig = IvfConfig(),
+                       pqCfg: PqConfig = PqConfig()): DataFrame = {
+    val (barriers, _, top) = ivfPqTop(s, dir, ivfCfg, pqCfg, keep = eligibleIds(s, dir))
+    Lifecycle.released(top, barriers: _*)
+  }
+
+  /** Recall of the filtered IVF-PQ search vs the exact PRE-filter top-5
+    * over the eligible corpus — the compounded-miss monitor for the
+    * production shape (a true eligible neighbor can be outside the probed
+    * buckets, quantized away by the codebook, or both; a selective filter
+    * shrinks every probed bucket, so this needs more probes than the
+    * unfiltered [[annIvfPqRecall]] suggests). Both arms share the one
+    * index build.
+    */
+  def annFilteredIvfPqRecall(s: SparkSession, dir: String,
+                             ivfCfg: IvfConfig = IvfConfig(),
+                             pqCfg: PqConfig = PqConfig()): DataFrame = {
+    val keep = eligibleIds(s, dir)
+    val (barriers, emb, top) = ivfPqTop(s, dir, ivfCfg, pqCfg, keep = keep)
+    val truth = filteredTruthFrom(keep, emb)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(top.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val recall = truth.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .selectExpr("query_id", "CAST(coalesce(hits, 0) AS BIGINT) AS hits",
+        "CAST(coalesce(hits, 0) AS DOUBLE) / 5.0 AS recall")
+    Lifecycle.released(recall, barriers: _*)
   }
 
   /** Array-column surface: dimension, element extraction, label. */
@@ -1187,6 +1236,8 @@ object SimilarityQueries {
     "ann_pq_recall" -> ((s, dir) => annPqRecall(s, dir)),
     "ann_ivfpq" -> ((s, dir) => annIvfPq(s, dir)),
     "ann_ivfpq_recall" -> ((s, dir) => annIvfPqRecall(s, dir)),
+    "ann_filtered_ivfpq" -> ((s, dir) => annFilteredIvfPq(s, dir)),
+    "ann_filtered_ivfpq_recall" -> ((s, dir) => annFilteredIvfPqRecall(s, dir)),
     "ann_ivf_incremental" -> ((s, dir) => annIvfIncremental(s, dir)),
     "emb_covariance" -> embCovariance,
     "emb_pca_power" -> ((s, dir) => embPcaPower(s, dir)),
@@ -1362,12 +1413,18 @@ object SimilarityQueries {
     * ADC restricted to the IVF-probed candidates. Shared by the search
     * oracle and its recall twin.
     */
-  private lazy val duckIvfPqCtes: String =
-    s"""${duckIvfCtes(IvfConfig())},
+  private lazy val duckIvfPqCtes: String = duckIvfPqCtesFor(filtered = false)
+
+  /** The filtered variant sources candidates from `assigned_f` (the
+    * eligible semi-join) — [[ivfPqTop]]'s `keep` arm re-derived.
+    */
+  private def duckIvfPqCtesFor(filtered: Boolean): String =
+    s"""${duckIvfCtes(IvfConfig(), filtered)},
        |$duckPqIndexChain,
        |cand AS (
        |  SELECT p.query_id, a.vec_id FROM probes p
-       |  JOIN assigned a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+       |  JOIN ${if (filtered) "assigned_f" else "assigned"} a
+       |    ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
        |adcp AS (
        |  SELECT c.query_id, c.vec_id AS neighbor_id,
        |    list_reduce(list(t.term ORDER BY t.sub), (acc, x) -> acc + x) AS score
@@ -1878,6 +1935,32 @@ object SimilarityQueries {
     "ann_ivfpq" ->
       s"""WITH $duckIvfPqCtes
          |SELECT query_id, neighbor_id, rk FROM ivfpq_top""".stripMargin,
+    "ann_filtered_ivfpq" ->
+      s"""WITH ${duckIvfPqCtesFor(filtered = true)}
+         |SELECT query_id, neighbor_id, rk FROM ivfpq_top""".stripMargin,
+    // filtered IVF-PQ quality vs the exact PRE-filter truth over the
+    // eligible corpus (the same truth CTEs as ann_filtered_ivf_recall)
+    "ann_filtered_ivfpq_recall" ->
+      s"""WITH ${duckIvfPqCtesFor(filtered = true)},
+         |c AS (SELECT e.vec_id, e.v FROM e JOIN keep USING (vec_id)),
+         |tsims AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${duckDot("q.v", "c.v")} / (sqrt(${duckDot("q.v", "q.v")}) * sqrt(${duckDot("c.v", "c.v")})) AS sim
+         |  FROM e q JOIN c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+         |truth AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |    FROM tsims) t WHERE rk <= 5),
+         |hit_counts AS (
+         |  SELECT t.query_id, count(1) AS hits
+         |  FROM truth t JOIN ivfpq_top i
+         |    ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+         |  GROUP BY 1)
+         |SELECT qy.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM truth) qy
+         |LEFT JOIN hit_counts h ON h.query_id = qy.query_id""".stripMargin,
     "ann_ivfpq_recall" ->
       s"""WITH $duckIvfPqCtes,
          |bf_sims AS (
