@@ -99,7 +99,7 @@ object GrowthCurve {
     // — fast re-measurement of a single arm family after a kernel change.
     // Fail fast on a typo: a silently-empty run would read as a successful
     // measurement of nothing.
-    val sections = Set("docs", "graph", "emb", "rich", "100x")
+    val sections = Set("docs", "graph", "emb", "rich", "100x", "rel")
     val section = args.lift(1)
     section.foreach(s => require(sections(s),
       s"unknown section '$s' — expected one of ${sections.mkString(", ")}"))
@@ -211,6 +211,55 @@ object GrowthCurve {
       rows += (("dedup_paragraph", tag, n, -1L, pgOut, pgSec))
       val (lmOut, lmSec) = timed(graft.ops.TextQueries.lmScore(spark, dir).count())
       rows += (("text_lm_score", tag, n, -1L, lmOut, lmSec))
+    }
+
+    // --- relationalize wide-fan-out arm ---------------------------------
+    // The flagship transform's one unmeasured scale risk: the TABLE COUNT
+    // is data-dependent (the reference keeps per-table writer state,
+    // relationalize.py:74-75; SURVEY §7 flags per-table job explosion on
+    // wide fan-out). Synthetic docs nest ONE scalar array under path
+    // p<id%T>, so pass 1 discovers T+1 tables. Measured per (rows, T):
+    //   - build wall: emit + schema infer + ONE partitionBy(table) parquet
+    //     materialization (the wide-fan-out prescription — N tables never
+    //     cost N scans of the input);
+    //   - consume wall: count EVERY discovered table (T+1 pruned reads);
+    //   - schema footprint: total serialized schema bytes — the ONLY
+    //     driver/executor state that grows with T (the per-partition map
+    //     is additionally capped by schemaMapCap).
+    // Claims: build wall ~linear in rows and ~flat in T at fixed rows;
+    // consume wall ~linear in T (it runs T+1 jobs) but each pruned read
+    // touches only its table's files; schema bytes linear in T (KBs),
+    // independent of rows.
+    if (want("rel")) {
+      val relRows = 200000L
+      def fanoutDocs(n: Long, t: Int) =
+        spark.range(n).selectExpr(
+          s"""concat('{"k":', id, ',"p', pmod(id, $t), '":[', pmod(id, 7), ',', pmod(id, 5), ']}') AS doc""")
+          .as(org.apache.spark.sql.Encoders.STRING)
+      def runFanout(tag: String, n: Long, t: Int, filesPerTable: Int): Unit = {
+        val path = s"$base/relfan-$tag"
+        val fpt = if (filesPerTable > 0) s",fpt=$filesPerTable" else ""
+        val (res, buildSec) = timed {
+          val r = graft.relationalize.RelationalizeSpark(fanoutDocs(n, t), "d",
+            graft.relationalize.RelationalizeOptions(materializePath = Some(path),
+              materializeFilesPerTable = filesPerTable))
+          r.schemas.size // schemas are already collected; force nothing else
+          r
+        }
+        val schemaBytes = res.schemas.valuesIterator.map(_.serialize.length.toLong).sum
+        rows += ((s"rel_build[T=$t$fpt]", tag, n, schemaBytes, res.tables.size.toLong, buildSec))
+        val (total, consumeSec) = timed {
+          res.tables.valuesIterator.map(_.count()).sum
+        }
+        rows += ((s"rel_consume[T=$t$fpt]", tag, n, schemaBytes, total, consumeSec))
+      }
+      Seq(10, 100, 1000).foreach(t => runFanout(s"1x-T$t", relRows, t, 0))
+      runFanout("10x-T1000", relRows * 10, 1000, 0)
+      // the wide-fan-out mitigation: one salted shuffle bounds the write at
+      // filesPerTable files per table — the build wall must drop back to
+      // the T=100 neighborhood and stay linear in rows
+      runFanout("1x-T1000-fpt", relRows, 1000, 1)
+      runFanout("10x-T1000-fpt", relRows * 10, 1000, 1)
     }
 
     // --- the rich-vocabulary jaccard arm --------------------------------

@@ -33,6 +33,17 @@ final case class RelationalizeOptions(
       * under extreme table fan-out.
       */
     schemaMapCap: Int = 8192,
+    /** When > 0 (with [[materializePath]]): shuffle the emitted rows by
+      * `(table, hash(payload) % N)` before the `partitionBy(table)` write,
+      * bounding the materialization at N files per table. Without it the
+      * write creates up to (input partitions × tables) files — under wide
+      * table fan-out (the GrowthCurve `rel` arm measured T = 1000 tables ×
+      * 16 partitions) the per-file open/commit overhead dominates the
+      * build wall. The cost is one full shuffle of the emitted data; the
+      * salt keeps a skewed giant table spread over N tasks instead of
+      * collapsing it to one.
+      */
+    materializeFilesPerTable: Int = 0,
     /** Rid key derivation. Default (`false`): `(partitionId, ordinal)` —
       * stable under task retries (Spark replays the same input split) but
       * NOT under a repartition or a recomputation that reorders rows within
@@ -355,9 +366,15 @@ object RelationalizeSpark {
     val (emittedSource: Dataset[Emitted], cached: Option[Dataset[Emitted]]) =
       options.materializePath match {
       case Some(path) =>
-        emitWithSchemas(ds, name, options.schemaMapCap, options.contentDocKeys,
-            options.quarantine)
-          .write.mode(SaveMode.Overwrite).partitionBy("table").parquet(path)
+        val emitted = emitWithSchemas(ds, name, options.schemaMapCap,
+          options.contentDocKeys, options.quarantine)
+        val toWrite =
+          if (options.materializeFilesPerTable > 0)
+            emitted.repartition(col("table"), org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.hash(col("payload")),
+              lit(options.materializeFilesPerTable)))
+          else emitted
+        toWrite.write.mode(SaveMode.Overwrite).partitionBy("table").parquet(path)
         implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
         // explicit schema: an empty corpus writes no data files, and
         // schema inference on a data-file-less partitioned dir throws

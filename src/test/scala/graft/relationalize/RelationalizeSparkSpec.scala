@@ -147,6 +147,35 @@ class RelationalizeSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res("users_enrollments").count() == 2)
   }
 
+  test("materializeFilesPerTable: salted shuffle write equals uncapped, bounds files per table") {
+    val tmp = Files.createTempDirectory("graft-mat-fpt").toString
+    val docs = (0 until 40).map(i => s"""{"k":$i,"p${i % 4}":[$i,${i + 1}]}""")
+    val plain = RelationalizeSpark(ds(docs: _*).repartition(8), "d",
+      RelationalizeOptions(materializePath = Some(s"$tmp/plain")))
+    val salted = RelationalizeSpark(ds(docs: _*).repartition(8), "d",
+      RelationalizeOptions(materializePath = Some(s"$tmp/salted"),
+        materializeFilesPerTable = 2))
+    assert(plain.tables.keySet == salted.tables.keySet)
+    plain.tables.keySet.foreach { t =>
+      val a = plain(t).collect().map(_.toString).sorted.toSeq
+      val b = salted(t).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"table $t diverged under the salted materialization")
+    }
+    // the bound: each table partition dir holds at most filesPerTable
+    // parquet files (8 input partitions would otherwise write up to 8)
+    val dirs = new java.io.File(s"$tmp/salted").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("table="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts <= 2, s"${d.getName} has $parts part files, expected <= 2")
+    }
+    val plainMax = new java.io.File(s"$tmp/plain").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("table="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(plainMax > 2, s"uncapped write should exceed the bound (got $plainMax)")
+  }
+
   test("materialized path: empty input yields empty result, no read failure") {
     val tmp = Files.createTempDirectory("graft-mat-empty").toString
     val res = RelationalizeSpark(ds(), "users",
