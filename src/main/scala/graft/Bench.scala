@@ -68,7 +68,11 @@ object Bench {
     // out too: they time the gate staging harness (write + availableNow
     // drain), not an operator.
     "ann_filtered_recall", "dedup_jaccard_rich", "dedup_jaccard_rich_stats",
-    "ann_filtered_ivf", "ann_filtered_ivf_recall")
+    "ann_filtered_ivf", "ann_filtered_ivf_recall",
+    // round 11: the content-keyed rid round-trip and the filtered IVF-PQ
+    // pair (the production index shape under a predicate)
+    "rel_explode_content", "ann_filtered_ivfpq", "ann_filtered_ivfpq_recall",
+    "emb_semantic_dedup")
 
   /** Entries whose chain replays a [[graft.ops.DriverMemo]] statistic: the
     * median measures warm REPLAY (the policy the round-8 verdict asked

@@ -597,6 +597,44 @@ object SimilarityQueries {
     (Seq(emb, centroids, subs, cb), emb, top)
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with the SAME
+    * quantized k-means the IVF index uses, compare pairs only WITHIN a
+    * cluster, and drop every vector that near-duplicates (cosine ≥ τ) an
+    * earlier one — keep-smallest-id, the engine-wide deterministic
+    * survivor rule (the paper keeps the member farthest from the
+    * centroid; the survivor CHOICE is policy, the cluster-blocked
+    * pruning shape is the operator). Output: one row per vector with its
+    * cluster, its keeper (`dup_of`, null for survivors), and the kept
+    * flag — the frame a curation pipeline anti-joins the corpus against.
+    *
+    * Scale shape: the pair join is cluster-blocked — per-cluster
+    * all-pairs, never corpus all-pairs — and the cluster count `cfg.k` is
+    * THE dial: SemDeDup at production scale runs ~100k clusters so each
+    * bucket stays bounded (~corpus/k vectors); the quantized-Lloyd build
+    * cost is the one [[buildIndex]] already pays for IVF, shared here.
+    * The threshold comparison is the same exact-arithmetic cosine the
+    * verified embedding-LSH dedup thresholds on (the corpus margin to
+    * τ = 0.4 is 1.3e-4 — far above cross-engine ULP).
+    */
+  def embSemanticDedup(s: SparkSession, dir: String,
+                       cfg: IvfConfig = IvfConfig(),
+                       minCosine: Double = 0.4): DataFrame = {
+    val (emb, centroids) = buildIndex(s, dir, cfg)
+    val assigned = assignBuckets(emb, centroids)
+      .select(col("vec_id"), col("bucket"), col("v"), col("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .filter(expr(s"${dot("a.v", "b.v")} / (a.nv * b.nv) >= $minCosine"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("anchor"))
+    val dupOf = pairs.groupBy(col("vec_id")).agg(min(col("anchor")).as("dup_of"))
+    val out = assigned.select(col("vec_id"), col("bucket").cast("long").as("bucket"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .selectExpr("vec_id", "bucket", "dup_of", "dup_of IS NULL AS kept")
+    Lifecycle.released(out, emb, centroids, assigned)
+  }
+
   /** Filtered search on the full production index shape: IVF pruning + PQ
     * compression + the eligibility semi-join BEFORE ADC ranking — one
     * quantized index serving every predicate (the [[annFilteredIvf]]
@@ -1238,6 +1276,7 @@ object SimilarityQueries {
     "ann_ivfpq_recall" -> ((s, dir) => annIvfPqRecall(s, dir)),
     "ann_filtered_ivfpq" -> ((s, dir) => annFilteredIvfPq(s, dir)),
     "ann_filtered_ivfpq_recall" -> ((s, dir) => annFilteredIvfPqRecall(s, dir)),
+    "emb_semantic_dedup" -> ((s, dir) => embSemanticDedup(s, dir)),
     "ann_ivf_incremental" -> ((s, dir) => annIvfIncremental(s, dir)),
     "emb_covariance" -> embCovariance,
     "emb_pca_power" -> ((s, dir) => embPcaPower(s, dir)),
@@ -1938,6 +1977,20 @@ object SimilarityQueries {
     "ann_filtered_ivfpq" ->
       s"""WITH ${duckIvfPqCtesFor(filtered = true)}
          |SELECT query_id, neighbor_id, rk FROM ivfpq_top""".stripMargin,
+    // cluster-blocked near-dup pruning off the same verified k-means chain:
+    // within-bucket pairs >= tau, keep-smallest-id survivor
+    "emb_semantic_dedup" ->
+      s"""WITH ${duckIvfCtes(IvfConfig())},
+         |sd_pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM assigned a JOIN assigned b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${duckDot("a.v", "b.v")} /
+         |    (sqrt(${duckDot("a.v", "a.v")}) * sqrt(${duckDot("b.v", "b.v")})) >= 0.4),
+         |sd_dup AS (SELECT vb AS vec_id, min(va) AS dup_of FROM sd_pairs GROUP BY 1)
+         |SELECT s.vec_id, CAST(s.bucket AS BIGINT) AS bucket, d.dup_of,
+         |  d.dup_of IS NULL AS kept
+         |FROM assigned s LEFT JOIN sd_dup d ON d.vec_id = s.vec_id""".stripMargin,
     // filtered IVF-PQ quality vs the exact PRE-filter truth over the
     // eligible corpus (the same truth CTEs as ann_filtered_ivf_recall)
     "ann_filtered_ivfpq_recall" ->

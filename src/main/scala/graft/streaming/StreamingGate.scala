@@ -190,6 +190,25 @@ object StreamingGate {
       st => StreamingSessionize.sessions(st)
     }
 
+  /** Catalog entry: [[sessionWindowStream]] across ≥ 3 REAL micro-batches —
+    * the merging-session-window state store's defining job, oracle-gated:
+    * every session spanning a file boundary exists only if the state store
+    * MERGES its two halves across batches (the staged corpus is split into
+    * 3 contiguous global (ts, user_id) time ranges, so thousands of
+    * sessions straddle the two boundaries). Complete mode retains
+    * aggregation state regardless of the watermark (no eviction), so the
+    * final snapshot is the fully-merged session set — the same batch
+    * `q_session_window` oracle as the one-batch twin.
+    */
+  def sessionWindowMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = Tables(s, dir, "events").select("user_id", "ts")
+    val fileOf = (ntile(3).over(Window.orderBy(col("ts"), col("user_id"))) - 1)
+    runMultiBatch(staged, fileOf, 3, "complete") {
+      st => StreamingSessionize.sessions(st)
+    }
+  }
+
   /** The clip-proof context size for a substring gate entry: the corpus
     * max token count. With the anchor window covering every document end
     * to end, the bounded-window kernel's documented k+2·ctx clip cannot
@@ -426,6 +445,7 @@ object StreamingGate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_session_window" -> sessionWindowStream,
+    "stream_session_window_mb" -> sessionWindowMultiBatchStream,
     "stream_dedup_substring" -> dedupSubstringStream,
     "stream_dedup_substring_mb" -> dedupSubstringMultiBatchStream,
     "stream_dedup_substring_exact" -> dedupSubstringExactStream,
@@ -442,6 +462,7 @@ object StreamingGate {
     */
   val oracleSql: Map[String, String] = Map(
     "stream_session_window" -> RelationalQueries.oracleSql("q_session_window"),
+    "stream_session_window_mb" -> RelationalQueries.oracleSql("q_session_window"),
     "stream_dedup_substring" -> DedupQueries.oracleSql("dedup_substring"),
     "stream_dedup_substring_mb" -> DedupQueries.oracleSql("dedup_substring"),
     // the long-run corpus re-derived with the same diagonal-islands chain,
