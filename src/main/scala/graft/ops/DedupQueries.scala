@@ -1264,15 +1264,28 @@ object DedupQueries {
     * curation funnel) reuse the exact statement the gate validates for
     * `dedup_minhash_lsh` — one source of truth for the pair semantics.
     */
-  private[ops] val minhashLshPairsSql: String =
-    s"""WITH d AS (SELECT doc_id, $duckShingles AS shs FROM documents),
+  /** The shingle → signature → band CTE prefix (through `bands`), shared by
+    * the pair oracle and the streaming minhash gate's bucket-min oracle —
+    * one source of truth for the banding derivation.
+    */
+  private[graft] val minhashBandsCtes: String = minhashBandsCtesFrom("documents")
+
+  /** The chain over an arbitrary (doc_id, text) relation — the streaming
+    * minhash gate derives its bands from a constructed planted-duplicate
+    * corpus CTE.
+    */
+  private[graft] def minhashBandsCtesFrom(rel: String): String =
+    s"""d AS (SELECT doc_id, $duckShingles AS shs FROM $rel),
        |sigs AS (
        |  SELECT doc_id, shs, list_transform(range(0, 32),
        |    i -> list_min(list_transform(shs, sh -> ((2 * i + 1) * (${duckH("sh")} % ${P}) + 10007 * (i + 1)) % ${P}))) AS mhs
        |  FROM d),
        |bands AS (
        |  SELECT doc_id, b AS band, array_to_string(mhs[4 * b + 1 : 4 * b + 4], ',') AS sig
-       |  FROM sigs, (SELECT unnest(range(0, 8)) AS b)),
+       |  FROM sigs, (SELECT unnest(range(0, 8)) AS b))""".stripMargin
+
+  private[ops] val minhashLshPairsSql: String =
+    s"""WITH $minhashBandsCtes,
        |cands AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y

@@ -291,6 +291,68 @@ object StreamingGate {
     }
   }
 
+  /** The planted-duplicate corpus for the exact/fuzzy dedup multi-batch
+    * gates: the natural `documents` table carries NO byte-identical
+    * duplicates (all 500 sf0.01 fingerprints are distinct — a dedup gate
+    * over it would never exercise a drop), so every third document is
+    * re-emitted verbatim at doc_id + 10000. Ascending-id staging then puts
+    * all originals in earlier micro-batches than their copies: every
+    * planted drop/collision crosses a batch boundary BY CONSTRUCTION, and
+    * the oracle re-derives the same corpus in a CTE.
+    */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    docs.unionAll(docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+  }
+
+  private val DupCorpusCte: String =
+    """dcorp AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)""".stripMargin
+
+  /** Catalog entry: BLOOM-bounded streaming exact dedup
+    * ([[StreamingDedup.bloomDedup]]: one fixed bloom bit array per shard —
+    * state independent of stream length) across ≥ 3 real micro-batches
+    * over the planted-duplicate corpus. Ascending-id staging makes
+    * first-seen equal the batch keep-smallest rule AND puts every planted
+    * copy in a LATER batch than its original, so each of the ~n/3 drops
+    * happens only if the bit arrays CARRY across batches — the state-store
+    * claim this row gates. At gate sizing (≤ ~40 fingerprints per shard
+    * over 2^16 bits) the false-positive probability is ~1e-11, so the
+    * emitted first-seen set is deterministically the per-fingerprint
+    * minimum; the oracle re-derives fingerprint (the double-md5 hash60
+    * chain), shard, and keeper in SQL.
+    */
+  def bloomDedupMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fileOf = (ntile(3).over(Window.orderBy(col("doc_id"))) - 1)
+    runMultiBatch(dupCorpus(s, dir), fileOf, 3, "append") {
+      st => StreamingDedup.bloomDedup(st).toDF()
+    }
+  }
+
+  /** Catalog entry: incremental MinHash-LSH candidate detection
+    * ([[StreamingDedup.minhashCandidates]]: one anchor id per (band, sig)
+    * bucket) across ≥ 3 real micro-batches over the planted-duplicate
+    * corpus, ascending doc_id ranges. With ordered arrival every bucket's
+    * minimum id arrives first, so each later bucket member emits exactly
+    * one candidate per colliding band against the bucket minimum — a set
+    * the oracle re-derives from the VERIFIED banding chain (the
+    * dedup_minhash_lsh derivation, shared CTE prefix): bucket-min per
+    * (band, sig), one row per non-min member. ~90% of the candidate rows
+    * are a planted copy colliding with an original from an earlier
+    * micro-batch — carried bucket state, not within-batch pairing.
+    */
+  def minhashMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fileOf = (ntile(3).over(Window.orderBy(col("doc_id"))) - 1)
+    runMultiBatch(dupCorpus(s, dir), fileOf, 3, "append") {
+      st => StreamingDedup.minhashCandidates(st).toDF()
+    }
+  }
+
   /** The pair-stream → transition-matrix post-aggregation shared by the
     * transitions gate entries: counts + per-source probabilities with the
     * batch entry's exact expression.
@@ -451,6 +513,8 @@ object StreamingGate {
     "stream_dedup_substring_exact" -> dedupSubstringExactStream,
     "stream_transitions" -> transitionsStream,
     "stream_transitions_mb" -> transitionsMultiBatchStream,
+    "stream_bloom_dedup_mb" -> bloomDedupMultiBatchStream,
+    "stream_minhash_mb" -> minhashMultiBatchStream,
     "stream_heavy_hitters" -> heavyHittersStream,
     "stream_heavy_hitters_bound" -> heavyHittersBoundStream,
   )
@@ -477,6 +541,25 @@ object StreamingGate {
     "stream_heavy_hitters" ->
       """SELECT event_type, CAST(count(1) AS BIGINT) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    // first-seen = per-fingerprint min under ordered arrival; fp re-derives
+    // the double-md5 hash60 chain (md5 of the normalized text's md5 hex)
+    "stream_bloom_dedup_mb" ->
+      (s"""WITH $DupCorpusCte,
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(md5(regexp_replace(lower(trim(text)), '[${Tokenize.WsClass}]+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fp
+        |  FROM dcorp),
+        |k AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY 1)
+        |SELECT doc_id, fp, CAST(fp % 16 AS INT) AS shard FROM k""".stripMargin),
+    // bucket-min candidates off the verified banding chain: one row per
+    // non-min member per colliding band
+    "stream_minhash_mb" ->
+      (s"""WITH $DupCorpusCte,
+        |${DedupQueries.minhashBandsCtesFrom("dcorp")},
+        |mn AS (SELECT band, sig, min(doc_id) AS anchor FROM bands GROUP BY 1, 2)
+        |SELECT b.doc_id, m.anchor, CAST(b.band AS INT) AS band
+        |FROM bands b JOIN mn m ON m.band = b.band AND m.sig = b.sig
+        |WHERE b.doc_id > m.anchor""".stripMargin),
     // the guarantee re-derived: must-survive set (true > N_shard/(k+1)),
     // shard via the md5-hex hash60 re-derivation, checks as constants
     "stream_heavy_hitters_bound" ->
