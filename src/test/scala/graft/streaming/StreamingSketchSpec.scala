@@ -44,6 +44,46 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.size <= 8, "state must stay within k counters")
   }
 
+  test("property: the full Misra-Gries guarantee holds on 50 randomized skewed streams") {
+    import spark.implicits._
+    // seeded PRNG: reproducible adversarial mixes of hot tokens + long
+    // distinct tails, random (shards, k); per shard of size N with k
+    // counters assert the THREE guarantees the gate row checks:
+    //   est <= true, true - est <= N/(k+1), and every token with
+    //   true > N/(k+1) survives in the summary
+    val rnd = new scala.util.Random(41)
+    (1 to 50).foreach { trial =>
+      val shards = 1 + rnd.nextInt(4)
+      val k = 2 + rnd.nextInt(14)
+      val nHot = rnd.nextInt(4)
+      val hot = (1 to nHot).flatMap(h => Seq.fill(50 + rnd.nextInt(200))(s"hot$h"))
+      val tail = (1 to 100 + rnd.nextInt(400)).map(i => s"t${rnd.nextInt(300)}")
+      val items = rnd.shuffle(hot ++ tail)
+      val out = StreamingSketch.heavyHitters(items.toDF("item"), shards, k)
+        .collect().map(t => (t.shard, t.token) -> t.est).toMap
+      // re-derive shard + truth exactly as the kernel does
+      val shardOf = items.distinct.map { it =>
+        it -> graft.functions.Hash60Impl.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(it)) % shards
+      }.toMap.map { case (t, s) => t -> s.toInt }
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nShard = items.groupBy(shardOf).view.mapValues(_.size.toLong).toMap
+      truth.foreach { case (tok, n) =>
+        val sh = shardOf(tok)
+        val bound = nShard(sh).toDouble / (k + 1)
+        out.get((sh, tok)) match {
+          case Some(est) =>
+            assert(est <= n, s"trial $trial: $tok overcounts ($est > $n)")
+            assert(n - est <= bound,
+              s"trial $trial: $tok undercount ${n - est} > bound $bound (N=${nShard(sh)}, k=$k)")
+          case None =>
+            assert(n <= bound,
+              s"trial $trial: guaranteed token $tok (true $n > bound $bound) missing")
+        }
+      }
+    }
+  }
+
   test("counts accumulate across micro-batches; later batch re-emits the summary") {
     val tmp = Files.createTempDirectory("graft-ssketch").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
