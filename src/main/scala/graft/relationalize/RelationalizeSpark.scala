@@ -56,6 +56,16 @@ final case class RelationalizeOptions(
       * (dedup duplicates first, or keep positional keys).
       */
     contentDocKeys: Boolean = false,
+    /** Prepended verbatim to every positional `(partitionId, ordinal)`
+      * docKey (ignored under [[contentDocKeys]]). A multi-batch STREAMING
+      * sink needs it: partition ids and ordinals restart at zero every
+      * micro-batch, so docs in different batches would otherwise share a
+      * docKey — and therefore a rid tree — corrupting any parent/child
+      * join-back over the accumulated sink. The streaming writers pass
+      * `"b<batchId>:"`, which is also replay-stable (a crash-replayed
+      * batch keeps its id, so rids stay idempotent like the writes).
+      */
+    docKeyPrefix: String = "",
     /** `false` (default, reference semantics: `json.loads` raises): one
       * malformed line fails the job — correct for curated inputs, fatal for
       * a 100 TB crawl where one bad row among billions kills hours of work.
@@ -118,10 +128,13 @@ object RelationalizeSpark {
     */
   val SchemaMarker = "\u0001"
 
-  /** docKey factory honoring [[RelationalizeOptions.contentDocKeys]]. */
-  private def docKeyFn(contentDocKeys: Boolean): (Int, Long, String) => String =
+  /** docKey factory honoring [[RelationalizeOptions.contentDocKeys]] and
+    * [[RelationalizeOptions.docKeyPrefix]].
+    */
+  private def docKeyFn(contentDocKeys: Boolean,
+                       prefix: String): (Int, Long, String) => String =
     if (contentDocKeys) (_, _, line) => Relationalizer.contentDocKey(line)
-    else (pid, ordinal, _) => s"$pid:$ordinal"
+    else (pid, ordinal, _) => s"$prefix$pid:$ordinal"
 
   /** Destination table for unparseable lines under
     * [[RelationalizeOptions.quarantine]] — a NORMAL table (pass 2 serves it
@@ -153,9 +166,10 @@ object RelationalizeSpark {
   /** Pass-1 transform: raw JSON lines -> emitted (table, flatRow) pairs. */
   def emit(ds: Dataset[String], name: String,
            contentDocKeys: Boolean = false,
-           quarantine: Boolean = false): Dataset[Emitted] = {
+           quarantine: Boolean = false,
+           docKeyPrefix: String = ""): Dataset[Emitted] = {
     implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
-    val key = docKeyFn(contentDocKeys)
+    val key = docKeyFn(contentDocKeys, docKeyPrefix)
     ds.mapPartitions { iter =>
       val pid = TaskContext.getPartitionId()
       var ordinal = -1L
@@ -186,10 +200,11 @@ object RelationalizeSpark {
   def emitWithSchemas(ds: Dataset[String], name: String,
                       schemaMapCap: Int = 8192,
                       contentDocKeys: Boolean = false,
-                      quarantine: Boolean = false): Dataset[Emitted] = {
+                      quarantine: Boolean = false,
+                      docKeyPrefix: String = ""): Dataset[Emitted] = {
     require(schemaMapCap > 0)
     implicit val enc: Encoder[Emitted] = Encoders.product[Emitted]
-    val key = docKeyFn(contentDocKeys)
+    val key = docKeyFn(contentDocKeys, docKeyPrefix)
     ds.mapPartitions { iter =>
       val pid = TaskContext.getPartitionId()
       var ordinal = -1L
@@ -367,7 +382,7 @@ object RelationalizeSpark {
       options.materializePath match {
       case Some(path) =>
         val emitted = emitWithSchemas(ds, name, options.schemaMapCap,
-          options.contentDocKeys, options.quarantine)
+          options.contentDocKeys, options.quarantine, options.docKeyPrefix)
         val toWrite =
           if (options.materializeFilesPerTable > 0)
             emitted.repartition(col("table"), org.apache.spark.sql.functions.pmod(
@@ -385,7 +400,7 @@ object RelationalizeSpark {
           .select(col("table").cast(StringType), col("payload")).as[Emitted], None)
       case None =>
         val c = emitWithSchemas(ds, name, options.schemaMapCap, options.contentDocKeys,
-            options.quarantine)
+            options.quarantine, options.docKeyPrefix)
           .persist(StorageLevel.MEMORY_AND_DISK)
         (c, Some(c))
     }

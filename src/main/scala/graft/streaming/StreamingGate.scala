@@ -95,31 +95,39 @@ object StreamingGate {
     val spark = input.sparkSession
     val tmp = Files.createTempDirectory("graft-sgate")
     try {
-      val inDir = Files.createDirectory(tmp.resolve("in"))
-      val tagged = input.withColumn("__file", fileOf)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        (0 until nFiles).foreach { i =>
-          val stage = s"$tmp/stage_$i"
-          tagged.filter(col("__file") === i).drop("__file")
-            .coalesce(1).write.parquet(stage)
-          import scala.jdk.CollectionConverters._
-          val parts = Files.list(java.nio.file.Paths.get(stage)).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-          require(parts.size == 1, s"expected one staged part file, got $parts")
-          val dst = inDir.resolve(f"chunk_$i%03d.parquet")
-          Files.move(parts.head, dst)
-          // FileStreamSource orders new files by modification time (oldest
-          // first) — pin the per-file arrival order explicitly, 60 s apart
-          Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
-        }
-      } finally tagged.unpersist()
-      drain(spark, tmp, inDir.toString, outputMode, post, transform,
+      val inDir = stageFiles(input.withColumn("__file", fileOf), nFiles, tmp)
+      drain(spark, tmp, inDir, outputMode, post, transform,
         maxFilesPerTrigger = Some(1),
         checkBatches = n => require(n >= nFiles,
           s"multi-batch gate entry expected >= $nFiles data micro-batches, observed $n"))
     } finally cleanupScratch(tmp)
+  }
+
+  /** Write each `__file` slice of `tagged` as ONE parquet file under
+    * `tmp/in` with pinned, strictly-increasing modification times —
+    * FileStreamSource orders new files by modification time (oldest
+    * first), so the staged arrival order is deterministic. Returns the
+    * staged dir.
+    */
+  private def stageFiles(tagged: DataFrame, nFiles: Int, tmp: Path): String = {
+    val inDir = Files.createDirectory(tmp.resolve("in"))
+    val t = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until nFiles).foreach { i =>
+        val stage = s"$tmp/stage_$i"
+        t.filter(col("__file") === i).drop("__file")
+          .coalesce(1).write.parquet(stage)
+        import scala.jdk.CollectionConverters._
+        val parts = Files.list(java.nio.file.Paths.get(stage)).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        require(parts.size == 1, s"expected one staged part file, got $parts")
+        val dst = inDir.resolve(f"chunk_$i%03d.parquet")
+        Files.move(parts.head, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+      }
+    } finally t.unpersist()
+    inDir.toString
   }
 
   /** The shared drain: read the staged dir as a file-source stream, run the
@@ -288,6 +296,80 @@ object StreamingGate {
     runMultiBatch(corpus, pmod(col("doc_id"), lit(3)).cast("int"), 3, "append",
       post = ptrs => DedupQueries.resolveSubstringPointers(ptrs, corpus)) {
       st => StreamingDedup.substringPointerCandidates(st).toDF()
+    }
+  }
+
+  /** Catalog entry: the FLAGSHIP transform's streaming path — constructed
+    * nested JSON docs streamed through the evolving-schema parquet sink
+    * ([[StreamingRelationalize.runToParquetEvolving]]: per-batch inference,
+    * durable schema store, batch-id data subpaths) across ≥ 3 real
+    * micro-batches, then the parent/child rid JOIN-BACK over the
+    * ACCUMULATED sink, gated by the batch `rel_explode` oracle. This is
+    * the row that pins cross-batch rid integrity: positional docKeys
+    * restart their (partition, ordinal) coordinates every micro-batch, so
+    * without the writer's `b<batchId>:` key scoping two batches' docs
+    * would share rid trees and the join-back would multiply rows — the
+    * collision itself is spec-pinned (RelationalizeSparkSpec "rid keys:
+    * unscoped positional keys COLLIDE across micro-batches"), and this
+    * hash gate holds the writer to the fix end-to-end.
+    */
+  def relExplodeStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val docs = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("items"))
+      .select(col("l_orderkey").as("ok"),
+        to_json(struct(col("l_orderkey").as("orderkey"), col("items"))).as("doc"))
+    val tmp = Files.createTempDirectory("graft-sgate")
+    try {
+      val tagged = docs
+        .withColumn("__file", ntile(3).over(Window.orderBy(col("ok"))) - 1)
+        .select(col("doc"), col("__file"))
+      val inDir = stageFiles(tagged, 3, tmp)
+      val lines = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .select(col("doc")).as(org.apache.spark.sql.Encoders.STRING)
+      val q = StreamingRelationalize.runToParquetEvolving(
+        lines, "orders", s"$tmp/out", s"$tmp/ckpt")
+      q.awaitTermination()
+      val n = dataBatches(q)
+      require(n >= 3, s"stream_rel_explode expected >= 3 data micro-batches, observed $n")
+      val root = StreamingRelationalize.readTable(s, s"$tmp/out", "orders")
+        .select(col("orderkey"), col("items"))
+      val child = StreamingRelationalize.readTable(s, s"$tmp/out", "orders_items")
+      val joined = root.join(child, root("items") === child("items__rid_"))
+        .select(col("orderkey"), col("items__index_"),
+          col("items_l_linenumber"), col("items_l_quantity"))
+      Lifecycle.released(joined)
+    } finally cleanupScratch(tmp)
+  }
+
+  /** Catalog entry: the streaming EWMA kernel
+    * ([[StreamingMetrics.ewma]]: two numbers of state per key) across ≥ 3
+    * real micro-batches — gated by the batch `q_ewma` oracle (the same
+    * pinned left-to-right dyadic halving fold, re-derived in DuckDB).
+    * Staging splits lineitem into 3 contiguous global (l_linenumber,
+    * l_quantity) ranges, which preserves every order's per-row fold order
+    * across files; Update mode re-emits a touched key's running value per
+    * batch, and the post pass keeps each key's LAST emission (`max_by` on
+    * the strictly-growing observation count) — the standard compact-the-
+    * update-stream read.
+    */
+  def ewmaMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = Tables(s, dir, "lineitem").selectExpr(
+      "l_orderkey AS key", "CAST(l_linenumber AS LONG) AS seq",
+      "CAST(l_quantity AS DOUBLE) AS x")
+    val fileOf = (ntile(3).over(Window.orderBy(col("seq"), col("x"))) - 1)
+    runMultiBatch(staged, fileOf, 3, "update", post = snap =>
+      snap.groupBy(col("key"))
+        .agg(expr("max_by(ewma, n)").as("ewma"), max(col("n")).as("n"))
+        .selectExpr("key AS l_orderkey", "CAST(n AS BIGINT) AS n_lines", "ewma")) {
+      st => StreamingMetrics.ewma(st).toDF()
     }
   }
 
@@ -515,6 +597,8 @@ object StreamingGate {
     "stream_transitions_mb" -> transitionsMultiBatchStream,
     "stream_bloom_dedup_mb" -> bloomDedupMultiBatchStream,
     "stream_minhash_mb" -> minhashMultiBatchStream,
+    "stream_rel_explode" -> relExplodeStream,
+    "stream_ewma_mb" -> ewmaMultiBatchStream,
     "stream_heavy_hitters" -> heavyHittersStream,
     "stream_heavy_hitters_bound" -> heavyHittersBoundStream,
   )
@@ -538,6 +622,9 @@ object StreamingGate {
         |WHERE run_len >= 6""".stripMargin),
     "stream_transitions" -> RelationalQueries.oracleSql("q_transition_matrix"),
     "stream_transitions_mb" -> RelationalQueries.oracleSql("q_transition_matrix"),
+    "stream_rel_explode" ->
+      graft.ops.RelationalizeQueries.oracleSql("rel_explode"),
+    "stream_ewma_mb" -> RelationalQueries.oracleSql("q_ewma"),
     "stream_heavy_hitters" ->
       """SELECT event_type, CAST(count(1) AS BIGINT) AS n
         |FROM events GROUP BY 1""".stripMargin,

@@ -26,19 +26,30 @@ import org.apache.spark.storage.StorageLevel
 object StreamingRelationalize {
 
   /** Stateless streaming emit: raw JSON lines -> (table, payload) rows.
-    * Usable directly as `emit(stream).writeStream...` with any sink;
-    * rid determinism derives from (batch partition, ordinal) like batch mode.
+    * Usable directly as `emit(stream).writeStream...` with any sink.
+    *
+    * Rid determinism within one micro-batch derives from (batch partition,
+    * ordinal) like batch mode — but those coordinates RESTART every
+    * micro-batch, so a sink that accumulates batches and join-backs rids
+    * must not use positional keys bare: pass `contentDocKeys = true` here
+    * (a pure streaming transform has no batch id to scope keys with), or
+    * use the foreachBatch writers below, which scope every positional key
+    * by `"b<batchId>:"` automatically.
     */
   def emit(lines: Dataset[String], name: String,
-           quarantine: Boolean = false): Dataset[Emitted] =
-    RelationalizeSpark.emit(lines, name, quarantine = quarantine)
+           quarantine: Boolean = false,
+           contentDocKeys: Boolean = false): Dataset[Emitted] =
+    RelationalizeSpark.emit(lines, name, contentDocKeys = contentDocKeys,
+      quarantine = quarantine)
 
   /** Frozen-schema streaming: convert each table's stream with a fixed choice
-    * schema, returning one streaming DataFrame per table.
+    * schema, returning one streaming DataFrame per table. See [[emit]] for
+    * the cross-batch rid contract (`contentDocKeys`).
     */
   def withFrozenSchemas(lines: Dataset[String], name: String,
-                        schemas: Map[String, ChoiceSchema]): Map[String, DataFrame] = {
-    val emitted = emit(lines, name)
+                        schemas: Map[String, ChoiceSchema],
+                        contentDocKeys: Boolean = false): Map[String, DataFrame] = {
+    val emitted = emit(lines, name, contentDocKeys = contentDocKeys)
     schemas.map { case (t, sch) => t -> RelationalizeSpark.toDataFrame(emitted, t, sch) }
   }
 
@@ -48,12 +59,18 @@ object StreamingRelationalize {
     * The per-batch cached emit is released once `sink` returns (the sink
     * must consume/write the tables before returning) — a long-running
     * stream must not accumulate one persisted emit per micro-batch.
+    * Positional docKeys are scoped by `"b<batchId>:"` so rids stay unique
+    * across the accumulated sink AND idempotent under crash replay (a
+    * replayed batch keeps its id).
     */
-  def foreachBatchWriter(lines: Dataset[String], name: String)(
+  def foreachBatchWriter(lines: Dataset[String], name: String,
+      options: graft.relationalize.RelationalizeOptions =
+        graft.relationalize.RelationalizeOptions())(
       sink: (Map[String, DataFrame], Long) => Unit): DataStreamWriter[String] =
     lines.writeStream.foreachBatch { (batch: Dataset[String], batchId: Long) =>
       if (!batch.isEmpty) {
-        val result = RelationalizeSpark(batch, name)
+        val result = RelationalizeSpark(batch, name,
+          options.copy(docKeyPrefix = s"b$batchId:${options.docKeyPrefix}"))
         try sink(result.tables, batchId)
         finally result.release()
       }
@@ -224,7 +241,13 @@ object StreamingRelationalize {
                                           name: String, outDir: String): Unit =
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
-      val emitted = RelationalizeSpark.emitWithSchemas(batch, name)
+      // batch-scoped docKeys: positional coordinates restart every batch,
+      // so without the prefix two batches' docs could share a rid tree and
+      // corrupt any join-back over the accumulated sink (gate-pinned by
+      // stream_rel_explode); replay keeps the same id, so rids stay
+      // idempotent like the b<batchId> data writes
+      val emitted = RelationalizeSpark.emitWithSchemas(batch, name,
+          docKeyPrefix = s"b$batchId:")
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         RelationalizeSpark.collectSchemas(emitted).foreach { case (t, observed) =>

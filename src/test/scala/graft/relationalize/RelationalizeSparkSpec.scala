@@ -147,6 +147,30 @@ class RelationalizeSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res("users_enrollments").count() == 2)
   }
 
+  test("rid keys: unscoped positional keys COLLIDE across micro-batches; b<id>: scoping fixes it") {
+    // rid = md5(docKey : ridOrdinal) is content-independent, and positional
+    // coordinates restart every micro-batch — so two DIFFERENT docs at the
+    // same (partition, ordinal) in different batches share a rid tree
+    // unless the writer scopes keys by batch id (what foreachBatchWriter /
+    // runToParquetEvolving now do; gate row: stream_rel_explode)
+    def rootRid(doc: String, prefix: String): String = {
+      val res = RelationalizeSpark(ds(doc).repartition(1), "t",
+        RelationalizeOptions(docKeyPrefix = prefix))
+      try res("t").select(col("items")).head().getString(0)
+      finally res.release()
+    }
+    val hazard1 = rootRid("""{"k":1,"items":[1]}""", "")
+    val hazard2 = rootRid("""{"k":2,"items":[2]}""", "")
+    assert(hazard1 == hazard2,
+      "expected the pinned hazard: same positional coordinates => same rid")
+    assert(rootRid("""{"k":1,"items":[1]}""", "b0:") !=
+      rootRid("""{"k":2,"items":[2]}""", "b1:"),
+      "batch-scoped keys must make cross-batch rids distinct")
+    // replay stability: a crash-replayed batch keeps its id => same rids
+    assert(rootRid("""{"k":1,"items":[1]}""", "b0:") ==
+      rootRid("""{"k":1,"items":[1]}""", "b0:"))
+  }
+
   test("materializeFilesPerTable: salted shuffle write equals uncapped, bounds files per table") {
     val tmp = Files.createTempDirectory("graft-mat-fpt").toString
     val docs = (0 until 40).map(i => s"""{"k":$i,"p${i % 4}":[$i,${i + 1}]}""")
