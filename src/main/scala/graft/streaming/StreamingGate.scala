@@ -373,6 +373,52 @@ object StreamingGate {
     }
   }
 
+  /** Catalog entry: the streaming HOLT kernel ([[StreamingMetrics.holt]]:
+    * level + trend + count per key) across ≥ 3 real micro-batches — gated
+    * by the batch `q_holt` oracle (the identical dyadic double-smoothing
+    * fold in DuckDB). Same staging and update-stream compaction as
+    * [[ewmaMultiBatchStream]]; forecast = level + trend computed on the
+    * compacted final states.
+    */
+  def holtMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = Tables(s, dir, "lineitem").selectExpr(
+      "l_orderkey AS key", "CAST(l_linenumber AS LONG) AS seq",
+      "CAST(l_quantity AS DOUBLE) AS x")
+    val fileOf = (ntile(3).over(Window.orderBy(col("seq"), col("x"))) - 1)
+    runMultiBatch(staged, fileOf, 3, "update", post = snap =>
+      snap.groupBy(col("key"))
+        .agg(expr("max_by(level, n)").as("level"),
+          expr("max_by(trend, n)").as("trend"), max(col("n")).as("n"))
+        .selectExpr("key", "CAST(n AS BIGINT) AS n", "level", "trend",
+          "level + trend AS forecast")) {
+      st => StreamingMetrics.holt(st).toDF()
+    }
+  }
+
+  /** Catalog entry: the ONLINE EWMA-MAD anomaly kernel
+    * ([[StreamingMetrics.anomalies]]: two doubles + a count of state per
+    * key; level and deviation read BEFORE each observation folds in)
+    * across ≥ 3 real micro-batches — an algorithm-equivalence oracle: the
+    * DuckDB side replays the identical halving fold per key as a
+    * list_reduce with a `[level, dev, n, (level, dev, flag)*]` list
+    * accumulator (a LIST, not a struct — DuckDB 1.0 mis-evaluates struct
+    * accumulators under CASE) and unnests the per-element triples back to
+    * rows. Every value is a dyadic halving fold of doubles in the same
+    * order — bit-exact cross-engine, like `q_ewma`. Append mode: each
+    * observation's verdict emits exactly once, in its arrival batch.
+    */
+  def anomaliesMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = Tables(s, dir, "events")
+      .selectExpr("user_id AS key", "event_id AS seq", "CAST(value AS DOUBLE) AS x")
+      .filter("x IS NOT NULL")
+    val fileOf = (ntile(3).over(Window.orderBy(col("seq"), col("x"))) - 1)
+    runMultiBatch(staged, fileOf, 3, "append") {
+      st => StreamingMetrics.anomalies(st).toDF()
+    }
+  }
+
   /** The planted-duplicate corpus for the exact/fuzzy dedup multi-batch
     * gates: the natural `documents` table carries NO byte-identical
     * duplicates (all 500 sf0.01 fingerprints are distinct — a dedup gate
@@ -599,6 +645,8 @@ object StreamingGate {
     "stream_minhash_mb" -> minhashMultiBatchStream,
     "stream_rel_explode" -> relExplodeStream,
     "stream_ewma_mb" -> ewmaMultiBatchStream,
+    "stream_holt_mb" -> holtMultiBatchStream,
+    "stream_anomaly_mb" -> anomaliesMultiBatchStream,
     "stream_heavy_hitters" -> heavyHittersStream,
     "stream_heavy_hitters_bound" -> heavyHittersBoundStream,
   )
@@ -625,6 +673,35 @@ object StreamingGate {
     "stream_rel_explode" ->
       graft.ops.RelationalizeQueries.oracleSql("rel_explode"),
     "stream_ewma_mb" -> RelationalQueries.oracleSql("q_ewma"),
+    "stream_holt_mb" -> RelationalQueries.oracleSql("q_holt"),
+    // the kernel's halving fold replayed as a list_reduce with a
+    // [level, dev, n, (level, dev, flag)*] LIST accumulator, then the
+    // per-element triples unnested back to one row per observation
+    "stream_anomaly_mb" ->
+      """WITH obs AS (
+        |  SELECT user_id AS key, event_id AS seq, CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |folded AS (
+        |  SELECT key,
+        |    list(seq ORDER BY seq, x) AS seqs,
+        |    list(x ORDER BY seq, x) AS xs,
+        |    list_reduce(
+        |      list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+        |                   list_transform(list(x ORDER BY seq, x), v -> [v])),
+        |      (a, b) -> list_concat(
+        |        [CASE WHEN a[3] = 0 THEN b[1] ELSE (a[1] + b[1]) / 2 END,
+        |         CASE WHEN a[3] = 0 THEN CAST(0 AS DOUBLE) ELSE (a[2] + abs(b[1] - a[1])) / 2 END,
+        |         a[3] + 1],
+        |        list_concat(a[4:],
+        |          [a[1], a[2],
+        |           CASE WHEN a[3] >= 3 AND abs(b[1] - a[1]) > 3 * a[2]
+        |                THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END]))
+        |    ) AS st
+        |  FROM obs GROUP BY key)
+        |SELECT key, seqs[i] AS seq, xs[i] AS x,
+        |  st[3 * i + 1] AS level, st[3 * i + 2] AS dev,
+        |  st[3 * i + 3] = 1 AS anomaly
+        |FROM folded, unnest(range(1, len(seqs) + 1)) AS r(i)""".stripMargin,
     "stream_heavy_hitters" ->
       """SELECT event_type, CAST(count(1) AS BIGINT) AS n
         |FROM events GROUP BY 1""".stripMargin,

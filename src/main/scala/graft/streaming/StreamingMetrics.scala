@@ -78,6 +78,42 @@ object StreamingMetrics {
       }
   }
 
+  /** Per-key Holt state: smoothed level + trend and the observation count. */
+  final case class HoltState(key: Long, level: Double, trend: Double, n: Long)
+
+  /** Holt double-exponential smoothing (alpha = beta = 1/2) per key — the
+    * streaming twin of the batch `q_holt` fold, three numbers of state per
+    * key: init (level = first x, trend = 0), then
+    * `level' = (x + (level + trend)) / 2`,
+    * `trend' = ((level' - level) + trend) / 2` — every value a dyadic
+    * halving fold, bit-exact cross-engine. Update mode like [[ewma]]:
+    * each micro-batch re-emits a touched key's current state; downstream
+    * keeps the latest emission per key.
+    */
+  def holt(obs: DataFrame): Dataset[HoltState] = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.selectExpr("CAST(key AS LONG) AS key", "CAST(seq AS LONG) AS seq",
+        "CAST(x AS DOUBLE) AS x")
+      .as[Obs]
+      .groupByKey(_.key)
+      .mapGroupsWithState[(Double, Double, Long), HoltState](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Double, Double, Long)]) =>
+          var (l, t, n) = state.getOption.getOrElse((0.0, 0.0, 0L))
+          rows.toArray.sortBy(o => (o.seq, o.x)).foreach { o =>
+            if (n == 0L) { l = o.x; t = 0.0 }
+            else {
+              val l2 = (o.x + (l + t)) / 2
+              t = ((l2 - l) + t) / 2
+              l = l2
+            }
+            n += 1
+          }
+          state.update((l, t, n))
+          HoltState(key, l, t, n)
+      }
+  }
+
   /** EWMA (alpha = 1/2) per key over a (streaming or static) frame with
     * (key, seq, x) columns. Each micro-batch re-emits a touched key's
     * current smoothed value (Update mode — `mapGroupsWithState`'s required
