@@ -72,7 +72,7 @@ object Bench {
     // round 11: the content-keyed rid round-trip and the filtered IVF-PQ
     // pair (the production index shape under a predicate)
     "rel_explode_content", "ann_filtered_ivfpq", "ann_filtered_ivfpq_recall",
-    "emb_semantic_dedup")
+    "emb_semantic_dedup", "text_gopher_quality", "text_gopher_repetition")
 
   /** Entries whose chain replays a [[graft.ops.DriverMemo]] statistic: the
     * median measures warm REPLAY (the policy the round-8 verdict asked

@@ -54,6 +54,112 @@ object TextQueries {
           |     WHEN n_tokens >= 15 THEN 'medium'
           |     ELSE 'low' END AS quality""".stripMargin)
 
+  /** The Gopher quality-filter rule set (Rae et al. 2021, arXiv:2112.11446
+    * table A1) as per-document flags — the NAMED filter battery a
+    * pretraining pipeline applies before anything model-based. Word-level
+    * rules at the published thresholds (the line-structure rules have no
+    * analog on this single-line corpus; the stop set is the house 6-word
+    * list):
+    *
+    *   - word count in [50, 100000];
+    *   - mean word length in [3, 10] (compared as exact integers:
+    *     3·n ≤ Σlen ≤ 10·n — no float threshold);
+    *   - ≥ 80% of words contain at least one alphabetic character
+    *     (5·n_alpha ≥ 4·n);
+    *   - ≥ 2 stopwords;
+    *   - symbol-to-word ratio ('#' + '...') ≤ 0.1 (10·n_sym ≤ n).
+    *
+    * Reported means/fractions are single IEEE divisions of exact longs
+    * (the house determinism rule); `pass` is the conjunction. Map-side
+    * only — no shuffle, embarrassingly parallel at any corpus size.
+    */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").selectExpr(
+      "doc_id",
+      s"CAST(size($toks) AS BIGINT) AS n_words",
+      s"CAST(aggregate($toks, 0L, (a, t) -> a + length(t)) AS BIGINT) AS sum_word_len",
+      s"CAST(size(filter($toks, t -> t RLIKE '[a-zA-Z]')) AS BIGINT) AS n_alpha_words",
+      s"CAST(size(filter($toks, t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS BIGINT) AS n_stop",
+      "CAST(length(text) - length(replace(text, '#', '')) + " +
+        "(length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT) AS n_symbols")
+      .selectExpr("doc_id", "n_words", "sum_word_len", "n_alpha_words", "n_stop", "n_symbols",
+        "CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(sum_word_len AS DOUBLE) / n_words END AS mean_word_len",
+        "n_words BETWEEN 50 AND 100000 AS ok_word_count",
+        "(3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words) AS ok_mean_len",
+        "(5 * n_alpha_words >= 4 * n_words) AS ok_alpha",
+        "(n_stop >= 2) AS ok_stop",
+        "(10 * n_symbols <= n_words) AS ok_symbol")
+      .selectExpr("doc_id", "n_words", "sum_word_len", "n_alpha_words", "n_stop",
+        "n_symbols", "mean_word_len", "ok_word_count", "ok_mean_len", "ok_alpha",
+        "ok_stop", "ok_symbol",
+        "(ok_word_count AND ok_mean_len AND ok_alpha AND ok_stop AND ok_symbol) AS pass")
+
+  /** Per-doc top-gram and duplicate-gram character masses for one n —
+    * shared by [[gopherRepetition]]'s five arms: counts per (doc, gram)
+    * with map-side combine, then the most-common gram's char mass
+    * (cnt · length, ties broken gram-asc for determinism) and the char
+    * mass of all duplicated grams (cnt ≥ 2).
+    */
+  private def gramCharMass(docs: DataFrame, n: Int): DataFrame = {
+    val cnts = docs.selectExpr("doc_id", s"$toks AS t")
+      .filter(s"size(t) >= $n")
+      .selectExpr("doc_id",
+        s"explode(transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))) AS g")
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val top = cnts
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("g").asc)))
+      .filter(col("rk") === 1)
+      .selectExpr("doc_id", s"CAST(cnt * length(g) AS BIGINT) AS top${n}_chars")
+    val dup = cnts.groupBy(col("doc_id"))
+      .agg(expr(s"CAST(sum(IF(cnt >= 2, cnt * length(g), 0)) AS BIGINT) AS dup${n}_chars"))
+    top.join(dup, Seq("doc_id"))
+  }
+
+  /** The Gopher REPETITION-filter rules (Rae et al. 2021, arXiv:2112.11446
+    * table A1) as per-document char-fraction flags: the fraction of
+    * characters covered by the single most common n-gram for n = 2, 3, 4
+    * (thresholds 0.20 / 0.18 / 0.16) and by all DUPLICATED n-grams
+    * (count ≥ 2) for n = 5 and 10 (thresholds 0.15 / 0.10 — the
+    * representative ends of the published 5..10 ladder; the line-based
+    * rules have no analog on this single-line corpus). Character mass is
+    * cnt · length(gram incl. internal spaces) over the whitespace-
+    * normalized text length; every threshold compares EXACT integers
+    * (e.g. 0.18 as 50·x ≤ 9·total) and the reported fractions are single
+    * IEEE divisions of exact longs. Shape: five (doc, gram)-keyed partial
+    * aggregations — shuffle per arm on the doc key, no all-pairs anywhere.
+    */
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val base = docs.selectExpr("doc_id", s"$toks AS t")
+      .selectExpr("doc_id", "CAST(size(t) AS BIGINT) AS n_words",
+        "CAST(aggregate(t, 0L, (a, x) -> a + length(x)) + size(t) - 1 AS BIGINT) AS total_chars")
+    val joined = Seq(2, 3, 4, 5, 10).map(n => gramCharMass(docs, n))
+      .foldLeft(base)((acc, m) => acc.join(m, Seq("doc_id"), "left"))
+    joined.selectExpr(
+      "doc_id", "n_words", "total_chars",
+      "coalesce(top2_chars, 0L) AS top2_chars",
+      "coalesce(top3_chars, 0L) AS top3_chars",
+      "coalesce(top4_chars, 0L) AS top4_chars",
+      "coalesce(dup5_chars, 0L) AS dup5_chars",
+      "coalesce(dup10_chars, 0L) AS dup10_chars")
+      .selectExpr("doc_id", "n_words", "total_chars",
+        "CAST(top2_chars AS DOUBLE) / total_chars AS top2_frac",
+        "CAST(top3_chars AS DOUBLE) / total_chars AS top3_frac",
+        "CAST(top4_chars AS DOUBLE) / total_chars AS top4_frac",
+        "CAST(dup5_chars AS DOUBLE) / total_chars AS dup5_frac",
+        "CAST(dup10_chars AS DOUBLE) / total_chars AS dup10_frac",
+        "(5 * top2_chars <= total_chars) AS ok_top2",
+        "(50 * top3_chars <= 9 * total_chars) AS ok_top3",
+        "(25 * top4_chars <= 4 * total_chars) AS ok_top4",
+        "(20 * dup5_chars <= 3 * total_chars) AS ok_dup5",
+        "(10 * dup10_chars <= total_chars) AS ok_dup10")
+      .selectExpr("doc_id", "n_words", "total_chars", "top2_frac", "top3_frac",
+        "top4_frac", "dup5_frac", "dup10_frac", "ok_top2", "ok_top3", "ok_top4",
+        "ok_dup5", "ok_dup10",
+        "(ok_top2 AND ok_top3 AND ok_top4 AND ok_dup5 AND ok_dup10) AS pass")
+  }
+
   /** N-gram language-ID heuristic: stopword-list hit counts per language,
     * deterministic argmax with a fixed preference order on ties.
     */
@@ -785,6 +891,8 @@ object TextQueries {
     "text_repetition" -> repetition,
     "text_ngram_dup" -> ((s, dir) => ngramDup(s, dir)),
     "text_quality_model" -> qualityModel,
+    "text_gopher_quality" -> gopherQuality,
+    "text_gopher_repetition" -> gopherRepetition,
   )
 
   private val duckToks = s"regexp_split_to_array(trim(text), '[$WsClass]+')"
@@ -875,7 +983,87 @@ object TextQueries {
       |WHERE gr.source <> 'src0'
       |GROUP BY 1, 2""".stripMargin
 
+  /** One n-gram arm of the gopher_repetition oracle: grams + per-(doc, gram)
+    * counts, mirrored term-for-term with [[gramCharMass]].
+    */
+  private def duckGramArm(n: Int): String =
+    s"""g$n AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
+       |  i -> array_to_string(t[i:i+${n - 1}], ' '))) AS g
+       |  FROM tok WHERE len(t) >= $n),
+       |c$n AS (SELECT doc_id, g, count(1) AS cnt FROM g$n GROUP BY 1, 2)""".stripMargin
+
+  private def duckTopArm(n: Int): String =
+    s"""t$n AS (SELECT doc_id, CAST(cnt * length(g) AS BIGINT) AS top${n}_chars FROM (
+       |  SELECT doc_id, g, cnt,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rk
+       |  FROM c$n) z WHERE rk = 1)""".stripMargin
+
+  private def duckDupArm(n: Int): String =
+    s"""d$n AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS BIGINT) AS dup${n}_chars
+       |  FROM c$n GROUP BY 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "text_gopher_quality" ->
+      s"""SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop, n_symbols,
+         |  CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE CAST(sum_word_len AS DOUBLE) / n_words END AS mean_word_len,
+         |  n_words BETWEEN 50 AND 100000 AS ok_word_count,
+         |  (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words) AS ok_mean_len,
+         |  (5 * n_alpha_words >= 4 * n_words) AS ok_alpha,
+         |  (n_stop >= 2) AS ok_stop,
+         |  (10 * n_symbols <= n_words) AS ok_symbol,
+         |  (n_words BETWEEN 50 AND 100000
+         |    AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+         |    AND 5 * n_alpha_words >= 4 * n_words AND n_stop >= 2
+         |    AND 10 * n_symbols <= n_words) AS pass
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len($duckToks) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform($duckToks, t -> length(t))), 0) AS BIGINT) AS sum_word_len,
+         |    CAST(len(list_filter($duckToks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter($duckToks, t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS BIGINT) AS n_stop,
+         |    CAST(length(text) - length(replace(text, '#', ''))
+         |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols
+         |  FROM documents) t""".stripMargin,
+    "text_gopher_repetition" ->
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id, $duckToks AS t FROM documents),
+         |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) + len(t) - 1 AS BIGINT) AS total_chars
+         |  FROM tok),
+         |${duckGramArm(2)}, ${duckTopArm(2)},
+         |${duckGramArm(3)}, ${duckTopArm(3)},
+         |${duckGramArm(4)}, ${duckTopArm(4)},
+         |${duckGramArm(5)}, ${duckDupArm(5)},
+         |${duckGramArm(10)}, ${duckDupArm(10)},
+         |j AS (
+         |  SELECT b.doc_id, b.n_words, b.total_chars,
+         |    coalesce(t2.top2_chars, 0) AS top2_chars,
+         |    coalesce(t3.top3_chars, 0) AS top3_chars,
+         |    coalesce(t4.top4_chars, 0) AS top4_chars,
+         |    coalesce(d5.dup5_chars, 0) AS dup5_chars,
+         |    coalesce(d10.dup10_chars, 0) AS dup10_chars
+         |  FROM base b
+         |  LEFT JOIN t2 ON t2.doc_id = b.doc_id
+         |  LEFT JOIN t3 ON t3.doc_id = b.doc_id
+         |  LEFT JOIN t4 ON t4.doc_id = b.doc_id
+         |  LEFT JOIN d5 ON d5.doc_id = b.doc_id
+         |  LEFT JOIN d10 ON d10.doc_id = b.doc_id)
+         |SELECT doc_id, n_words, total_chars,
+         |  CAST(top2_chars AS DOUBLE) / total_chars AS top2_frac,
+         |  CAST(top3_chars AS DOUBLE) / total_chars AS top3_frac,
+         |  CAST(top4_chars AS DOUBLE) / total_chars AS top4_frac,
+         |  CAST(dup5_chars AS DOUBLE) / total_chars AS dup5_frac,
+         |  CAST(dup10_chars AS DOUBLE) / total_chars AS dup10_frac,
+         |  (5 * top2_chars <= total_chars) AS ok_top2,
+         |  (50 * top3_chars <= 9 * total_chars) AS ok_top3,
+         |  (25 * top4_chars <= 4 * total_chars) AS ok_top4,
+         |  (20 * dup5_chars <= 3 * total_chars) AS ok_dup5,
+         |  (10 * dup10_chars <= total_chars) AS ok_dup10,
+         |  (5 * top2_chars <= total_chars AND 50 * top3_chars <= 9 * total_chars
+         |    AND 25 * top4_chars <= 4 * total_chars AND 20 * dup5_chars <= 3 * total_chars
+         |    AND 10 * dup10_chars <= total_chars) AS pass
+         |FROM j""".stripMargin,
     // base pattern + the SAME lookahead post-pass on both engines; the
     // lossless flag pinned at 1 proves the piece stream covers every char
     "text_pretokenize" -> {
