@@ -100,8 +100,8 @@ object TextQueries {
     * (cnt · length, ties broken gram-asc for determinism) and the char
     * mass of all duplicated grams (cnt ≥ 2).
     */
-  private def gramCharMass(docs: DataFrame, n: Int): DataFrame = {
-    val cnts = docs.selectExpr("doc_id", s"$toks AS t")
+  private def gramCharMass(tok: DataFrame, n: Int): DataFrame = {
+    val cnts = tok
       .filter(s"size(t) >= $n")
       .selectExpr("doc_id",
         s"explode(transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))) AS g")
@@ -130,13 +130,18 @@ object TextQueries {
     * aggregations — shuffle per arm on the doc key, no all-pairs anywhere.
     */
   def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    val base = docs.selectExpr("doc_id", s"$toks AS t")
+    // tokenize ONCE: the five gram arms and the base frame all read the
+    // persisted (doc_id, tokens) projection (the oracle's
+    // `tok AS MATERIALIZED` twin) instead of six corpus scans
+    val tok = Tables(s, dir, "documents")
+      .selectExpr("doc_id", s"$toks AS t")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = tok
       .selectExpr("doc_id", "CAST(size(t) AS BIGINT) AS n_words",
         "CAST(aggregate(t, 0L, (a, x) -> a + length(x)) + size(t) - 1 AS BIGINT) AS total_chars")
-    val joined = Seq(2, 3, 4, 5, 10).map(n => gramCharMass(docs, n))
+    val joined = Seq(2, 3, 4, 5, 10).map(n => gramCharMass(tok, n))
       .foldLeft(base)((acc, m) => acc.join(m, Seq("doc_id"), "left"))
-    joined.selectExpr(
+    val out = joined.selectExpr(
       "doc_id", "n_words", "total_chars",
       "coalesce(top2_chars, 0L) AS top2_chars",
       "coalesce(top3_chars, 0L) AS top3_chars",
@@ -158,6 +163,7 @@ object TextQueries {
         "top4_frac", "dup5_frac", "dup10_frac", "ok_top2", "ok_top3", "ok_top4",
         "ok_dup5", "ok_dup10",
         "(ok_top2 AND ok_top3 AND ok_top4 AND ok_dup5 AND ok_dup10) AS pass")
+    Lifecycle.released(out, tok)
   }
 
   /** N-gram language-ID heuristic: stopword-list hit counts per language,

@@ -89,7 +89,8 @@ object StreamingGate {
     */
   private[streaming] def runMultiBatch(input: DataFrame, fileOf: Column,
       nFiles: Int, outputMode: String,
-      post: DataFrame => DataFrame = identity)
+      post: DataFrame => DataFrame = identity,
+      postReleases: Boolean = false)
       (transform: DataFrame => DataFrame): DataFrame = {
     require(nFiles >= 2, "a multi-batch gate entry needs at least two files")
     val spark = input.sparkSession
@@ -99,7 +100,8 @@ object StreamingGate {
       drain(spark, tmp, inDir, outputMode, post, transform,
         maxFilesPerTrigger = Some(1),
         checkBatches = n => require(n >= nFiles,
-          s"multi-batch gate entry expected >= $nFiles data micro-batches, observed $n"))
+          s"multi-batch gate entry expected >= $nFiles data micro-batches, observed $n"),
+        postReleases = postReleases)
     } finally cleanupScratch(tmp)
   }
 
@@ -117,9 +119,15 @@ object StreamingGate {
         val stage = s"$tmp/stage_$i"
         t.filter(col("__file") === i).drop("__file")
           .coalesce(1).write.parquet(stage)
-        import scala.jdk.CollectionConverters._
-        val parts = Files.list(java.nio.file.Paths.get(stage)).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        // Files.list holds an open DirectoryStream — close it or every
+        // staged file leaks a directory handle until GC
+        val listing = Files.list(java.nio.file.Paths.get(stage))
+        val parts =
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          } finally listing.close()
         require(parts.size == 1, s"expected one staged part file, got $parts")
         val dst = inDir.resolve(f"chunk_$i%03d.parquet")
         Files.move(parts.head, dst)
@@ -138,7 +146,8 @@ object StreamingGate {
       outputMode: String, post: DataFrame => DataFrame,
       transform: DataFrame => DataFrame,
       maxFilesPerTrigger: Option[Int],
-      checkBatches: Long => Unit): DataFrame = {
+      checkBatches: Long => Unit,
+      postReleases: Boolean = false): DataFrame = {
     val schema = spark.read.parquet(inDir).schema
     val name = s"graft_sgate_${counter.incrementAndGet()}"
     val reader = spark.readStream.schema(schema)
@@ -153,8 +162,13 @@ object StreamingGate {
       .start()
     q.awaitTermination()
     checkBatches(dataBatches(q))
-    try Lifecycle.released(post(spark.table(name)))
-    finally spark.catalog.dropTempView(name)
+    // postReleases: the post pass already materializes via
+    // Lifecycle.released (e.g. resolveSubstringPointers) — wrapping again
+    // would run a second full checkpoint copy of the same result
+    try {
+      val out = post(spark.table(name))
+      if (postReleases) out else Lifecycle.released(out)
+    } finally spark.catalog.dropTempView(name)
   }
 
   /** Micro-batches that actually carried input rows (AvailableNow can run a
@@ -226,8 +240,10 @@ object StreamingGate {
     * (the DriverMemo convention).
     */
   private def clipProofCtx(docs: DataFrame): Int = {
+    // coalesce: max over an empty corpus is null — fail with the floor,
+    // not an opaque NPE inside the gate
     val maxLen = docs
-      .selectExpr(s"max(size(${Tokenize.Whitespace.sql("text")})) AS m")
+      .selectExpr(s"coalesce(max(size(${Tokenize.Whitespace.sql("text")})), 0) AS m")
       .head().getInt(0)
     math.max(maxLen, graft.ops.TextQueries.WinnowK + graft.ops.TextQueries.WinnowW - 1)
   }
@@ -294,7 +310,8 @@ object StreamingGate {
   def dedupSubstringExactStream(s: SparkSession, dir: String): DataFrame = {
     val corpus = DedupQueries.overlapLongCorpus(s, dir)
     runMultiBatch(corpus, pmod(col("doc_id"), lit(3)).cast("int"), 3, "append",
-      post = ptrs => DedupQueries.resolveSubstringPointers(ptrs, corpus)) {
+      post = ptrs => DedupQueries.resolveSubstringPointers(ptrs, corpus),
+      postReleases = true) { // the resolver checkpoints + releases itself
       st => StreamingDedup.substringPointerCandidates(st).toDF()
     }
   }
@@ -423,15 +440,27 @@ object StreamingGate {
     * gates: the natural `documents` table carries NO byte-identical
     * duplicates (all 500 sf0.01 fingerprints are distinct — a dedup gate
     * over it would never exercise a drop), so every third document is
-    * re-emitted verbatim at doc_id + 10000. Ascending-id staging then puts
-    * all originals in earlier micro-batches than their copies: every
-    * planted drop/collision crosses a batch boundary BY CONSTRUCTION, and
-    * the oracle re-derives the same corpus in a CTE.
+    * re-emitted verbatim at doc_id + 10000. [[dupCorpusFileOf]] then stages
+    * ALL copies into the last file and splits the originals over the
+    * earlier ones (a plain ntile(3) would co-locate the last ~11% of
+    * originals with the copies): every planted drop/collision crosses a
+    * batch boundary BY CONSTRUCTION, arrival stays ascending-id, and the
+    * oracle re-derives the same corpus in a CTE.
     */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select("doc_id", "text")
     docs.unionAll(docs.filter(col("doc_id") % 3 === 0)
       .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+  }
+
+  /** File 2 = every planted copy; files 0/1 = the originals halved in id
+    * order — ascending across files AND original-before-copy for every
+    * planted pair.
+    */
+  private def dupCorpusFileOf: Column = {
+    import org.apache.spark.sql.expressions.Window
+    when(col("doc_id") >= 10000L, lit(2))
+      .otherwise(ntile(2).over(Window.orderBy(col("doc_id"))) - 1)
   }
 
   private val DupCorpusCte: String =
@@ -444,22 +473,19 @@ object StreamingGate {
     * ([[StreamingDedup.bloomDedup]]: one fixed bloom bit array per shard —
     * state independent of stream length) across ≥ 3 real micro-batches
     * over the planted-duplicate corpus. Ascending-id staging makes
-    * first-seen equal the batch keep-smallest rule AND puts every planted
-    * copy in a LATER batch than its original, so each of the ~n/3 drops
-    * happens only if the bit arrays CARRY across batches — the state-store
-    * claim this row gates. At gate sizing (≤ ~40 fingerprints per shard
-    * over 2^16 bits) the false-positive probability is ~1e-11, so the
-    * emitted first-seen set is deterministically the per-fingerprint
-    * minimum; the oracle re-derives fingerprint (the double-md5 hash60
-    * chain), shard, and keeper in SQL.
+    * first-seen equal the batch keep-smallest rule AND ([[dupCorpusFileOf]])
+    * puts EVERY planted copy in a later batch than its original, so each
+    * of the ~n/3 drops happens only if the bit arrays CARRY across
+    * batches — the state-store claim this row gates. At gate sizing
+    * (≤ ~40 fingerprints per shard over 2^16 bits) the false-positive
+    * probability is ~1e-11, so the emitted first-seen set is
+    * deterministically the per-fingerprint minimum; the oracle re-derives
+    * fingerprint (the double-md5 hash60 chain), shard, and keeper in SQL.
     */
-  def bloomDedupMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val fileOf = (ntile(3).over(Window.orderBy(col("doc_id"))) - 1)
-    runMultiBatch(dupCorpus(s, dir), fileOf, 3, "append") {
+  def bloomDedupMultiBatchStream(s: SparkSession, dir: String): DataFrame =
+    runMultiBatch(dupCorpus(s, dir), dupCorpusFileOf, 3, "append") {
       st => StreamingDedup.bloomDedup(st).toDF()
     }
-  }
 
   /** Catalog entry: incremental MinHash-LSH candidate detection
     * ([[StreamingDedup.minhashCandidates]]: one anchor id per (band, sig)
@@ -469,17 +495,15 @@ object StreamingGate {
     * one candidate per colliding band against the bucket minimum — a set
     * the oracle re-derives from the VERIFIED banding chain (the
     * dedup_minhash_lsh derivation, shared CTE prefix): bucket-min per
-    * (band, sig), one row per non-min member. ~90% of the candidate rows
-    * are a planted copy colliding with an original from an earlier
-    * micro-batch — carried bucket state, not within-batch pairing.
+    * (band, sig), one row per non-min member. Every planted copy's
+    * collision happens against an original from an EARLIER micro-batch
+    * ([[dupCorpusFileOf]]) — carried bucket state, not within-batch
+    * pairing.
     */
-  def minhashMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val fileOf = (ntile(3).over(Window.orderBy(col("doc_id"))) - 1)
-    runMultiBatch(dupCorpus(s, dir), fileOf, 3, "append") {
+  def minhashMultiBatchStream(s: SparkSession, dir: String): DataFrame =
+    runMultiBatch(dupCorpus(s, dir), dupCorpusFileOf, 3, "append") {
       st => StreamingDedup.minhashCandidates(st).toDF()
     }
-  }
 
   /** The pair-stream → transition-matrix post-aggregation shared by the
     * transitions gate entries: counts + per-source probabilities with the
@@ -562,19 +586,23 @@ object StreamingGate {
     */
   def heavyHittersStream(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
+    // ONE pair of constants drives both the precondition check and the
+    // kernel call — a drifted default could otherwise pass the check for
+    // the old regime while the sketch actually evicts
+    val (shards, k) = (8, 16)
     val items = Tables(s, dir, "events").selectExpr("event_type AS item")
     val maxDistinct = items
-      .selectExpr("CAST(pmod(hash60(item), 8) AS INT) AS shard", "item")
+      .selectExpr(s"CAST(pmod(hash60(item), $shards) AS INT) AS shard", "item")
       .groupBy(col("shard")).agg(countDistinct(col("item")).as("d"))
-      .agg(max(col("d"))).head().getLong(0)
-    require(maxDistinct <= 16,
+      .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
+    require(maxDistinct <= k,
       s"stream_heavy_hitters gates the EXACTNESS regime (distinct items per " +
-        s"shard <= k=16) but observed a shard with $maxDistinct distinct items")
+        s"shard <= k=$k) but observed a shard with $maxDistinct distinct items")
     runToCompletion(items, "append", requireSingleBatch = true,
       post = snap => snap.groupBy(col("token"))
         .agg(sum(col("est")).as("n"))
         .selectExpr("token AS event_type", "CAST(n AS BIGINT) AS n")) {
-      st => StreamingSketch.heavyHitters(st).toDF()
+      st => StreamingSketch.heavyHitters(st, shards = shards, k = k).toDF()
     }
   }
 
