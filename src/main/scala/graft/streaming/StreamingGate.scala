@@ -316,6 +316,23 @@ object StreamingGate {
     }
   }
 
+  /** Catalog entry: the IN-STREAM-VERIFIED minhash candidate kernel
+    * ([[StreamingDedup.minhashVerifiedCandidates]]: the bucket state also
+    * carries the anchor's FULL k-long signature, and every collision emits
+    * the matching-component fraction as an estimated Jaccard) across ≥ 3
+    * micro-batches over the planted-duplicate corpus. The oracle
+    * re-derives the signatures off the verified banding chain and computes
+    * the identical fraction per (later member, bucket min) pair — the
+    * estimate values themselves are hash-gated (exact count / 32, one IEEE
+    * division), not just the candidate set. Planted copies collide at
+    * est = 1.0 against their cross-batch anchors — carried SIGNATURE
+    * state, the claim beyond [[minhashMultiBatchStream]].
+    */
+  def minhashVerifiedMultiBatchStream(s: SparkSession, dir: String): DataFrame =
+    runMultiBatch(dupCorpus(s, dir), dupCorpusFileOf, 3, "append") {
+      st => StreamingDedup.minhashVerifiedCandidates(st).toDF()
+    }
+
   /** Catalog entry: the FLAGSHIP transform's streaming path — constructed
     * nested JSON docs streamed through the evolving-schema parquet sink
     * ([[StreamingRelationalize.runToParquetEvolving]]: per-batch inference,
@@ -671,6 +688,7 @@ object StreamingGate {
     "stream_transitions_mb" -> transitionsMultiBatchStream,
     "stream_bloom_dedup_mb" -> bloomDedupMultiBatchStream,
     "stream_minhash_mb" -> minhashMultiBatchStream,
+    "stream_minhash_verified_mb" -> minhashVerifiedMultiBatchStream,
     "stream_rel_explode" -> relExplodeStream,
     "stream_ewma_mb" -> ewmaMultiBatchStream,
     "stream_holt_mb" -> holtMultiBatchStream,
@@ -751,6 +769,18 @@ object StreamingGate {
         |mn AS (SELECT band, sig, min(doc_id) AS anchor FROM bands GROUP BY 1, 2)
         |SELECT b.doc_id, m.anchor, CAST(b.band AS INT) AS band
         |FROM bands b JOIN mn m ON m.band = b.band AND m.sig = b.sig
+        |WHERE b.doc_id > m.anchor""".stripMargin),
+    // the same bucket-min pairs with the estimate VALUE re-derived: the
+    // matching-signature-component fraction, exact count / 32
+    "stream_minhash_verified_mb" ->
+      (s"""WITH $DupCorpusCte,
+        |${DedupQueries.minhashBandsCtesFrom("dcorp")},
+        |mn AS (SELECT band, sig, min(doc_id) AS anchor FROM bands GROUP BY 1, 2)
+        |SELECT b.doc_id, m.anchor, CAST(b.band AS INT) AS band,
+        |  CAST(len(list_filter(range(1, 33), i -> sa.mhs[i] = sb.mhs[i])) AS DOUBLE) / 32.0 AS est_jaccard
+        |FROM bands b JOIN mn m ON m.band = b.band AND m.sig = b.sig
+        |JOIN sigs sa ON sa.doc_id = m.anchor
+        |JOIN sigs sb ON sb.doc_id = b.doc_id
         |WHERE b.doc_id > m.anchor""".stripMargin),
     // the guarantee re-derived: must-survive set (true > N_shard/(k+1)),
     // shard via the md5-hex hash60 re-derivation, checks as constants
