@@ -27,6 +27,31 @@ class StreamingMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("property: streaming Holt equals the in-memory dyadic fold on 30 random series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    (1 to 30).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(5)
+      val obs = (1 to 30 + rnd.nextInt(120)).map { i =>
+        (rnd.nextInt(nKeys).toLong, i.toLong,
+          math.floor(rnd.nextDouble() * 10000) / 100.0)
+      }
+      val df = rnd.shuffle(obs).toDF("key", "seq", "x")
+      val got = StreamingMetrics.holt(df).collect()
+        .map(h => h.key -> (h.level, h.trend, h.n)).toMap
+      val want = obs.groupBy(_._1).map { case (k, os) =>
+        var (l, t, n) = (0.0, 0.0, 0L)
+        os.sortBy(o => (o._2, o._3)).foreach { o =>
+          if (n == 0L) { l = o._3; t = 0.0 }
+          else { val l2 = (o._3 + (l + t)) / 2; t = ((l2 - l) + t) / 2; l = l2 }
+          n += 1
+        }
+        k -> (l, t, n)
+      }
+      assert(got == want, s"trial $trial: Holt states diverge")
+    }
+  }
+
   test("static-mode streaming EWMA equals the q_ewma batch fold per key") {
     val obs = Tables(spark, dir, "lineitem").selectExpr(
       "l_orderkey AS key", "l_linenumber AS seq", "l_quantity AS x")

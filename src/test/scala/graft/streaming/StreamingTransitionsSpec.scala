@@ -118,4 +118,26 @@ class StreamingTransitionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(("a", "b"), ("b", "b"), ("b", "c")),
       s"expected in-batch sort + cross-batch stitch: $got")
   }
+
+  test("property: self-sequencing kernel equals the in-memory lead fold on 30 random event sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    (1 to 30).foreach { trial =>
+      val nKeys = 1 + rnd.nextInt(6)
+      val events = (1 to 40 + rnd.nextInt(160)).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(30).toLong, i.toLong,
+          s"e${rnd.nextInt(5)}")
+      }
+      val df = rnd.shuffle(events).toDF("key", "tsm", "eid", "etype")
+      val got = StreamingTransitions.transitionsOrdered(df).collect()
+        .map(t => (t.key, t.from, t.to)).groupBy(identity).view.mapValues(_.size).toMap
+      val want = events.groupBy(_._1).toSeq.flatMap { case (k, evs) =>
+        evs.sortBy(e => (e._2, e._3)).map(_._4).sliding(2).collect {
+          case Seq(a, b) => (k, a, b)
+        }
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == want,
+        s"trial $trial: pair multisets diverge (${got.size} vs ${want.size} keys)")
+    }
+  }
 }
