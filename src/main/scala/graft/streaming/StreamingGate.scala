@@ -316,6 +316,24 @@ object StreamingGate {
     }
   }
 
+  /** Catalog entry: streaming PARTIAL-overlap detection
+    * ([[StreamingDedup.winnowCandidates]]: one (anchor, emit-count) state
+    * per winnow-fingerprint bucket, the batch hot-fp cap in streaming
+    * form) across ≥ 3 micro-batches over the planted-duplicate corpus.
+    * With ascending arrival every bucket's minimum id arrives first, so
+    * the emitted set is exactly "the first `maxEmitsPerFp` non-min members
+    * per fingerprint, against the bucket minimum" — which the oracle
+    * re-derives as a rank window over the winnow-fingerprint sets
+    * (the dedup_substring_docs hash60-from-md5 chain), cap included.
+    * Identical planted copies share EVERY fingerprint with their
+    * original, so thousands of candidate rows exist only via carried
+    * bucket state.
+    */
+  def winnowMultiBatchStream(s: SparkSession, dir: String): DataFrame =
+    runMultiBatch(dupCorpus(s, dir), dupCorpusFileOf, 3, "append") {
+      st => StreamingDedup.winnowCandidates(st).toDF()
+    }
+
   /** Catalog entry: the IN-STREAM-VERIFIED minhash candidate kernel
     * ([[StreamingDedup.minhashVerifiedCandidates]]: the bucket state also
     * carries the anchor's FULL k-long signature, and every collision emits
@@ -689,6 +707,7 @@ object StreamingGate {
     "stream_bloom_dedup_mb" -> bloomDedupMultiBatchStream,
     "stream_minhash_mb" -> minhashMultiBatchStream,
     "stream_minhash_verified_mb" -> minhashVerifiedMultiBatchStream,
+    "stream_winnow_mb" -> winnowMultiBatchStream,
     "stream_rel_explode" -> relExplodeStream,
     "stream_ewma_mb" -> ewmaMultiBatchStream,
     "stream_holt_mb" -> holtMultiBatchStream,
@@ -770,6 +789,23 @@ object StreamingGate {
         |SELECT b.doc_id, m.anchor, CAST(b.band AS INT) AS band
         |FROM bands b JOIN mn m ON m.band = b.band AND m.sig = b.sig
         |WHERE b.doc_id > m.anchor""".stripMargin),
+    // first-50-non-min members per winnow fingerprint against the bucket
+    // minimum (rank window = the ascending-arrival emission order; the
+    // kernel's default maxEmitsPerFp = 50 cap is rk <= 51)
+    "stream_winnow_mb" ->
+      (s"""WITH $DupCorpusCte,
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '[${Tokenize.WsClass}]+') AS t FROM dcorp),
+        |hs AS (SELECT doc_id, list_transform(range(1, len(t) - 1),
+        |    i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT)) AS hs
+        |  FROM tok WHERE len(t) >= 6),
+        |selfp AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))) AS fp
+        |  FROM hs),
+        |r AS (SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk,
+        |    min(doc_id) OVER (PARTITION BY fp) AS anchor
+        |  FROM selfp)
+        |SELECT doc_id, anchor, fp FROM r WHERE rk BETWEEN 2 AND 51""".stripMargin),
     // the same bucket-min pairs with the estimate VALUE re-derived: the
     // matching-signature-component fraction, exact count / 32
     "stream_minhash_verified_mb" ->
