@@ -665,33 +665,75 @@ object StreamingGate {
     * values themselves are deterministic — but the gate row never relies
     * on WHICH non-guaranteed tokens survive, only on the guarantee.
     */
-  def heavyHittersBoundStream(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(s)
-    val items = Tables(s, dir, "events").selectExpr(
+  /** The skewed high-cardinality item stream both bound entries gate. */
+  private def boundItems(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").selectExpr(
       "CASE WHEN event_id % 2 = 0 THEN concat('hot:', event_type) " +
         "ELSE concat('u:', CAST(user_id AS STRING)) END AS item")
+
+  /** The guarantee frame over the FINAL counter state `finalSnap`
+    * (shard, item/token, est): the must-survive rows + the three checks —
+    * shared by the single-batch and multi-batch bound entries (the
+    * guarantee is arrival-order-independent, which is exactly why ONE
+    * oracle gates both).
+    */
+  private def heavyHittersBoundFrame(items: DataFrame,
+      finalSnap: DataFrame): DataFrame = {
+    val truth = items
+      .selectExpr("CAST(pmod(hash60(item), 4) AS INT) AS shard", "item")
+      .groupBy(col("shard"), col("item")).agg(count(lit(1)).as("n_true"))
+    val ns = truth.groupBy(col("shard")).agg(sum(col("n_true")).as("n_shard"))
+    val joined = truth.join(broadcast(ns), Seq("shard"))
+      .join(finalSnap.selectExpr("shard", "token AS item", "est"),
+        Seq("shard", "item"), "left")
+    val violations = joined.filter(col("est").isNotNull &&
+        (col("est") > col("n_true") ||
+          col("n_true") - col("est") > col("n_shard").cast("double") / 9.0))
+      .agg(count(lit(1)).as("nv"))
+    joined
+      .filter(col("n_true").cast("double") > col("n_shard").cast("double") / 9.0)
+      .crossJoin(broadcast(violations))
+      .selectExpr("shard", "item AS token", "CAST(n_true AS BIGINT) AS n_true",
+        "est IS NOT NULL AS survived",
+        "(est IS NOT NULL AND est <= n_true AND " +
+          "CAST(n_true - est AS DOUBLE) <= CAST(n_shard AS DOUBLE) / 9.0) AS within_bound",
+        "CAST(nv AS BIGINT) AS n_survivor_violations")
+  }
+
+  def heavyHittersBoundStream(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    val items = boundItems(s, dir)
     runToCompletion(items, "append", requireSingleBatch = true,
-      post = snap => {
-        val truth = items
-          .selectExpr("CAST(pmod(hash60(item), 4) AS INT) AS shard", "item")
-          .groupBy(col("shard"), col("item")).agg(count(lit(1)).as("n_true"))
-        val ns = truth.groupBy(col("shard")).agg(sum(col("n_true")).as("n_shard"))
-        val joined = truth.join(broadcast(ns), Seq("shard"))
-          .join(snap.selectExpr("shard", "token AS item", "est"),
-            Seq("shard", "item"), "left")
-        val violations = joined.filter(col("est").isNotNull &&
-            (col("est") > col("n_true") ||
-              col("n_true") - col("est") > col("n_shard").cast("double") / 9.0))
-          .agg(count(lit(1)).as("nv"))
-        joined
-          .filter(col("n_true").cast("double") > col("n_shard").cast("double") / 9.0)
-          .crossJoin(broadcast(violations))
-          .selectExpr("shard", "item AS token", "CAST(n_true AS BIGINT) AS n_true",
-            "est IS NOT NULL AS survived",
-            "(est IS NOT NULL AND est <= n_true AND " +
-              "CAST(n_true - est AS DOUBLE) <= CAST(n_shard AS DOUBLE) / 9.0) AS within_bound",
-            "CAST(nv AS BIGINT) AS n_survivor_violations")
-      }) {
+      post = snap => heavyHittersBoundFrame(items, snap)) {
+      st => StreamingSketch.heavyHitters(st, shards = 4, k = 8).toDF()
+    }
+  }
+
+  /** Catalog entry: [[heavyHittersBoundStream]] across ≥ 3 REAL
+    * micro-batches — the counter state (and decrement evictions) carry
+    * across batches, and the final summary is recovered from the
+    * append-mode sink by the monotone per-shard `n_obs` the kernel now
+    * emits (rows where n_obs equals the shard's maximum — no batch-id
+    * column needed). The counter VALUES differ from the one-batch drain
+    * (Misra-Gries is order-sensitive), but the N/(k+1) guarantee is
+    * arrival-order-INDEPENDENT, so the identical oracle gates both — the
+    * strongest form of the bound row: the sketch must deliver its
+    * guarantee through real cross-batch state carry.
+    */
+  def heavyHittersBoundMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.registerAll(s)
+    val items = boundItems(s, dir)
+      .withColumn("rnd", pmod(expr("hash60(item)"), lit(997)))
+    val fileOf = (ntile(3).over(Window.orderBy(col("rnd"), col("item"))) - 1)
+    runMultiBatch(items, fileOf, 3, "append", post = snap => {
+      val latest = snap
+        .withColumn("mx", max(col("n_obs")).over(
+          Window.partitionBy(col("shard"))))
+        .filter(col("n_obs") === col("mx"))
+        .select(col("shard"), col("token"), col("est"))
+      heavyHittersBoundFrame(items.select(col("item")), latest)
+    }) {
       st => StreamingSketch.heavyHitters(st, shards = 4, k = 8).toDF()
     }
   }
@@ -714,6 +756,7 @@ object StreamingGate {
     "stream_anomaly_mb" -> anomaliesMultiBatchStream,
     "stream_heavy_hitters" -> heavyHittersStream,
     "stream_heavy_hitters_bound" -> heavyHittersBoundStream,
+    "stream_heavy_hitters_bound_mb" -> heavyHittersBoundMultiBatchStream,
   )
 
   /** The batch twins' oracles, verbatim: the POINT of these entries is
@@ -819,8 +862,16 @@ object StreamingGate {
         |JOIN sigs sb ON sb.doc_id = b.doc_id
         |WHERE b.doc_id > m.anchor""".stripMargin),
     // the guarantee re-derived: must-survive set (true > N_shard/(k+1)),
-    // shard via the md5-hex hash60 re-derivation, checks as constants
-    "stream_heavy_hitters_bound" ->
+    // shard via the md5-hex hash60 re-derivation, checks as constants.
+    // The SAME oracle gates the multi-batch variant: the N/(k+1)
+    // guarantee is arrival-order-independent.
+    "stream_heavy_hitters_bound_mb" -> HeavyHittersBoundOracle,
+    "stream_heavy_hitters_bound" -> HeavyHittersBoundOracle,
+  )
+
+  // lazy: referenced by the oracleSql map ABOVE its definition — a plain
+  // val would still be null during the map's initialization
+  private lazy val HeavyHittersBoundOracle: String =
       """WITH items AS (
         |  SELECT CASE WHEN event_id % 2 = 0 THEN 'hot:' || event_type
         |              ELSE 'u:' || user_id END AS item
@@ -834,6 +885,5 @@ object StreamingGate {
         |  TRUE AS survived, TRUE AS within_bound,
         |  CAST(0 AS BIGINT) AS n_survivor_violations
         |FROM per p JOIN ns USING (shard)
-        |WHERE CAST(p.cnt AS DOUBLE) > CAST(ns.n_shard AS DOUBLE) / 9.0""".stripMargin,
-  )
+        |WHERE CAST(p.cnt AS DOUBLE) > CAST(ns.n_shard AS DOUBLE) / 9.0""".stripMargin
 }

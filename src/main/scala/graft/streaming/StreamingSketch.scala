@@ -29,9 +29,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingSketch {
 
   /** One summary entry: `est` is the Misra-Gries counter — a lower bound on
-    * the token's true count in the shard's stream so far.
+    * the token's true count in the shard's stream so far — and `n_obs` the
+    * shard's TOTAL observations processed through this emission. Each
+    * micro-batch re-emits the touched shard's full summary (append mode);
+    * `n_obs` is strictly increasing per shard, so "the final summary" is
+    * recoverable from the sink without any batch-id column: the rows where
+    * `n_obs` equals the shard's maximum (the multi-batch gate's compaction).
     */
-  final case class TokenCount(shard: Int, token: String, est: Long)
+  final case class TokenCount(shard: Int, token: String, est: Long, n_obs: Long)
 
   /** Misra-Gries heavy hitters over a (streaming or static) frame with a
     * string `item` column. Within a batch, rows fold in sorted order so the
@@ -47,11 +52,12 @@ object StreamingSketch {
       .selectExpr("item", s"CAST(pmod(hash60(item), $shards) AS INT) AS shard")
       .as[(String, Int)]
       .groupByKey(_._2)
-      .flatMapGroupsWithState[Map[String, Long], TokenCount](
+      .flatMapGroupsWithState[(Map[String, Long], Long), TokenCount](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (shard, rows, state: GroupState[Map[String, Long]]) =>
-          var m = state.getOption.getOrElse(Map.empty[String, Long])
+        case (shard, rows, state: GroupState[(Map[String, Long], Long)]) =>
+          var (m, n) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
           rows.map(_._1).toArray.sorted.foreach { it =>
+            n += 1
             m.get(it) match {
               case Some(c) => m = m.updated(it, c + 1)
               case None if m.size < k => m = m.updated(it, 1L)
@@ -59,9 +65,9 @@ object StreamingSketch {
                 m = m.view.mapValues(_ - 1).filter(_._2 > 0).toMap
             }
           }
-          state.update(m)
+          state.update((m, n))
           m.toSeq.sortBy { case (t, c) => (-c, t) }
-            .map { case (t, c) => TokenCount(shard, t, c) }.iterator
+            .map { case (t, c) => TokenCount(shard, t, c, n) }.iterator
       }
   }
 }
