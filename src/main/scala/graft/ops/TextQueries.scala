@@ -963,8 +963,14 @@ object TextQueries {
     * gram positions 1..n-2 (DuckDB range is end-exclusive), window positions
     * 1..m-3; the gram hash re-derives `hash60` from md5 hex bit-exactly.
     */
-  private val winnowCtes: String =
-    """tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '[\t\n\x0B\f\r ]+') AS t FROM documents),
+  private val winnowCtes: String = winnowCtesFrom("documents")
+
+  /** The chain over an arbitrary (doc_id, text) relation — ONE copy of the
+    * k=3/w=4 gram-hash derivation shared with the streaming winnow gate's
+    * oracle (the [[graft.ops.DedupQueries.minhashBandsCtesFrom]] pattern).
+    */
+  private[graft] def winnowCtesFrom(rel: String): String =
+    s"""tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '[${Tokenize.WsClass}]+') AS t FROM $rel),
       |hs AS (
       |  SELECT doc_id, list_transform(range(1, len(t) - 1),
       |    i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT)) AS hs

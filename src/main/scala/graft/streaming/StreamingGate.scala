@@ -641,13 +641,58 @@ object StreamingGate {
     }
   }
 
+  /** The bound family's sketch dimensions — ONE pair of constants drives
+    * both kernel calls, the guarantee frame's shard hash and N/(k+1)
+    * divisor, and the DuckDB oracle (the [[heavyHittersStream]]
+    * shared-constant discipline: a drifted copy would validate the wrong
+    * guarantee silently).
+    */
+  private val BoundShards = 4
+  private val BoundK = 8
+
+  /** The skewed high-cardinality item stream both bound entries gate. */
+  private def boundItems(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events").selectExpr(
+      "CASE WHEN event_id % 2 = 0 THEN concat('hot:', event_type) " +
+        "ELSE concat('u:', CAST(user_id AS STRING)) END AS item")
+
+  /** The guarantee frame over the FINAL counter state `finalSnap`
+    * (shard, item/token, est): the must-survive rows + the three checks —
+    * shared by the single-batch and multi-batch bound entries (the
+    * guarantee is arrival-order-independent, which is exactly why ONE
+    * oracle gates both).
+    */
+  private def heavyHittersBoundFrame(items: DataFrame,
+      finalSnap: DataFrame): DataFrame = {
+    val kp1 = s"${BoundK + 1}.0"
+    val truth = items
+      .selectExpr(s"CAST(pmod(hash60(item), $BoundShards) AS INT) AS shard", "item")
+      .groupBy(col("shard"), col("item")).agg(count(lit(1)).as("n_true"))
+    val ns = truth.groupBy(col("shard")).agg(sum(col("n_true")).as("n_shard"))
+    val joined = truth.join(broadcast(ns), Seq("shard"))
+      .join(finalSnap.selectExpr("shard", "token AS item", "est"),
+        Seq("shard", "item"), "left")
+    val violations = joined.filter(col("est").isNotNull &&
+        (col("est") > col("n_true") ||
+          col("n_true") - col("est") > col("n_shard").cast("double") / (BoundK + 1).toDouble))
+      .agg(count(lit(1)).as("nv"))
+    joined
+      .filter(col("n_true").cast("double") > col("n_shard").cast("double") / (BoundK + 1).toDouble)
+      .crossJoin(broadcast(violations))
+      .selectExpr("shard", "item AS token", "CAST(n_true AS BIGINT) AS n_true",
+        "est IS NOT NULL AS survived",
+        "(est IS NOT NULL AND est <= n_true AND " +
+          s"CAST(n_true - est AS DOUBLE) <= CAST(n_shard AS DOUBLE) / $kp1) AS within_bound",
+        "CAST(nv AS BIGINT) AS n_survivor_violations")
+  }
+
   /** Catalog entry: the Misra-Gries APPROXIMATION guarantee, oracle-gated —
     * the regime [[heavyHittersStream]] cannot reach. The item stream is
     * deliberately high-cardinality and skewed (5 hot event-type tokens +
-    * 150 cold per-user tokens over shards=4, k=8 counters: 30–45 distinct
-    * items per shard, so decrement evictions fire constantly), and the
-    * gate row checks the guarantee itself, per shard of size N with k
-    * counters:
+    * 150 cold per-user tokens over [[BoundShards]] = 4 shards with
+    * [[BoundK]] = 8 counters: 30–45 distinct items per shard, so decrement
+    * evictions fire constantly), and the gate row checks the guarantee
+    * itself, per shard of size N with k counters:
     *
     *   - every token with true count > N/(k+1) SURVIVES in the summary
     *     (`survived`),
@@ -665,60 +710,31 @@ object StreamingGate {
     * values themselves are deterministic — but the gate row never relies
     * on WHICH non-guaranteed tokens survive, only on the guarantee.
     */
-  /** The skewed high-cardinality item stream both bound entries gate. */
-  private def boundItems(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "events").selectExpr(
-      "CASE WHEN event_id % 2 = 0 THEN concat('hot:', event_type) " +
-        "ELSE concat('u:', CAST(user_id AS STRING)) END AS item")
-
-  /** The guarantee frame over the FINAL counter state `finalSnap`
-    * (shard, item/token, est): the must-survive rows + the three checks —
-    * shared by the single-batch and multi-batch bound entries (the
-    * guarantee is arrival-order-independent, which is exactly why ONE
-    * oracle gates both).
-    */
-  private def heavyHittersBoundFrame(items: DataFrame,
-      finalSnap: DataFrame): DataFrame = {
-    val truth = items
-      .selectExpr("CAST(pmod(hash60(item), 4) AS INT) AS shard", "item")
-      .groupBy(col("shard"), col("item")).agg(count(lit(1)).as("n_true"))
-    val ns = truth.groupBy(col("shard")).agg(sum(col("n_true")).as("n_shard"))
-    val joined = truth.join(broadcast(ns), Seq("shard"))
-      .join(finalSnap.selectExpr("shard", "token AS item", "est"),
-        Seq("shard", "item"), "left")
-    val violations = joined.filter(col("est").isNotNull &&
-        (col("est") > col("n_true") ||
-          col("n_true") - col("est") > col("n_shard").cast("double") / 9.0))
-      .agg(count(lit(1)).as("nv"))
-    joined
-      .filter(col("n_true").cast("double") > col("n_shard").cast("double") / 9.0)
-      .crossJoin(broadcast(violations))
-      .selectExpr("shard", "item AS token", "CAST(n_true AS BIGINT) AS n_true",
-        "est IS NOT NULL AS survived",
-        "(est IS NOT NULL AND est <= n_true AND " +
-          "CAST(n_true - est AS DOUBLE) <= CAST(n_shard AS DOUBLE) / 9.0) AS within_bound",
-        "CAST(nv AS BIGINT) AS n_survivor_violations")
-  }
-
   def heavyHittersBoundStream(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(s)
     val items = boundItems(s, dir)
     runToCompletion(items, "append", requireSingleBatch = true,
       post = snap => heavyHittersBoundFrame(items, snap)) {
-      st => StreamingSketch.heavyHitters(st, shards = 4, k = 8).toDF()
+      st => StreamingSketch.heavyHitters(st, shards = BoundShards, k = BoundK).toDF()
     }
   }
 
   /** Catalog entry: [[heavyHittersBoundStream]] across ≥ 3 REAL
     * micro-batches — the counter state (and decrement evictions) carry
-    * across batches, and the final summary is recovered from the
-    * append-mode sink by the monotone per-shard `n_obs` the kernel now
-    * emits (rows where n_obs equals the shard's maximum — no batch-id
-    * column needed). The counter VALUES differ from the one-batch drain
-    * (Misra-Gries is order-sensitive), but the N/(k+1) guarantee is
-    * arrival-order-INDEPENDENT, so the identical oracle gates both — the
-    * strongest form of the bound row: the sketch must deliver its
-    * guarantee through real cross-batch state carry.
+    * across batches, and the final counters are recovered from the
+    * append-mode sink by the monotone per-shard `n_obs` the kernel emits
+    * (rows where n_obs equals the shard's maximum — no batch-id column
+    * needed). One documented edge: a batch that decrements a shard's
+    * summary to EMPTY emits no rows, so the compaction then reads the
+    * latest non-empty summary — harmless for THESE checks (an empty final
+    * state means no token exceeds the bound, and every stale estimate is
+    * itself bound-valid), but a consumer gating counter VALUES would need
+    * a sentinel; don't reuse this compaction for that. The counter values
+    * differ from the one-batch drain (Misra-Gries is order-sensitive),
+    * but the N/(k+1) guarantee is arrival-order-INDEPENDENT, so the
+    * identical oracle gates both — the strongest form of the bound row:
+    * the sketch must deliver its guarantee through real cross-batch state
+    * carry.
     */
   def heavyHittersBoundMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -734,7 +750,7 @@ object StreamingGate {
         .select(col("shard"), col("token"), col("est"))
       heavyHittersBoundFrame(items.select(col("item")), latest)
     }) {
-      st => StreamingSketch.heavyHitters(st, shards = 4, k = 8).toDF()
+      st => StreamingSketch.heavyHitters(st, shards = BoundShards, k = BoundK).toDF()
     }
   }
 
@@ -834,16 +850,12 @@ object StreamingGate {
         |WHERE b.doc_id > m.anchor""".stripMargin),
     // first-50-non-min members per winnow fingerprint against the bucket
     // minimum (rank window = the ascending-arrival emission order; the
-    // kernel's default maxEmitsPerFp = 50 cap is rk <= 51)
+    // kernel's default maxEmitsPerFp = 50 cap is rk <= 51). The winnowing
+    // derivation is the ONE shared chain (TextQueries.winnowCtesFrom).
     "stream_winnow_mb" ->
       (s"""WITH $DupCorpusCte,
-        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '[${Tokenize.WsClass}]+') AS t FROM dcorp),
-        |hs AS (SELECT doc_id, list_transform(range(1, len(t) - 1),
-        |    i -> CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT)) AS hs
-        |  FROM tok WHERE len(t) >= 6),
-        |selfp AS (SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))) AS fp
-        |  FROM hs),
+        |${graft.ops.TextQueries.winnowCtesFrom("dcorp")},
+        |selfp AS (SELECT DISTINCT doc_id, fp FROM wins),
         |r AS (SELECT doc_id, fp,
         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk,
         |    min(doc_id) OVER (PARTITION BY fp) AS anchor
@@ -870,14 +882,16 @@ object StreamingGate {
   )
 
   // lazy: referenced by the oracleSql map ABOVE its definition — a plain
-  // val would still be null during the map's initialization
+  // val would still be null during the map's initialization. Shard count
+  // and the N/(k+1) divisor interpolate from the SAME constants the
+  // kernels and the guarantee frame use.
   private lazy val HeavyHittersBoundOracle: String =
-      """WITH items AS (
+      s"""WITH items AS (
         |  SELECT CASE WHEN event_id % 2 = 0 THEN 'hot:' || event_type
         |              ELSE 'u:' || user_id END AS item
         |  FROM events),
         |sh AS (SELECT item,
-        |  CAST(CAST(('0x' || substr(md5(item), 1, 15)) AS BIGINT) % 4 AS INT) AS shard
+        |  CAST(CAST(('0x' || substr(md5(item), 1, 15)) AS BIGINT) % $BoundShards AS INT) AS shard
         |  FROM items),
         |per AS (SELECT shard, item, count(1) AS cnt FROM sh GROUP BY 1, 2),
         |ns AS (SELECT shard, sum(cnt) AS n_shard FROM per GROUP BY 1)
@@ -885,5 +899,5 @@ object StreamingGate {
         |  TRUE AS survived, TRUE AS within_bound,
         |  CAST(0 AS BIGINT) AS n_survivor_violations
         |FROM per p JOIN ns USING (shard)
-        |WHERE CAST(p.cnt AS DOUBLE) > CAST(ns.n_shard AS DOUBLE) / 9.0""".stripMargin
+        |WHERE CAST(p.cnt AS DOUBLE) > CAST(ns.n_shard AS DOUBLE) / ${BoundK + 1}.0""".stripMargin
 }
