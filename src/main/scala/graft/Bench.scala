@@ -2,6 +2,56 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Per-query flight recorder (round-11 verdict ask): the driver's r11 run
+  * measured one query 40x its builder/judge time with reruns exhausted, and
+  * the archive — seconds + loadavg only — could not distinguish a GC storm
+  * from spill from block-manager churn post-hoc. This listener aggregates
+  * TaskMetrics across each query's measurement window so the NEXT anomaly is
+  * self-diagnosing from the archived JSON alone.
+  *
+  * Counters are LongAdders (the listener bus delivers task-end events on its
+  * own thread). The bus is asynchronous, so a few trailing events from query
+  * N can land in query N+1's window — attribution slop of a handful of
+  * tasks, fine for diagnostics, not for accounting.
+  */
+private final class BenchFlightRecorder extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.{LongAdder, AtomicLong}
+  private val runMs, cpuMs, gcMs, spillBytes, shuffleBytes, tasks, evictions = new LongAdder
+  private val peakExecMem = new AtomicLong(0L)
+
+  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      tasks.increment()
+      runMs.add(m.executorRunTime)
+      cpuMs.add(m.executorCpuTime / 1000000L)
+      gcMs.add(m.jvmGCTime)
+      spillBytes.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+      shuffleBytes.add(m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
+      peakExecMem.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+    }
+  }
+
+  /** Storage-level-NONE block updates = blocks dropped/evicted from the
+    * block manager — the "persist eviction under a warm block store"
+    * fingerprint the r11 anomaly hypothesis needed and the archive lacked.
+    */
+  override def onBlockUpdated(e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit =
+    if (!e.blockUpdatedInfo.storageLevel.isValid) evictions.increment()
+
+  def reset(): Unit = {
+    Seq(runMs, cpuMs, gcMs, spillBytes, shuffleBytes, tasks, evictions).foreach(_.reset())
+    peakExecMem.set(0L)
+  }
+
+  /** [taskRunMs, taskCpuMs, gcMs, spillMB, shuffleMB, peakExecMemMB,
+    * evictedBlocks, tasks] — the legend is archived as "tm_fields".
+    */
+  def snapshot(): Seq[Long] = Seq(
+    runMs.sum, cpuMs.sum, gcMs.sum, spillBytes.sum >> 20, shuffleBytes.sum >> 20,
+    peakExecMem.get >> 20, evictions.sum, tasks.sum)
+}
+
 /** Benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   *
@@ -142,6 +192,9 @@ object Bench {
     // JVM/codegen warmup outside the timed region
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    val recorder = new BenchFlightRecorder
+    spark.sparkContext.addSparkListener(recorder)
+
     val catalog = SparkEntry.queries
 
     // 1 untimed warm-up + RunsPerQuery timed runs: the first execution of a
@@ -150,11 +203,16 @@ object Bench {
     // steady-state is the honest throughput number. clearCache() between
     // runs keeps each run computing the full pipeline (only JVM-level warmth
     // persists).
-    def measure(name: String): (Double, Double, Double) = {
+    // each measure() call resets the flight recorder, so the archived
+    // TaskMetrics window covers exactly the measurement block the archived
+    // median came from (a rerun REPLACES the metrics with its own window —
+    // the window that produced the number that ships)
+    def measure(name: String): (Double, Double, Double, Seq[Double]) = {
       // memoized families: run 0 must actually COMPUTE (a prior family
       // member would otherwise have pre-filled the shared memo and "cold"
       // would silently read warm)
       if (memoized(name)) ops.DriverMemo.invalidateAll()
+      recorder.reset()
       val raw = (0 to RunsPerQuery).map { run =>
         spark.catalog.clearCache() // isolate queries: no cross-query cache leaks
         val t0 = System.nanoTime()
@@ -168,7 +226,7 @@ object Bench {
         dt
       }
       val times = raw.drop(1)
-      (times.sorted.apply(times.length / 2), times.min, raw.head)
+      (times.sorted.apply(times.length / 2), times.min, raw.head, raw)
     }
 
     // pollution fingerprint: median far above the fastest observed run
@@ -177,7 +235,7 @@ object Bench {
     val results = headline.filter(catalog.contains)
       .filter(n => wanted.forall(_.contains(n))).map { name =>
       val loadStart = load1()
-      var (med, floor, cold) = measure(name)
+      var (med, floor, cold, raw) = measure(name)
       // rerun guard: median >> fastest run = transient pollution, not the
       // query — retry, REPLACING the polluted measurement with the rerun's
       // own median (never best-of-N min: a genuinely bimodal query — e.g.
@@ -190,25 +248,40 @@ object Bench {
       while (polluted(med, floor) && reruns < MaxReruns) {
         reruns += 1
         System.err.println(f"[bench] $name%-20s median $med%.2f s > ${RerunRatio}%.0fx floor $floor%.2f s — rerun $reruns (load ${load1()}%.2f)")
-        val (m2, f2, c2) = measure(name)
+        val (m2, f2, c2, r2) = measure(name)
         med = m2
         floor = math.min(floor, f2)
         cold = math.min(cold, c2) // keep the least-polluted cold observation
+        raw = r2
       }
       val exhausted = polluted(med, floor)
       if (exhausted)
         System.err.println(f"[bench] $name%-20s STILL polluted after $MaxReruns reruns — archiving median $med%.2f s (floor $floor%.2f s)")
       System.err.println(f"[bench] $name%-20s median $med%8.2f s" +
         (if (memoized(name)) f" (cold $cold%.2f s)" else ""))
-      (name, med, loadStart, exhausted, cold)
+      // tm snapshots the recorder AFTER the last measure() call for this
+      // query: the archived metrics window is the one the archived median
+      // (and its per-run walls) came from
+      (name, med, loadStart, exhausted, cold, recorder.snapshot(), raw)
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val loads = results.map { case (k, _, l, _, _) => "\"" + k + f"\":$l%.2f" }.mkString("{", ",", "}")
-    val flagged = results.collect { case (k, _, _, true, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val loads = results.map { case (k, _, l, _, _, _, _) => "\"" + k + f"\":$l%.2f" }.mkString("{", ",", "}")
+    val flagged = results.collect { case (k, _, _, true, _, _, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     // cold = run 0 under a freshly invalidated memo, for DriverMemo families
     // only (everywhere else run 0 is JIT warm-up, not a meaningful number)
-    val colds = results.collect { case (k, _, _, _, c) if memoized(k) =>
+    val colds = results.collect { case (k, _, _, _, c, _, _) if memoized(k) =>
       "\"" + k + f"\":$c%.3f" }.mkString("{", ",", "}")
+    // the flight recorder: per-query TaskMetrics aggregates over the
+    // archived measurement window (legend in tm_fields) — GC storms, spill,
+    // block-manager eviction churn, and task-count anomalies are now
+    // readable straight from the archive
+    val tmFields = """["task_run_ms","task_cpu_ms","gc_ms","spill_mb","shuffle_mb","peak_exec_mem_mb","evicted_blocks","tasks"]"""
+    val tms = results.map { case (k, _, _, _, _, tm, _) =>
+      "\"" + k + "\":" + tm.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    // per-run wall times for flagged queries only: a persistent anomaly's
+    // modality (all-slow vs bimodal) is the first diagnostic question
+    val flaggedRuns = results.collect { case (k, _, _, true, _, _, raw) =>
+      "\"" + k + "\":" + raw.map(t => f"$t%.3f").mkString("[", ",", "]") }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // honesty fields: totals recorded under external load are garbage (see
     // ROADMAP's bench cautions) — "loads" archives each query's 1-min load
@@ -216,7 +289,7 @@ object Bench {
     // polluted number is self-identifying in the archived JSON;
     // "rerun_exhausted" lists queries whose median never came within
     // RerunRatio of their floor even after MaxReruns full re-measurements.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold":$colds,"loads":$loads,"rerun_exhausted":$flagged,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold":$colds,"loads":$loads,"tm_fields":$tmFields,"tm":$tms,"flagged_runs":$flaggedRuns,"rerun_exhausted":$flagged,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}"""
     println(line)
     // tail-capture-proofing: archives that keep only the LAST N chars of
     // output (the driver's does) would otherwise truncate the headline away
@@ -227,7 +300,12 @@ object Bench {
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
       line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] could not write BENCH_LOCAL.json: ${e.getMessage}") }
-    println(f"""{"metric":"total_tail","value":$total%.3f,"unit":"sec","n":${results.length},"rerun_exhausted":$flagged,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}""")
+    // flagged queries' flight-recorder windows + per-run walls ride the
+    // compact tail line too: the driver's archive keeps only the output
+    // tail, and an anomalous query's diagnostics must survive that capture
+    val flaggedTm = results.collect { case (k, _, _, true, _, tm, _) =>
+      "\"" + k + "\":" + tm.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    println(f"""{"metric":"total_tail","value":$total%.3f,"unit":"sec","n":${results.length},"rerun_exhausted":$flagged,"flagged_tm":$flaggedTm,"flagged_runs":$flaggedRuns,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(ckptDir.toFile)
   }

@@ -161,11 +161,14 @@ object StreamingGate {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    checkBatches(dataBatches(q))
     // postReleases: the post pass already materializes via
     // Lifecycle.released (e.g. resolveSubstringPointers) — wrapping again
-    // would run a second full checkpoint copy of the same result
+    // would run a second full checkpoint copy of the same result.
+    // checkBatches runs INSIDE the try: a failed batch-count assertion must
+    // still drop the memory-sink view (and its driver-held rows), or every
+    // failed gate run leaks a graft_sgate_N view for the rest of the session.
     try {
+      checkBatches(dataBatches(q))
       val out = post(spark.table(name))
       if (postReleases) out else Lifecycle.released(out)
     } finally spark.catalog.dropTempView(name)
@@ -331,8 +334,17 @@ object StreamingGate {
     */
   def winnowMultiBatchStream(s: SparkSession, dir: String): DataFrame =
     runMultiBatch(dupCorpus(s, dir), dupCorpusFileOf, 3, "append") {
-      st => StreamingDedup.winnowCandidates(st).toDF()
+      st => StreamingDedup.winnowCandidates(st,
+        maxEmitsPerFp = WinnowEmitCap).toDF()
     }
+
+  /** The winnow gate's hot-fingerprint emit cap — ONE constant drives both
+    * the kernel call and the oracle's rank-window upper bound (the
+    * [[BoundShards]]/[[BoundK]] shared-constant discipline: gating the
+    * kernel's DEFAULT would let a drifted default desync gate and oracle
+    * silently).
+    */
+  private val WinnowEmitCap = 50
 
   /** Catalog entry: the IN-STREAM-VERIFIED minhash candidate kernel
     * ([[StreamingDedup.minhashVerifiedCandidates]]: the bucket state also
@@ -409,7 +421,11 @@ object StreamingGate {
     * across files; Update mode re-emits a touched key's running value per
     * batch, and the post pass keeps each key's LAST emission (`max_by` on
     * the strictly-growing observation count) — the standard compact-the-
-    * update-stream read.
+    * update-stream read. The staging `ntile` sort key (seq, x) is NOT
+    * unique, so assignment among tied rows is nondeterministic — harmless
+    * only because tied rows are VALUE-identical per key (equal (seq, x)
+    * observations fold to the same per-key state in either order); any
+    * staging-key edit must preserve that invariant.
     */
   def ewmaMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -428,9 +444,9 @@ object StreamingGate {
   /** Catalog entry: the streaming HOLT kernel ([[StreamingMetrics.holt]]:
     * level + trend + count per key) across ≥ 3 real micro-batches — gated
     * by the batch `q_holt` oracle (the identical dyadic double-smoothing
-    * fold in DuckDB). Same staging and update-stream compaction as
-    * [[ewmaMultiBatchStream]]; forecast = level + trend computed on the
-    * compacted final states.
+    * fold in DuckDB). Same staging (and its value-identical-ties `ntile`
+    * invariant) and update-stream compaction as [[ewmaMultiBatchStream]];
+    * forecast = level + trend computed on the compacted final states.
     */
   def holtMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -482,27 +498,46 @@ object StreamingGate {
     * batch boundary BY CONSTRUCTION, arrival stays ascending-id, and the
     * oracle re-derives the same corpus in a CTE.
     */
+  /** Copy-id offset for the planted-duplicate corpus: ONE constant drives
+    * the Spark plant, the copy-vs-original file split, and the oracle CTE —
+    * and [[dupCorpus]] asserts the corpus stays below it, because the whole
+    * family silently breaks (id collisions, copies misfiled as originals,
+    * ascending-arrival and oracle assumptions violated) on any documents
+    * table whose max doc_id reaches the offset.
+    */
+  private val DupCopyOffset = 10000L
+
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select("doc_id", "text")
+    // one scalar staging collect (the DriverMemo-style bound check): a
+    // corpus that reaches the offset must fail loudly here, not as a
+    // confusing downstream hash mismatch
+    val maxId = docs.agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0)
+    require(maxId < DupCopyOffset,
+      s"dupCorpus plants copies at doc_id + $DupCopyOffset but the corpus " +
+        s"max doc_id is $maxId — raise the offset for this scale factor")
     docs.unionAll(docs.filter(col("doc_id") % 3 === 0)
-      .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")))
+      .select((col("doc_id") + lit(DupCopyOffset)).as("doc_id"), col("text")))
   }
 
-  /** File 2 = every planted copy; files 0/1 = the originals halved in id
-    * order — ascending across files AND original-before-copy for every
-    * planted pair.
+  /** File 2 = every planted copy; files 0/1 = the originals split in id
+    * order by an ntile(2) evaluated over the WHOLE corpus (copies included,
+    * sorting last) — so the originals land ~2/3 in file 0 and ~1/3 in
+    * file 1, not in halves. The exact split ratio is irrelevant to every
+    * consumer; what matters (and holds) is: ascending ids across files AND
+    * original-before-copy for every planted pair.
     */
   private def dupCorpusFileOf: Column = {
     import org.apache.spark.sql.expressions.Window
-    when(col("doc_id") >= 10000L, lit(2))
+    when(col("doc_id") >= DupCopyOffset, lit(2))
       .otherwise(ntile(2).over(Window.orderBy(col("doc_id"))) - 1)
   }
 
   private val DupCorpusCte: String =
-    """dcorp AS (
+    s"""dcorp AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)""".stripMargin
+      |  SELECT doc_id + $DupCopyOffset AS doc_id, text FROM documents WHERE doc_id % 3 = 0)""".stripMargin
 
   /** Catalog entry: BLOOM-bounded streaming exact dedup
     * ([[StreamingDedup.bloomDedup]]: one fixed bloom bit array per shard —
@@ -741,6 +776,10 @@ object StreamingGate {
     graft.functions.GraftFunctions.registerAll(s)
     val items = boundItems(s, dir)
       .withColumn("rnd", pmod(expr("hash60(item)"), lit(997)))
+    // the ntile sort key (rnd, item) is non-unique (every occurrence of an
+    // item ties) — harmless because tied rows are VALUE-identical, so any
+    // tie-split yields the same per-shard multiset per batch prefix; the
+    // guarantee being gated is arrival-order-independent anyway
     val fileOf = (ntile(3).over(Window.orderBy(col("rnd"), col("item"))) - 1)
     runMultiBatch(items, fileOf, 3, "append", post = snap => {
       val latest = snap
@@ -848,10 +887,11 @@ object StreamingGate {
         |SELECT b.doc_id, m.anchor, CAST(b.band AS INT) AS band
         |FROM bands b JOIN mn m ON m.band = b.band AND m.sig = b.sig
         |WHERE b.doc_id > m.anchor""".stripMargin),
-    // first-50-non-min members per winnow fingerprint against the bucket
-    // minimum (rank window = the ascending-arrival emission order; the
-    // kernel's default maxEmitsPerFp = 50 cap is rk <= 51). The winnowing
-    // derivation is the ONE shared chain (TextQueries.winnowCtesFrom).
+    // first-[[WinnowEmitCap]]-non-min members per winnow fingerprint against
+    // the bucket minimum (rank window = the ascending-arrival emission
+    // order; the cap interpolates from the SAME constant the kernel call
+    // uses, so it cannot drift). The winnowing derivation is the ONE shared
+    // chain (TextQueries.winnowCtesFrom).
     "stream_winnow_mb" ->
       (s"""WITH $DupCorpusCte,
         |${graft.ops.TextQueries.winnowCtesFrom("dcorp")},
@@ -860,7 +900,7 @@ object StreamingGate {
         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk,
         |    min(doc_id) OVER (PARTITION BY fp) AS anchor
         |  FROM selfp)
-        |SELECT doc_id, anchor, fp FROM r WHERE rk BETWEEN 2 AND 51""".stripMargin),
+        |SELECT doc_id, anchor, fp FROM r WHERE rk BETWEEN 2 AND ${WinnowEmitCap + 1}""".stripMargin),
     // the same bucket-min pairs with the estimate VALUE re-derived: the
     // matching-signature-component fraction, exact count / 32
     "stream_minhash_verified_mb" ->
