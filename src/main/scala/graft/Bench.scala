@@ -122,7 +122,10 @@ object Bench {
     // round 11: the content-keyed rid round-trip and the filtered IVF-PQ
     // pair (the production index shape under a predicate)
     "rel_explode_content", "ann_filtered_ivfpq", "ann_filtered_ivfpq_recall",
-    "emb_semantic_dedup", "text_gopher_quality", "text_gopher_repetition")
+    "emb_semantic_dedup", "text_gopher_quality", "text_gopher_repetition",
+    // round 12: the production LSH dial (the 100 TB-safe config, now
+    // hash-pinned), WAV audio decode, delete-aware IVF maintenance
+    "dedup_embedding_lsh_prod")
 
   /** Entries whose chain replays a [[graft.ops.DriverMemo]] statistic: the
     * median measures warm REPLAY (the policy the round-8 verdict asked
