@@ -234,6 +234,79 @@ object StreamingGate {
     }
   }
 
+  /** Catalog entry: watermark-driven LATE-DATA DROP and state EVICTION —
+    * the streaming behavior the complete-mode gate rows deliberately cannot
+    * reach (complete mode retains all state regardless of the watermark).
+    * Append mode + `withWatermark(ts, 1830 seconds)` over minute-truncated
+    * session events, ≥ 3 real micro-batches:
+    *
+    *   - files 0/1 = the on-time corpus split into two contiguous global
+    *     (ts, event_id) time ranges (sessions straddling the boundary must
+    *     merge via carried state, as in [[sessionWindowMultiBatchStream]]);
+    *   - file 2 = PLANTED LATE ROWS: every `event_id % 5 == 0` event
+    *     re-emitted at ts − 365 days. When they arrive, the watermark
+    *     (on-time max − 1830 s) is ~365 days ahead, so the state store must
+    *     DROP every one of them — asserted exactly
+    *     (`numRowsDroppedByWatermark == n planted`) and hash-pinned as the
+    *     `n_late_dropped` output column;
+    *   - the emitted set is only the sessions the watermark CLOSED
+    *     (session_end < final watermark): the oracle filters the batch
+    *     session derivation by the same predicate, so retained-open
+    *     sessions (present in the complete-mode twin's answer) are pinned
+    *     ABSENT here — eviction-as-emission, hash-checked. State removal is
+    *     also asserted directly (`numRowsRemoved > 0`).
+    *
+    * Boundary-collision-proofing: event times are truncated to a 60 s grid
+    * and the delay is 1830 s, so `session_end` (grid + 1800 s ≡ 0 mod 60)
+    * can never EQUAL the watermark (grid − 1830 s ≡ 30 mod 60) — the gate
+    * is insensitive to whether Spark's close predicate is `<` or `<=`. Late
+    * rows that would be dropped-vs-kept boundary cases cannot exist either
+    * (365 days ≫ any delay). Without the watermark filter the late rows
+    * would mint ~2000 spurious year-old sessions — the hash pins their
+    * absence, not just the drop counter.
+    */
+  def sessionWindowLateMultiBatchStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ontime = Tables(s, dir, "events")
+      .select(col("user_id"), date_trunc("minute", col("ts")).as("ts"), col("event_id"))
+    val late = ontime.filter(col("event_id") % 5 === 0)
+      .select(col("user_id"), (col("ts") - expr("INTERVAL 365 DAYS")).as("ts"), col("event_id"))
+    // one scalar staging collect: the drop assertion needs the exact count
+    val nLate = late.count()
+    require(nLate > 0, "the late-eviction gate needs planted late rows")
+    val tagged = ontime
+      .withColumn("__file", ntile(2).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+      .unionAll(late.withColumn("__file", lit(2)))
+      .select(col("user_id"), col("ts"), col("__file"))
+    val spark = tagged.sparkSession
+    val tmp = Files.createTempDirectory("graft-sgate")
+    try {
+      val inDir = stageFiles(tagged, 3, tmp)
+      val schema = spark.read.parquet(inDir).schema
+      val name = s"graft_sgate_${counter.incrementAndGet()}"
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = StreamingSessionize.sessions(src, watermarkDelay = "1830 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      try {
+        val n = dataBatches(q)
+        require(n >= 3, s"stream_session_window_late_mb expected >= 3 data micro-batches, observed $n")
+        val dropped = q.recentProgress.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+        require(dropped == nLate,
+          s"watermark should drop exactly the $nLate planted late rows, dropped $dropped")
+        val removed = q.recentProgress.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+        require(removed > 0,
+          "closed sessions must be EVICTED from the state store, observed numRowsRemoved == 0")
+        Lifecycle.released(
+          spark.table(name).withColumn("n_late_dropped", lit(nLate)))
+      } finally spark.catalog.dropTempView(name)
+    } finally cleanupScratch(tmp)
+  }
+
   /** The clip-proof context size for a substring gate entry: the corpus
     * max token count. With the anchor window covering every document end
     * to end, the bounded-window kernel's documented k+2·ctx clip cannot
@@ -796,6 +869,7 @@ object StreamingGate {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_session_window" -> sessionWindowStream,
     "stream_session_window_mb" -> sessionWindowMultiBatchStream,
+    "stream_session_window_late_mb" -> sessionWindowLateMultiBatchStream,
     "stream_dedup_substring" -> dedupSubstringStream,
     "stream_dedup_substring_mb" -> dedupSubstringMultiBatchStream,
     "stream_dedup_substring_exact" -> dedupSubstringExactStream,
@@ -822,6 +896,26 @@ object StreamingGate {
   val oracleSql: Map[String, String] = Map(
     "stream_session_window" -> RelationalQueries.oracleSql("q_session_window"),
     "stream_session_window_mb" -> RelationalQueries.oracleSql("q_session_window"),
+    // the batch session derivation over the minute grid, filtered to the
+    // sessions the final watermark (on-time max − 1830 s) closed, plus the
+    // planted-late drop count as a pinned column. Late rows appear ONLY in
+    // the count: their sessions must not exist.
+    "stream_session_window_late_mb" ->
+      """WITH ev AS (SELECT user_id, date_trunc('minute', ts) AS ts, event_id FROM events),
+        |wmx AS (SELECT max(ts) - INTERVAL 1830 SECOND AS w FROM ev),
+        |w AS (SELECT user_id, ts, event_id,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
+        |s AS (SELECT user_id, ts,
+        |  SUM(CASE WHEN prev_ts IS NULL OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM w),
+        |g AS (SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 1800 SECOND AS session_end,
+        |  CAST(count(1) AS BIGINT) AS n_events FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_start, session_end, n_events,
+        |  (SELECT CAST(count(1) AS BIGINT) FROM events WHERE event_id % 5 = 0) AS n_late_dropped
+        |FROM g WHERE session_end < (SELECT w FROM wmx)""".stripMargin,
     "stream_dedup_substring" -> DedupQueries.oracleSql("dedup_substring"),
     "stream_dedup_substring_mb" -> DedupQueries.oracleSql("dedup_substring"),
     // the long-run corpus re-derived with the same diagonal-islands chain,
