@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * with typed metadata travelling alongside. As of round 9 the decode step
   * is REAL for images — `mm_decode` pushes genuine PNG bytes through
   * `javax.imageio` (JDK-only, no external codec) inside the batched
-  * mapPartitions pattern, oracle-gated end to end. The remaining `stub_`
-  * columns in the older entries are clearly marked and kept only where the
-  * testdata has no media payload to decode (audio/video codecs are not in
-  * the JDK); the Spark-side shape — binary columns, schema, batched
+  * mapPartitions pattern, oracle-gated end to end — and as of round 12 for
+  * audio: `mm_audio_decode` round-trips genuine RIFF/WAVE PCM through
+  * `javax.sound.sampled`, same pattern. The remaining `stub_` columns in
+  * the older entries are clearly marked and kept only where the decode
+  * genuinely needs a codec the JDK lacks (compressed audio mp3/ogg, video
+  * containers); the Spark-side shape — binary columns, schema, batched
   * per-partition processing, partition-parallel feature extraction — is
   * real and tested throughout.
   */
@@ -421,6 +423,108 @@ object MultimodalQueries {
         "ahash60(unhex(array_join(transform(rp, v -> lpad(hex(v), 2, '0')), ''))) AS rsig")
   }
 
+  /** Deterministic 8-bit PCM sample tracks derived from `documents` — the
+    * audio twin of [[pixelGrids]]: track length = 16 x (20 + id%23) samples;
+    * block y's 16 samples are the bytes of md5("<id>:a:<y>"). Pure SQL, so
+    * the DuckDB oracle re-derives every sample; [[encodeWavs]] turns them
+    * into REAL RIFF/WAVE files.
+    */
+  private[ops] def sampleGrids(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(20 + doc_id % 23 AS INT) AS blocks")
+      .selectExpr("doc_id",
+        "aggregate(transform(sequence(0, blocks - 1), " +
+          "y -> unhex(md5(concat(CAST(doc_id AS STRING), ':a:', CAST(y AS STRING))))), " +
+          "unhex(''), (a, x) -> concat(a, x)) AS pcm")
+
+  /** REAL WAV encode over (doc_id, pcm BINARY): each track is wrapped in a
+    * genuine RIFF/WAVE container through `javax.sound.sampled` (JDK-only —
+    * 8-bit mono unsigned PCM at 8 kHz, the WAV spec's 8-bit convention)
+    * inside the batched mapPartitions pattern. Exists to manufacture
+    * genuine audio payloads on-engine (the testdata ships no media bytes);
+    * [[decodeWavs]] is the production-shaped operator under test.
+    * Compressed codecs (mp3/ogg) remain environment-blocked — no decoder
+    * ships in the JDK — but the container/decode path itself is no longer
+    * a stub.
+    */
+  private[ops] def encodeWavs(tracks: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("wav", BinaryType)))
+    implicit val enc = Encoders.row(outSchema)
+    tracks.mapPartitions { batch =>
+      // codec/format state amortized once per partition
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      batch.map { r =>
+        val id = r.getLong(0)
+        val pcm = r.getAs[Array[Byte]](1)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        Row(id, baos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL WAV decode over (doc_id, wav BINARY) — parse the RIFF container,
+    * surface the decoder-reported format (rate/channels/bit depth/frame
+    * count), and hand the raw sample plane downstream as a plain BINARY
+    * column plus exact integer amplitude statistics (sum and energy —
+    * sum of squares). 8-bit PCM WAV is lossless, so every decoded sample is
+    * oracle-checkable against the md5 formula that generated it.
+    */
+  private[ops] def decodeWavs(wavs: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("sum_amp", LongType),
+      StructField("sum_sq", LongType),
+      StructField("pcm", BinaryType)))
+    implicit val enc = Encoders.row(outSchema)
+    wavs.mapPartitions { batch =>
+      batch.map { r =>
+        val id = r.getLong(0)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val f = ais.getFormat
+        val n = ais.getFrameLength.toInt
+        val pcm = ais.readAllBytes()
+        require(pcm.length == n * f.getFrameSize,
+          s"doc $id: decoded ${pcm.length} bytes, container declared $n frames")
+        var sum = 0L; var sq = 0L
+        var i = 0
+        while (i < pcm.length) {
+          val v = (pcm(i) & 0xff).toLong
+          sum += v; sq += v * v
+          i += 1
+        }
+        Row(id, f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+          n, sum, sq, pcm)
+      }
+    }
+  }
+
+  /** Catalog entry: the full WAV encode → decode → feature chain — real
+    * RIFF/WAVE bytes through the real `javax.sound` codec path, ending in
+    * the decoder-reported format, exact amplitude sum and energy, and the
+    * codegen'd aHash of the DECODED sample plane. The DuckDB oracle
+    * recomputes everything from the md5 sample formula alone (it never
+    * sees a WAV): a hash match proves the PCM round trip was byte-lossless
+    * end-to-end — audio decode is now env-blocked only for COMPRESSED
+    * formats (mp3/ogg need codec jars the sandbox lacks).
+    */
+  def audioDecode(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
+    decodeWavs(encodeWavs(sampleGrids(s, dir)))
+      .selectExpr("doc_id", "sample_rate", "channels", "bits", "n_samples",
+        "sum_amp", "sum_sq", "ahash60(pcm) AS sig")
+  }
+
   /** The fixed-point DCT basis — [[graft.functions.PHash60Impl.M]], the ONE
     * set of 64 integer literals the codegen'd expression, the SQL
     * derivation twin, and the DuckDB oracle all share.
@@ -515,6 +619,7 @@ object MultimodalQueries {
     "mm_frame_dedup" -> ((s, dir) => frameDedup(s, dir)),
     "mm_meta" -> mediaMeta,
     "mm_decode" -> mediaDecode,
+    "mm_audio_decode" -> audioDecode,
     "mm_resize_real" -> mediaResizeReal,
     "mm_ahash" -> ahashSigs,
     "mm_ahash_dedup" -> ((s, dir) => ahashDedup(s, dir)),
@@ -650,6 +755,35 @@ object MultimodalQueries {
         |  FROM px)
         |SELECT doc_id, w AS width, h AS height,
         |  CAST(list_sum(p) AS BIGINT) AS sum_luma,
+        |  CAST(list_sum(list_transform(range(0, 60), k ->
+        |    CASE WHEN 60 * sp[CAST(k + 1 AS INT)] > list_sum(sp)
+        |         THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        |FROM samp""".stripMargin,
+    // every sample re-derived from the md5 track formula; a match proves
+    // the WAV encode->decode round trip returned the exact PCM bytes with
+    // the declared container format
+    "mm_audio_decode" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(20 + doc_id % 23 AS INT) AS blocks FROM documents),
+        |rws AS (
+        |  SELECT doc_id, y, md5(doc_id || ':a:' || y) AS bh
+        |  FROM g, LATERAL (SELECT unnest(range(0, blocks)) AS y) t),
+        |hxs AS MATERIALIZED (
+        |  SELECT doc_id, string_agg(bh, '' ORDER BY y) AS hx FROM rws GROUP BY doc_id),
+        |px AS MATERIALIZED (
+        |  SELECT doc_id, CAST(length(hx) // 2 AS BIGINT) AS n,
+        |    list_transform(range(0, length(hx) // 2), i ->
+        |      (instr('0123456789abcdef', substr(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 +
+        |      instr('0123456789abcdef', substr(hx, CAST(2 * i + 2 AS INT), 1)) - 1) AS p
+        |  FROM hxs),
+        |samp AS (
+        |  SELECT doc_id, n, p,
+        |    list_transform(range(0, 60), k -> p[CAST((k * n) // 60 + 1 AS INT)]) AS sp
+        |  FROM px)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(8 AS INT) AS bits, CAST(n AS INT) AS n_samples,
+        |  CAST(list_sum(p) AS BIGINT) AS sum_amp,
+        |  CAST(list_sum(list_transform(p, v -> v * v)) AS BIGINT) AS sum_sq,
         |  CAST(list_sum(list_transform(range(0, 60), k ->
         |    CASE WHEN 60 * sp[CAST(k + 1 AS INT)] > list_sum(sp)
         |         THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
