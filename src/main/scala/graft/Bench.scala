@@ -125,7 +125,8 @@ object Bench {
     "emb_semantic_dedup", "text_gopher_quality", "text_gopher_repetition",
     // round 12: the production LSH dial (the 100 TB-safe config, now
     // hash-pinned), WAV audio decode, delete-aware IVF maintenance
-    "dedup_embedding_lsh_prod", "mm_audio_decode")
+    "dedup_embedding_lsh_prod", "mm_audio_decode",
+    "ann_ivf_delete", "ann_ivf_delete_recall")
 
   /** Entries whose chain replays a [[graft.ops.DriverMemo]] statistic: the
     * median measures warm REPLAY (the policy the round-8 verdict asked

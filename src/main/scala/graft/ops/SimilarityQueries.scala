@@ -328,8 +328,13 @@ object SimilarityQueries {
     * decides from the dimension scan's stats).
     */
   private def ivfFrom(emb: DataFrame, centroids: DataFrame, cfg: IvfConfig,
-                      keep: DataFrame = null): DataFrame = {
-    val assignedAll = assignBuckets(emb, centroids)
+                      keep: DataFrame = null,
+                      preAssigned: DataFrame = null): DataFrame = {
+    // preAssigned: search over a STORED assignment table (the delete-
+    // maintenance path anti-joins it) instead of re-deriving the map-side
+    // assignment; queries still come from `emb`, so passing a restricted
+    // frame there restricts who searches
+    val assignedAll = Option(preAssigned).getOrElse(assignBuckets(emb, centroids))
     val assigned = Option(keep)
       .map(k => assignedAll.join(k, Seq("vec_id"), "left_semi"))
       .getOrElse(assignedAll)
@@ -633,6 +638,88 @@ object SimilarityQueries {
       .join(dupOf, Seq("vec_id"), "left")
       .selectExpr("vec_id", "bucket", "dup_of", "dup_of IS NULL AS kept")
     Lifecycle.released(out, emb, centroids, assigned)
+  }
+
+  // --- delete-aware IVF maintenance -------------------------------------
+
+  /** The extra delete stratum beyond the SemDeDup prunes: a curation batch
+    * also deletes by policy (takedowns, licence expiry) — `vec_id % 17 == 3`
+    * here, which deletes query vector 3 too, so query eviction is exercised.
+    */
+  private[ops] val DeletePolicyMod = 17
+
+  /** The delete-maintenance building blocks shared by [[annIvfDelete]] and
+    * [[annIvfDeleteRecall]]: ONE index build (emb projections + frozen
+    * centroids + the stored assignment table), the delete stream (SemDeDup's
+    * pruned ids composed with the policy stratum), and the post-delete index
+    * state — `assigned ANTI-JOIN deleted`, the production maintenance op: no
+    * Lloyd re-run, no codebook retrain, no corpus re-scan; at 100 TB the
+    * stored assignment table is the index and this anti-join (or its
+    * delete-vector/tombstone equivalent) is the whole job.
+    */
+  private def ivfDeleteParts(s: SparkSession, dir: String, cfg: IvfConfig)
+      : (Seq[DataFrame], DataFrame, DataFrame, DataFrame) = {
+    val (emb, centroids) = buildIndex(s, dir, cfg)
+    val assigned = assignBuckets(emb, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SemDeDup's pruned ids over the SAME assignment (embSemanticDedup's
+    // pair rule, verbatim): the dedup pipeline's removals ARE the organic
+    // delete stream an index maintainer consumes
+    val pruned = assigned.as("a").join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .filter(expr(s"${dot("a.v", "b.v")} / (a.nv * b.nv) >= 0.4"))
+      .select(col("b.vec_id").as("vec_id"))
+    val deleted = pruned
+      .unionAll(emb.filter(col("vec_id") % DeletePolicyMod === 3).select(col("vec_id")))
+      .distinct()
+    val embAlive = emb.join(deleted, Seq("vec_id"), "left_anti")
+    val assignedAlive = assigned.join(deleted, Seq("vec_id"), "left_anti")
+    (Seq(emb, centroids, assigned), centroids, embAlive, assignedAlive)
+  }
+
+  /** Catalog entry: multi-probe search over the POST-DELETE index — deleted
+    * vectors can no longer be returned as neighbors, a deleted query vector
+    * no longer searches, and the index was maintained by the anti-join
+    * alone (frozen centroids, stored assignments). Oracle-gated by the full
+    * re-derivation: Lloyd chain, assignment, the SemDeDup pair rule, the
+    * policy stratum, the anti-join, and the probed top-5 over survivors.
+    */
+  def annIvfDelete(s: SparkSession, dir: String,
+                   cfg: IvfConfig = IvfConfig()): DataFrame = {
+    val (barriers, centroids, embAlive, assignedAlive) = ivfDeleteParts(s, dir, cfg)
+    val top = ivfFrom(embAlive, centroids, cfg, preAssigned = assignedAlive)
+    Lifecycle.released(top, barriers: _*)
+  }
+
+  /** Catalog entry: recall monitored BEFORE vs AFTER the deletes — the
+    * quality row a maintainer watches to decide when accumulated deletes
+    * warrant an offline re-cluster (deletes thin the probed buckets, so
+    * recall can only be defended, never improved, by the anti-join). Per
+    * surviving query: IVF-vs-exact hits over the full corpus and over the
+    * post-delete corpus, both arms sharing the ONE index build.
+    */
+  def annIvfDeleteRecall(s: SparkSession, dir: String,
+                         cfg: IvfConfig = IvfConfig()): DataFrame = {
+    val (barriers, centroids, embAlive, assignedAlive) = ivfDeleteParts(s, dir, cfg)
+    val (emb, assigned) = (barriers.head, barriers(2))
+    def hitsOf(truth: DataFrame, got: DataFrame): DataFrame =
+      truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    val truthB = bruteForceFrom(emb).select(col("query_id"), col("neighbor_id"))
+    val gotB = ivfFrom(emb, centroids, cfg, preAssigned = assigned)
+      .select(col("query_id"), col("neighbor_id"))
+    val truthA = bruteForceFrom(embAlive).select(col("query_id"), col("neighbor_id"))
+    val gotA = ivfFrom(embAlive, centroids, cfg, preAssigned = assignedAlive)
+      .select(col("query_id"), col("neighbor_id"))
+    val out = truthA.select(col("query_id")).distinct() // surviving queries only
+      .join(hitsOf(truthB, gotB).withColumnRenamed("hits", "hb"), Seq("query_id"), "left")
+      .join(hitsOf(truthA, gotA).withColumnRenamed("hits", "ha"), Seq("query_id"), "left")
+      .selectExpr("query_id",
+        "CAST(coalesce(hb, 0) AS BIGINT) AS hits_before",
+        "CAST(coalesce(hb, 0) AS DOUBLE) / 5.0 AS recall_before",
+        "CAST(coalesce(ha, 0) AS BIGINT) AS hits_after",
+        "CAST(coalesce(ha, 0) AS DOUBLE) / 5.0 AS recall_after")
+    Lifecycle.released(out, barriers: _*)
   }
 
   /** Filtered search on the full production index shape: IVF pruning + PQ
@@ -1277,6 +1364,8 @@ object SimilarityQueries {
     "ann_filtered_ivfpq" -> ((s, dir) => annFilteredIvfPq(s, dir)),
     "ann_filtered_ivfpq_recall" -> ((s, dir) => annFilteredIvfPqRecall(s, dir)),
     "emb_semantic_dedup" -> ((s, dir) => embSemanticDedup(s, dir)),
+    "ann_ivf_delete" -> ((s, dir) => annIvfDelete(s, dir)),
+    "ann_ivf_delete_recall" -> ((s, dir) => annIvfDeleteRecall(s, dir)),
     "ann_ivf_incremental" -> ((s, dir) => annIvfIncremental(s, dir)),
     "emb_covariance" -> embCovariance,
     "emb_pca_power" -> ((s, dir) => embPcaPower(s, dir)),
@@ -1348,6 +1437,55 @@ object SimilarityQueries {
        |    SELECT query_id, bucket, neighbor_id,
        |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rk
        |    FROM ivf_sims) t WHERE rk <= 5)""".stripMargin
+  }
+
+  /** The delete-maintenance oracle chain: the full-corpus index (Lloyd +
+    * assignment), the SemDeDup pair rule + policy stratum as the delete
+    * stream, the anti-join, and the post-delete probed top-5 — the
+    * re-derivation of [[ivfDeleteParts]] + [[ivfFrom]]'s preAssigned arm.
+    * Ends with CTEs `assigned` (full), `alive`, and `top_after`.
+    */
+  private def duckIvfDeleteCtes(cfg: IvfConfig): String = {
+    val lloyds = (1 to cfg.iters)
+      .map(i => duckLloyd(s"c${i - 1}", s"a$i", s"c$i") + ",\n").mkString
+    val cFinal = s"c${cfg.iters}"
+    s"""e AS (SELECT vec_id, $duckV AS v,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, q AS s, CAST(1 AS BIGINT) AS cnt FROM e WHERE vec_id < ${cfg.k}),
+       |${lloyds}assigned AS (
+       |  SELECT vec_id, v, q, bucket FROM (
+       |    SELECT e.vec_id, e.v, e.q, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY CAST(${duckDot("e.q", "c.s")} AS DOUBLE) / c.cnt DESC, c.cid ASC) AS rk
+       |    FROM e CROSS JOIN $cFinal c) t WHERE rk = 1),
+       |del_pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM assigned a JOIN assigned b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot("a.v", "b.v")} /
+       |    (sqrt(${duckDot("a.v", "a.v")}) * sqrt(${duckDot("b.v", "b.v")})) >= 0.4),
+       |del AS MATERIALIZED (
+       |  SELECT DISTINCT vec_id FROM (
+       |    SELECT vb AS vec_id FROM del_pairs
+       |    UNION ALL SELECT vec_id FROM e WHERE vec_id % $DeletePolicyMod = 3) t),
+       |alive AS MATERIALIZED (
+       |  SELECT a.* FROM assigned a WHERE a.vec_id NOT IN (SELECT vec_id FROM del)),
+       |probes_after AS (
+       |  SELECT query_id, qv, bucket FROM (
+       |    SELECT al.vec_id AS query_id, al.v AS qv, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY al.vec_id
+       |        ORDER BY CAST(${duckDot("al.q", "c.s")} AS DOUBLE) / c.cnt DESC, c.cid ASC) AS rk
+       |    FROM alive al CROSS JOIN $cFinal c WHERE al.vec_id < 10) t WHERE rk <= ${cfg.probes}),
+       |sims_after AS (
+       |  SELECT p.query_id, p.bucket, a.vec_id AS neighbor_id,
+       |    ${duckDot("p.qv", "a.v")} / (sqrt(${duckDot("p.qv", "p.qv")}) * sqrt(${duckDot("a.v", "a.v")})) AS sim
+       |  FROM probes_after p JOIN alive a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+       |top_after AS (
+       |  SELECT query_id, bucket, neighbor_id, rk FROM (
+       |    SELECT query_id, bucket, neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rk
+       |    FROM sims_after) t WHERE rk <= 5)""".stripMargin
   }
 
   /** The recall oracle for a given IVF config (shared by the default and
@@ -1991,6 +2129,60 @@ object SimilarityQueries {
          |SELECT s.vec_id, CAST(s.bucket AS BIGINT) AS bucket, d.dup_of,
          |  d.dup_of IS NULL AS kept
          |FROM assigned s LEFT JOIN sd_dup d ON d.vec_id = s.vec_id""".stripMargin,
+    // the post-delete probed top-5 off the anti-joined assignment table
+    "ann_ivf_delete" ->
+      s"""WITH ${duckIvfDeleteCtes(IvfConfig())}
+         |SELECT query_id, CAST(bucket AS BIGINT) AS bucket, neighbor_id, rk
+         |FROM top_after""".stripMargin,
+    // recall before/after the deletes, exact truth recomputed per arm,
+    // surviving queries only
+    "ann_ivf_delete_recall" ->
+      s"""WITH ${duckIvfDeleteCtes(IvfConfig())},
+         |probes_b AS (
+         |  SELECT query_id, qv, bucket FROM (
+         |    SELECT e.vec_id AS query_id, e.v AS qv, c.cid AS bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY CAST(${duckDot("e.q", "c.s")} AS DOUBLE) / c.cnt DESC, c.cid ASC) AS rk
+         |    FROM e CROSS JOIN c2 c WHERE e.vec_id < 10) t WHERE rk <= 3),
+         |sims_b AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${duckDot("p.qv", "a.v")} / (sqrt(${duckDot("p.qv", "p.qv")}) * sqrt(${duckDot("a.v", "a.v")})) AS sim
+         |  FROM probes_b p JOIN assigned a ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+         |top_b AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+         |    FROM sims_b) t WHERE rk <= 5),
+         |bf_b AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckDot("q.v", "e2.v")} / (sqrt(${duckDot("q.v", "q.v")}) * sqrt(${duckDot("e2.v", "e2.v")})) DESC,
+         |        e2.vec_id ASC) AS rk
+         |    FROM e q JOIN e e2 ON e2.vec_id <> q.vec_id WHERE q.vec_id < 10) t WHERE rk <= 5),
+         |bf_a AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckDot("q.v", "e2.v")} / (sqrt(${duckDot("q.v", "q.v")}) * sqrt(${duckDot("e2.v", "e2.v")})) DESC,
+         |        e2.vec_id ASC) AS rk
+         |    FROM alive q JOIN alive e2 ON e2.vec_id <> q.vec_id WHERE q.vec_id < 10) t WHERE rk <= 5),
+         |hb AS (
+         |  SELECT b.query_id, count(1) AS hits FROM bf_b b
+         |  JOIN top_b i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |  GROUP BY 1),
+         |ha AS (
+         |  SELECT b.query_id, count(1) AS hits FROM bf_a b
+         |  JOIN top_after i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.query_id,
+         |  CAST(coalesce(hb.hits, 0) AS BIGINT) AS hits_before,
+         |  CAST(coalesce(hb.hits, 0) AS DOUBLE) / 5.0 AS recall_before,
+         |  CAST(coalesce(ha.hits, 0) AS BIGINT) AS hits_after,
+         |  CAST(coalesce(ha.hits, 0) AS DOUBLE) / 5.0 AS recall_after
+         |FROM (SELECT DISTINCT query_id FROM bf_a) q
+         |LEFT JOIN hb ON hb.query_id = q.query_id
+         |LEFT JOIN ha ON ha.query_id = q.query_id""".stripMargin,
     // filtered IVF-PQ quality vs the exact PRE-filter truth over the
     // eligible corpus (the same truth CTEs as ann_filtered_ivf_recall)
     "ann_filtered_ivfpq_recall" ->
