@@ -99,7 +99,7 @@ object GrowthCurve {
     // — fast re-measurement of a single arm family after a kernel change.
     // Fail fast on a typo: a silently-empty run would read as a successful
     // measurement of nothing.
-    val sections = Set("docs", "graph", "emb", "rich", "100x", "rel")
+    val sections = Set("docs", "graph", "emb", "rich", "100x", "rel", "stream")
     val section = args.lift(1)
     section.foreach(s => require(sections(s),
       s"unknown section '$s' — expected one of ${sections.mkString(", ")}"))
@@ -260,6 +260,32 @@ object GrowthCurve {
       // the T=100 neighborhood and stay linear in rows
       runFanout("1x-T1000-fpt", relRows, 1000, 1)
       runFanout("10x-T1000-fpt", relRows * 10, 1000, 1)
+    }
+
+    // --- streaming state-store growth arm --------------------------------
+    // The batch families have scale curves; the multi-batch gate rows
+    // assert >= 3 micro-batches but never measure STATE vs batch count.
+    // Claim: the minhash bucket-anchor kernel's state is CORPUS-bound (one
+    // (anchor, n) entry per distinct (band, sig) bucket — 32 buckets per
+    // doc), not batch-bound: the SAME corpus split into 3/30/300
+    // micro-batches must end at the SAME state-row count, with wall-clock
+    // growing only by per-batch commit overhead. Columns repurposed:
+    // candidate = final state rows, output = state memory bytes.
+    if (want("stream")) {
+      val dir = s"$base/1x"
+      genDocuments(spark, 5000L, dir) // self-contained when run alone
+      val docs = graft.ops.Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      Seq(3, 30, 300).foreach { nFiles =>
+        val fileOf = ntile(nFiles).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))) - 1
+        val (batches, stateRows, stateMem, wall) =
+          graft.streaming.StreamingGate.stateGrowthProbe(docs, fileOf, nFiles) {
+            st => graft.streaming.StreamingDedup.minhashCandidates(st).toDF()
+          }
+        rows += ((s"stream_minhash_state[N=$nFiles,b=$batches]", "1x", 5000L,
+          stateRows, stateMem, wall))
+      }
     }
 
     // --- the rich-vocabulary jaccard arm --------------------------------

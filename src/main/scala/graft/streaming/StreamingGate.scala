@@ -180,6 +180,42 @@ object StreamingGate {
   private def dataBatches(q: StreamingQuery): Long =
     q.recentProgress.count(_.numInputRows > 0).toLong
 
+  /** Growth-arm measurement hook (GrowthCurve's `stream` section): run an
+    * append-mode stateful transform over the corpus staged as `nFiles`
+    * micro-batches and report the FINAL state-store footprint from the
+    * query progress — (data batches, state rows, state memory bytes, wall
+    * seconds). The claim under measurement: state is CORPUS-bound (e.g. one
+    * anchor per distinct bucket), not batch-bound, so the same corpus split
+    * into 3/30/300 files must end at the same state-row count. recentProgress
+    * is ring-buffered (default 100 entries), so the batch count is read from
+    * `lastProgress.batchId` — monotonically the last executed batch — while
+    * state totals come from the final stateOperators snapshot.
+    */
+  private[graft] def stateGrowthProbe(input: DataFrame, fileOf: Column,
+      nFiles: Int)(transform: DataFrame => DataFrame): (Long, Long, Long, Double) = {
+    val spark = input.sparkSession
+    val tmp = Files.createTempDirectory("graft-sgate")
+    try {
+      val inDir = stageFiles(input.withColumn("__file", fileOf), nFiles, tmp)
+      val schema = spark.read.parquet(inDir).schema
+      val name = s"graft_sgate_${counter.incrementAndGet()}"
+      val t0 = System.nanoTime()
+      val q = transform(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      try {
+        val last = Option(q.lastProgress)
+        val so = last.toSeq.flatMap(_.stateOperators)
+        (last.map(_.batchId + 1).getOrElse(0L),
+          so.map(_.numRowsTotal).sum, so.map(_.memoryUsedBytes).sum, wall)
+      } finally spark.catalog.dropTempView(name)
+    } finally cleanupScratch(tmp)
+  }
+
   /** The staged corpus + streaming checkpoint are per-invocation scratch:
     * delete them or every gate/spec run leaks a corpus copy. A path that
     * cannot be deleted (open handle, permissions) is LOGGED — a silent
