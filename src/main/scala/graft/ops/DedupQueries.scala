@@ -945,7 +945,13 @@ object DedupQueries {
           least(col("x.label"), coalesce(col("p.plabel"), col("x.label"))).as("label"),
           col("x.old").as("old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = nextAll.filter(col("label") < col("old")).limit(1).count()
+      // FULL count, not limit(1).count(): limit stops at the first matching
+      // partition, leaving most of the freshly persisted generation
+      // unmaterialized — every later round then recomputes the missing
+      // partitions through the whole generation chain (the pagerank-directed
+      // fix, same cascade). One full count materializes every partition
+      // exactly once and answers convergence in a single job.
+      changed = nextAll.filter(col("label") < col("old")).count()
       val nextP = nextAll.select(col("id"), col("label"))
       viaNeighbors.unpersist()
       backing.unpersist()

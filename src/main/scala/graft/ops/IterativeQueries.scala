@@ -109,7 +109,13 @@ object IterativeQueries {
           expr("try_add(x.depth, coalesce(p.pdepth, 0L))").as("depth"),
           (coalesce(col("p.pdepth"), lit(0L)) =!= 0).as("moved"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val overflowed = next.filter(col("depth").isNull).limit(1).count()
+      // FULL counts, not limit(1).count(): the limit form launches an
+      // escalating job sequence (1, 4, 16... partitions) and — when a row
+      // IS found early — leaves most of the freshly persisted generation
+      // unmaterialized, so the next round recomputes the missing partitions
+      // through the whole generation chain. One full count materializes
+      // every partition once and answers both checks from cache.
+      val overflowed = next.filter(col("depth").isNull).count()
       if (overflowed > 0) {
         next.unpersist()
         backing.unpersist()
@@ -118,7 +124,7 @@ object IterativeQueries {
             "which only a cycle can produce; the contract requires a " +
             "forest (parent == node marks a root)")
       }
-      changed = next.filter(col("moved")).limit(1).count()
+      changed = next.filter(col("moved")).count()
       val nextState = next.select(col("node"), col("anc"), col("depth"))
       backing.unpersist()
       backing = next
@@ -232,14 +238,25 @@ object IterativeQueries {
     // out-degree via a window over the SAME shuffle that co-locates the
     // edges on src — the edge build (an expensive self-join + distinct)
     // runs exactly once; a groupBy+join spelling would recompute it for
-    // each join side and again for the constants frame below
+    // each join side and again for the constants frame below. The persisted
+    // frame is then re-keyed on dst: the rank join is BROADCAST below the
+    // node dial (src co-location buys nothing), while every round's
+    // contribution aggregate groups by dst — caching on the aggregation key
+    // makes each round's groupBy exchange-FREE (guide §2.4: establish the
+    // partitioning once, reuse it every round), one build-time shuffle paid
+    // once against one shuffle+stage barrier per round.
     val edgesDeg = edges
       .withColumn("deg",
         count(lit(1)).over(Window.partitionBy(col("src"))))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // graph-wide constants as a broadcast 1-row frame: n nodes, the teleport
     // base (1-d)/n, and the uniform initial rank — all in fixed point,
-    // derived from the persisted frame (no re-derivation of the edge set)
+    // derived from the persisted frame (no re-derivation of the edge set).
+    // Joined ONCE into generation 0 and carried as a column of the rank
+    // vector from then on: a per-round crossJoin(consts) would re-run the
+    // countDistinct over the full edge frame every round (one extra
+    // edge-scan job per round at any scale, for a value that never changes).
     val consts = broadcast(edgesDeg.agg(countDistinct(col("src")).as("n")).select(
       expr(s"((CAST($PagerankScale AS BIGINT) * 15) div 100) div n").as("base"),
       expr(s"CAST($PagerankScale AS BIGINT) div n").as("init")))
@@ -256,19 +273,14 @@ object IterativeQueries {
     // anyway.
     val init0 = edgesDeg.select(col("src").as("node")).distinct()
       .crossJoin(consts)
-      .select(col("node"), col("init").as("rank"))
+      .select(col("node"), col("init").as("rank"), col("base"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bcast = init0.count() <= BroadcastNodeCap
     def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var ranks = spark.createDataFrame(init0.rdd, init0.schema)
     var backing = init0
     for (_ <- 1 to PagerankIters) {
-      val next = edgesDeg.join(hinted(ranks), col("src") === col("node"))
-        .groupBy(col("dst"))
-        .agg(sum(expr("rank div deg")).as("contrib"))
-        .crossJoin(consts)
-        .select(col("dst").as("node"),
-          expr("base + (85 * contrib) div 100").as("rank"))
+      val next = pagerankRound(edgesDeg, ranks, hinted)
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize the generation, truncate lineage
       backing.unpersist()
@@ -277,6 +289,52 @@ object IterativeQueries {
     }
     val out = ranks.select(col("node").as("partkey"), col("rank").as("pr_fixed"))
     Lifecycle.released(out, edgesDeg, backing)
+  }
+
+  /** One synchronous round: contribution aggregate over the once-partitioned
+    * edges, teleport applied. `base` rides the rank vector (constant per
+    * graph, so min() inside the contrib aggregate reproduces it exactly) —
+    * no per-round consts re-derivation. Shared by the loop and the lazy
+    * plan twin [[pagerankRoundPlan]].
+    */
+  private def pagerankRound(edgesDeg: DataFrame, ranks: DataFrame,
+      hinted: DataFrame => DataFrame): DataFrame =
+    edgesDeg.join(hinted(ranks), col("src") === col("node"))
+      .groupBy(col("dst"))
+      .agg(sum(expr("rank div deg")).as("contrib"), min(col("base")).as("base"))
+      .select(col("dst").as("node"),
+        expr("base + (85 * contrib) div 100").as("rank"), col("base"))
+
+  /** Lazy plan of one [[pagerank]] round over the prepared inputs — the
+    * public entry materializes each generation, so its plan is a LogicalRDD
+    * stub; THIS is the plan that executes 10x per query (plan evidence +
+    * plan-shape specs). Returns (roundPlan, persisted barriers for the
+    * caller to release).
+    */
+  private[graft] def pagerankRoundPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.storage.StorageLevel
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> transform(filter(ps, y -> y != x), " +
+          "y -> struct(x AS src, y AS dst))))")).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .distinct()
+    val edgesDeg = edges
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val consts = broadcast(edgesDeg.agg(countDistinct(col("src")).as("n")).select(
+      expr(s"((CAST($PagerankScale AS BIGINT) * 15) div 100) div n").as("base"),
+      expr(s"CAST($PagerankScale AS BIGINT) div n").as("init")))
+    val init0 = edgesDeg.select(col("src").as("node")).distinct()
+      .crossJoin(consts)
+      .select(col("node"), col("init").as("rank"), col("base"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    init0.count()
+    val ranks = s.createDataFrame(init0.rdd, init0.schema)
+    (pagerankRound(edgesDeg, ranks, broadcast), Seq(edgesDeg, init0))
   }
 
   /** Round cap for [[pagerankDirected]] — the oracle unrolls exactly this
@@ -343,8 +401,12 @@ object IterativeQueries {
   private[graft] def pagerankDirectedFrom(spark: SparkSession, edges: DataFrame,
       maxRounds: Int = PagerankDirectedIters): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
+    // cached re-keyed on dst for the same reason as [[pagerankFrom]]: the
+    // rank join is broadcast, and dst partitioning makes every round's
+    // contribution groupBy exchange-free
     val edgesDeg = edges
       .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node universe with out-degree (0 = dangling sink), one row per node
     val nodeDeg = edgesDeg.select(col("src").as("node"), col("deg").as("odeg"))
@@ -355,8 +417,11 @@ object IterativeQueries {
       col("n"),
       expr(s"((CAST($PagerankScale AS BIGINT) * 15) div 100) div n").as("base"),
       expr(s"CAST($PagerankScale AS BIGINT) div n").as("init")))
+    // `base` and `n` are joined once here and carried as columns of every
+    // generation (constant per graph): a per-round crossJoin(consts) would
+    // re-aggregate nodeDeg every round for values that never change
     val init0 = nodeDeg.crossJoin(consts)
-      .select(col("node"), col("odeg"), col("init").as("rank"))
+      .select(col("node"), col("odeg"), col("init").as("rank"), col("base"), col("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the rank vector and the contrib frame are both NODE-count bounded,
     // but they surface as LogicalRDDs (no stats), so the planner would
@@ -367,6 +432,7 @@ object IterativeQueries {
     // joins fall back to the shuffled form, where only the rank vector
     // moves. Same rows either way; this is the hint AQE would derive if
     // the generations carried statistics.
+    spark.sparkContext.setJobDescription("pagerank_directed: build edges+degrees")
     val bcast = nodeDeg.count() <= BroadcastNodeCap
     def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var ranks = spark.createDataFrame(init0.rdd, init0.schema)
@@ -375,30 +441,86 @@ object IterativeQueries {
     var fixpoint = false
     while (round < maxRounds && !fixpoint) {
       round += 1
-      // the mass stranded on sinks this round: 1-row, broadcast
-      val dm = broadcast(ranks.filter(col("odeg") === 0)
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm")))
-      val contrib = edgesDeg
-        .join(hinted(ranks.select(col("node"), col("rank"))), col("src") === col("node"))
-        .groupBy(col("dst")).agg(sum(expr("rank div deg")).as("contrib"))
-      val next = ranks.select(col("node"), col("odeg"), col("rank").as("prev"))
-        .join(hinted(contrib), col("node") === col("dst"), "left")
-        .crossJoin(dm).crossJoin(consts)
-        .select(col("node"), col("odeg"),
-          expr("base + (85 * (coalesce(contrib, CAST(0 AS BIGINT)) + dm div n)) div 100")
-            .as("rank"),
-          col("prev"))
-        .select(col("node"), col("odeg"), col("rank"),
-          (col("rank") =!= col("prev")).as("moved"))
+      spark.sparkContext.setJobDescription(s"pagerank_directed: round $round")
+      val next = pagerankDirectedRound(edgesDeg, ranks, hinted)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // materialize the generation; the same action answers "converged?"
-      fixpoint = next.filter(col("moved")).limit(1).count() == 0
+      // materialize the generation; the same action answers "converged?".
+      // A FULL count of the moved rows, not limit(1).count(): the limit
+      // form stops after the first matching partition, leaving most of the
+      // persisted generation UNMATERIALIZED — every later round then
+      // recomputes the missing partitions through the whole generation
+      // chain (measured as the per-round task-time ballooning 7 -> 68 s at
+      // sf0.1). The full count materializes every partition exactly once
+      // and still answers the fixpoint question.
+      fixpoint = next.filter(col("moved")).count() == 0
       backing.unpersist()
       backing = next
       ranks = spark.createDataFrame(next.rdd, next.schema)
     }
+    spark.sparkContext.setJobDescription("pagerank_directed: release")
     val out = ranks.select(col("node").as("partkey"), col("rank").as("pr_fixed"))
-    (Lifecycle.released(out, edgesDeg, nodeDeg, backing), round)
+    val released = (Lifecycle.released(out, edgesDeg, nodeDeg, backing), round)
+    spark.sparkContext.setJobDescription(null)
+    released
+  }
+
+  /** One synchronous directed round: dangling-mass 1-row broadcast,
+    * contribution aggregate over the once-partitioned edges, teleport +
+    * redistribution, moved flag. `base`/`n` ride the rank vector (constant
+    * per graph) — no per-round consts re-derivation. Shared by the loop and
+    * [[pagerankDirectedRoundPlan]].
+    */
+  private def pagerankDirectedRound(edgesDeg: DataFrame, ranks: DataFrame,
+      hinted: DataFrame => DataFrame): DataFrame = {
+    // the mass stranded on sinks this round: 1-row, broadcast
+    val dm = broadcast(ranks.filter(col("odeg") === 0)
+      .agg(coalesce(sum(col("rank")), lit(0L)).as("dm")))
+    val contrib = edgesDeg
+      .join(hinted(ranks.select(col("node"), col("rank"))), col("src") === col("node"))
+      .groupBy(col("dst")).agg(sum(expr("rank div deg")).as("contrib"))
+    ranks.select(col("node"), col("odeg"), col("rank").as("prev"),
+        col("base"), col("n"))
+      .join(hinted(contrib), col("node") === col("dst"), "left")
+      .crossJoin(dm)
+      .select(col("node"), col("odeg"),
+        expr("base + (85 * (coalesce(contrib, CAST(0 AS BIGINT)) + dm div n)) div 100")
+          .as("rank"),
+        col("prev"), col("base"), col("n"))
+      .select(col("node"), col("odeg"), col("rank"),
+        (col("rank") =!= col("prev")).as("moved"), col("base"), col("n"))
+  }
+
+  /** Lazy plan of one [[pagerankDirected]] round over the prepared inputs —
+    * plan evidence + plan-shape specs (the public entry materializes each
+    * generation). Returns (roundPlan, persisted barriers for the caller).
+    */
+  private[graft] def pagerankDirectedRoundPlan(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.storage.StorageLevel
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> transform(filter(ps, y -> x < y), " +
+          "y -> struct(x AS src, y AS dst))))")).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .distinct()
+    val edgesDeg = edges
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeDeg = edgesDeg.select(col("src").as("node"), col("deg").as("odeg"))
+      .unionAll(edgesDeg.select(col("dst").as("node"), lit(0L).as("odeg")))
+      .groupBy(col("node")).agg(max(col("odeg")).as("odeg"))
+    val consts = broadcast(nodeDeg.agg(count(lit(1)).as("n")).select(
+      col("n"),
+      expr(s"((CAST($PagerankScale AS BIGINT) * 15) div 100) div n").as("base"),
+      expr(s"CAST($PagerankScale AS BIGINT) div n").as("init")))
+    val init0 = nodeDeg.crossJoin(consts)
+      .select(col("node"), col("odeg"), col("init").as("rank"), col("base"), col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    init0.count()
+    val ranks = s.createDataFrame(init0.rdd, init0.schema)
+    (pagerankDirectedRound(edgesDeg, ranks, broadcast), Seq(edgesDeg, init0))
   }
 
   /** Per-node triangle counts + local clustering coefficient over the
@@ -526,13 +648,22 @@ object IterativeQueries {
     var surv = spark.createDataFrame(gen0.rdd, gen0.schema)
     var backing = gen0
     var prev = gen0.count()
+    // the survivor frame is node-count bounded but surfaces as a LogicalRDD
+    // (no stats), so the planner would sort-merge the full edge frame
+    // against it EVERY round — the pagerank broadcast dial, applied to the
+    // two per-round semi joins: below the cap each round is one map-side
+    // pass over the once-partitioned edges (src partitioning feeds the
+    // degree groupBy exchange-free), above it the joins fall back to the
+    // shuffled form where only the survivor vector moves.
+    val bcast = prev <= BroadcastNodeCap
+    def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var round = 0
     var fixpoint = false
     while (round < maxRounds && !fixpoint) {
       round += 1
       val next = edges
-        .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .join(hinted(surv.select(col("node").as("src"))), Seq("src"), "left_semi")
+        .join(hinted(surv.select(col("node").as("dst"))), Seq("dst"), "left_semi")
         .groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("src").as("node"))
@@ -545,11 +676,37 @@ object IterativeQueries {
       prev = cur
     }
     val out = edges
-      .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
-      .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .join(hinted(surv.select(col("node").as("src"))), Seq("src"), "left_semi")
+      .join(hinted(surv.select(col("node").as("dst"))), Seq("dst"), "left_semi")
       .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))
     Lifecycle.released(out, edges, backing)
+  }
+
+  /** Lazy plan of one [[kcore]] peeling round over the prepared inputs —
+    * plan evidence (the public entry materializes each generation). Returns
+    * (roundPlan, persisted barriers for the caller).
+    */
+  private[graft] def kcoreRoundPlan(s: SparkSession, dir: String,
+      k: Int = KcoreK): (DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.storage.StorageLevel
+    val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val pe = supportPairs(li)
+    val edges = pe.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pe.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gen0 = edges.select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    gen0.count()
+    val surv = s.createDataFrame(gen0.rdd, gen0.schema)
+    val round = edges
+      .join(broadcast(surv.select(col("node").as("src"))), Seq("src"), "left_semi")
+      .join(broadcast(surv.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k)
+      .select(col("src").as("node"))
+    (round, Seq(edges, gen0))
   }
 
   /** The [[kcore]] rounds unrolled as a MATERIALIZED CTE chain (same
