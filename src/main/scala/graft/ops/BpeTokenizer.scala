@@ -68,7 +68,7 @@ object BpeTokenizer {
     * RDD task-serialization recursion (which overflows the stack near 60
     * chained wrappers). One vocab-sized materialization per window.
     */
-  private val TruncateEvery = 16
+  private val TruncateEvery = 6
 
   /** The pinned merge table consumed by [[tokens]] and [[TokenCounter.Bpe]]:
     * the [[learnFrom]] output on the sf0.01 `documents` corpus (round-9
@@ -182,6 +182,17 @@ object BpeTokenizer {
       .selectExpr("w", "cnt", s"$alphabet AS ss")
       .coalesce(1)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the corpus aggregation (the only corpus-sized work) while
+    // AQE is still on, then run the merge loop with AQE OFF: every round is
+    // 1-2 micro-stages over the single-partition vocabulary-bounded state,
+    // and AQE's per-stage re-planning + materialization barriers are pure
+    // driver latency there — measured as the dominant cost of the loop
+    // (task time ~1.3 s vs ~8 s wall at sf0.1; round count is a vocabulary
+    // property, so this overhead does NOT amortize with corpus scale). The
+    // previous setting is restored in the finally.
+    vocab.count()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     // the state chain needs TWO growth bounds for large merge tables:
     // plan-side, the barriered splice projections stack one per round (the
     // argmax would re-analyze r projections at round r); RDD-side, every
@@ -193,6 +204,7 @@ object BpeTokenizer {
     var state: DataFrame = vocab
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var exhausted = false
+    try {
     for (r <- 1 to nMerges if !exhausted) {
       // the 1-row argmax is the round's only driver-side data (loop-control
       // statistic, like the doubling loops' changed flag)
@@ -215,7 +227,10 @@ object BpeTokenizer {
         if (r % TruncateEvery == 0) state = Lifecycle.released(state)
       }
     }
-    vocab.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      vocab.unpersist()
+    }
     import spark.implicits._
     merges.toSeq.toDF("rank", "pair", "n").selectExpr(
       "CAST(rank AS INT) AS rank", "pair", "CAST(n AS BIGINT) AS n")
