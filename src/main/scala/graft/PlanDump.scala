@@ -25,6 +25,10 @@ object PlanDump {
     "dedup_embedding_lsh" -> (() => ops.DedupQueries.dedupEmbeddingLshPlan(s, dir)._1),
     // iterative kernels: the plan that runs N times per query is the ROUND
     // plan over the prepared inputs, dumped as <name>_round
+    "mm_ahash_dedup" -> (() => ops.MultimodalQueries.ahashDedupFrom(
+      ops.Tables(s, dir, "documents")
+        .selectExpr("doc_id", "CAST(text AS BINARY) AS media"))._1),
+    "mm_frame_dedup" -> (() => ops.MultimodalQueries.frameDedupPlan(s, dir)._1),
     "q_pagerank_round" -> (() => ops.IterativeQueries.pagerankRoundPlan(s, dir)._1),
     "q_pagerank_directed_round" -> (() => ops.IterativeQueries.pagerankDirectedRoundPlan(s, dir)._1),
     "q_kcore_round" -> (() => ops.IterativeQueries.kcoreRoundPlan(s, dir)._1),

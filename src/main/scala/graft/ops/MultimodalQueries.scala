@@ -183,22 +183,26 @@ object MultimodalQueries {
       "4x15 banding is lossless only for hamming <= 3")
     val sigs = ahashSigsFrom(media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sigs.selectExpr("doc_id",
+    // the 8-byte sig RIDES the band rows, so the verify step is computed
+    // directly on the band join's output — no join-back against the
+    // signature table per side (two whole shuffled joins dropped; guide
+    // §2.3 "shuffle keys and metadata instead of payloads" in reverse: the
+    // metadata IS small enough to ship). The exact-hamming filter then runs
+    // BEFORE the distinct, so the dedup shuffle carries only verified
+    // pairs; hamming is a function of (doc_a, doc_b), so distinct over
+    // (pair, hamming) has exactly the old candidate-distinct's cardinality.
+    val bands = sigs.selectExpr("doc_id", "sig",
       "explode(transform(sequence(0, 3), b -> " +
         "struct(b AS band, shiftright(sig, 15 * b) & 32767 AS bkey))) AS c")
-      .select(col("doc_id"), col("c.band").as("band"), col("c.bkey").as("bkey"))
-    val cand = bands.as("a")
+      .select(col("doc_id"), col("sig"), col("c.band").as("band"), col("c.bkey").as("bkey"))
+    val out = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val out = cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .selectExpr("doc_a", "doc_b", "CAST(bit_count(sig_a ^ sig_b) AS INT) AS hamming")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.sig ^ b.sig) AS INT)").as("hamming"))
       .filter(col("hamming") <= hammingMax)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
     (out, sigs)
   }
 
@@ -223,6 +227,15 @@ object MultimodalQueries {
     * granularity ladder.
     */
   def frameDedup(s: SparkSession, dir: String, hammingMax: Int = 3): DataFrame = {
+    val (out, sigs) = frameDedupPlan(s, dir, hammingMax)
+    Lifecycle.released(out, sigs)
+  }
+
+  /** [[frameDedup]]'s lazy plan twin: (result, persisted signature barrier)
+    * — callers release the barrier (the public entry checkpoints).
+    */
+  private[graft] def frameDedupPlan(s: SparkSession, dir: String,
+      hammingMax: Int = 3): (DataFrame, DataFrame) = {
     require(hammingMax >= 0 && hammingMax < 4,
       "4x15 banding is lossless only for hamming <= 3")
     graft.functions.GraftFunctions.registerAll(s)
@@ -246,27 +259,28 @@ object MultimodalQueries {
           "md5(concat(seed, '2')), md5(concat(seed, '3')))) AS media")
     val sigs = frames.selectExpr("doc_id", "frame_idx", "ahash60(media) AS sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sigs.selectExpr("doc_id", "frame_idx",
+    // sig rides the band rows (the [[ahashDedupFrom]] shape, one granularity
+    // down): hamming is verified straight off the band join — the two
+    // (doc, frame)-keyed join-backs are gone — and the exact filter runs
+    // before the frame-pair distinct, which keeps its old cardinality
+    // because hamming is a function of the frame pair.
+    val bands = sigs.selectExpr("doc_id", "frame_idx", "sig",
       "explode(transform(sequence(0, 3), b -> " +
         "struct(b AS band, shiftright(sig, 15 * b) & 32767 AS bkey))) AS c")
-      .select(col("doc_id"), col("frame_idx"), col("c.band").as("band"), col("c.bkey").as("bkey"))
-    val cand = bands.as("a")
+      .select(col("doc_id"), col("frame_idx"), col("sig"),
+        col("c.band").as("band"), col("c.bkey").as("bkey"))
+    val out = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("a.frame_idx").as("fa"),
-        col("b.doc_id").as("doc_b"), col("b.frame_idx").as("fb"))
-      .distinct()
-    val out = cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("frame_idx").as("fa"),
-        col("sig").as("sig_a")), Seq("doc_a", "fa"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("frame_idx").as("fb"),
-        col("sig").as("sig_b")), Seq("doc_b", "fb"))
-      .selectExpr("doc_a", "doc_b", "CAST(bit_count(sig_a ^ sig_b) AS INT) AS hamming")
+        col("b.doc_id").as("doc_b"), col("b.frame_idx").as("fb"),
+        expr("CAST(bit_count(a.sig ^ b.sig) AS INT)").as("hamming"))
       .filter(col("hamming") <= hammingMax)
+      .distinct()
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_frames"), min(col("hamming")).as("min_hamming"))
-    Lifecycle.released(out, sigs)
+    (out, sigs)
   }
 
   /** Deterministic grayscale pixel grids derived from `documents` — the
