@@ -138,7 +138,15 @@ object Bench {
     "dedup_substring", "dedup_substring_rewrite", "dedup_substring_docs",
     "emb_pca_power", "emb_pca_project", "emb_pca_topk", "emb_pca_project_topk",
     "emb_pca_whiten", "ann_pca_reduced", "ann_pca_recall",
-    "text_quality_train", "text_quality_train_cg", "text_quality_trained")
+    "text_quality_train", "text_quality_train_cg", "text_quality_trained",
+    // round 12: the similarity family's trained model parameters (IVF
+    // centroid tables, PQ codebooks) moved behind the same DriverMemo
+    // pattern — every entry below replays them after its family's first
+    // build, so each gets the forced-cold run-0 treatment too
+    "ann_ivf", "ann_ivf_incremental", "ann_recall", "ann_pq", "ann_ivfpq",
+    "ann_filtered_ivf", "ann_filtered_ivf_recall",
+    "ann_filtered_ivfpq", "ann_filtered_ivfpq_recall",
+    "emb_kmeans", "emb_semantic_dedup", "ann_ivf_delete", "ann_ivf_delete_recall")
 
   /** Timed runs per query; the reported time is the median, so one GC pause /
     * noisy-neighbor stall in the sandbox no longer poisons the recorded

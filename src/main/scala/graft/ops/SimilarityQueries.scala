@@ -256,9 +256,25 @@ object SimilarityQueries {
     * probed buckets — always bucket-blocked, never all-pairs. See
     * [[annRecall]] for the measured recall against [[annBruteForce]].
     */
+  /** The trained model parameters of the similarity family — centroid
+    * tables and PQ codebooks, k x dim / m x codes x subdim longs (KBs at any
+    * corpus scale) — shared across the catalog entries that search one
+    * logical index, via the blessed [[DriverMemo]] pattern (the PCA chain
+    * precedent). A production session KEEPS its trained coarse quantizer —
+    * it IS the stored index state ([[annIvfIncremental]] already freezes
+    * it); re-deriving the Lloyd/codebook chain per entry re-ran a ~15-job
+    * nested-broadcast cascade for bit-identical rows. The first consumer
+    * pays the full chain (Bench archives it as the `cold` number); replays
+    * are a local relation — statistics-bearing, trivially broadcastable,
+    * nothing cached (CacheLifecycleSpec's contract).
+    */
+  private val indexMemo = new DriverMemo[(String, String)]
+
+  private[graft] def indexMemoInvalidate(): Unit = indexMemo.invalidate()
+
   /** Shared IVF index build: per-vector projections (widened, quantized,
     * norm) behind a persist barrier, seeded centroids, `cfg.iters` Lloyd
-    * rounds. Returns (emb, centroids) — both persisted.
+    * rounds. Returns (emb [persisted], centroids [memoized local relation]).
     */
   private def buildIndex(s: SparkSession, dir: String, cfg: IvfConfig): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(s)
@@ -266,11 +282,14 @@ object SimilarityQueries {
       .selectExpr("vec_id", s"$toDouble AS v", s"$qExpr AS q")
       .selectExpr("vec_id", "v", "q", s"${norm("v")} AS nv") // once per vector, behind the persist
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids = emb.filter(col("vec_id") < cfg.k)
-      .selectExpr("vec_id AS cid", "q AS s", "CAST(1 AS BIGINT) AS cnt")
-    for (_ <- 1 to cfg.iters)
-      centroids = recomputeCentroids(assignBuckets(emb, centroids))
-    (emb, centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val centroids = indexMemo.cached(s, (dir, s"ivf-${cfg.k}-${cfg.iters}")) {
+      var c = emb.filter(col("vec_id") < cfg.k)
+        .selectExpr("vec_id AS cid", "q AS s", "CAST(1 AS BIGINT) AS cnt")
+      for (_ <- 1 to cfg.iters)
+        c = recomputeCentroids(assignBuckets(emb, c))
+      c
+    }
+    (emb, centroids)
   }
 
   def annIvf(s: SparkSession, dir: String, cfg: IvfConfig = IvfConfig()): DataFrame = {
@@ -303,11 +322,15 @@ object SimilarityQueries {
       .selectExpr("vec_id", "v", "q", s"${norm("v")} AS nv")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = emb.filter(col("vec_id") % deltaMod =!= (deltaMod - 1))
-    var centroids = base.filter(col("vec_id") < cfg.k)
-      .selectExpr("vec_id AS cid", "q AS s", "CAST(1 AS BIGINT) AS cnt")
-    for (_ <- 1 to cfg.iters)
-      centroids = recomputeCentroids(assignBuckets(base, centroids))
-    val frozen = centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // base-corpus quantizer, memoized like [[buildIndex]]'s (distinct key:
+    // it is trained on the base stratum only)
+    val frozen = indexMemo.cached(s, (dir, s"ivf-inc-${cfg.k}-${cfg.iters}-$deltaMod")) {
+      var c = base.filter(col("vec_id") < cfg.k)
+        .selectExpr("vec_id AS cid", "q AS s", "CAST(1 AS BIGINT) AS cnt")
+      for (_ <- 1 to cfg.iters)
+        c = recomputeCentroids(assignBuckets(base, c))
+      c
+    }
     val out = emb.filter(col("vec_id") % deltaMod === (deltaMod - 1))
       .crossJoin(broadcast(frozen))
       .selectExpr("vec_id", "cid", s"CAST(${idot("q", "s")} AS DOUBLE) / cnt AS score")
@@ -486,15 +509,20 @@ object SimilarityQueries {
         .groupBy(col("vec_id"), col("sub"))
         .agg(first(col("qs")).as("qs"),
           expr("max_by(code, named_struct('score', score, 'negcode', -code))").as("code"))
-    val cb1 = assign(cb0)
-      .select(col("sub"), col("code"), posexplode(col("qs")))
-      .groupBy(col("sub"), col("code"), col("pos"))
-      .agg(sum(col("col")).as("sm"), count(lit(1)).as("cnt"))
-      .groupBy(col("sub"), col("code"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("sm")))).as("ps"),
-        min(col("cnt")).as("cnt"))
-      .selectExpr("sub", "code", "transform(ps, p -> p.sm) AS s", "cnt")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // trained codebook, memoized (m x codes x subdim longs — KBs). The key
+    // ignores qSource deliberately: both sources are the SAME qExpr over the
+    // same embeddings table, so the sub-vector values (hence the trained
+    // codebook) are bit-identical either way.
+    val cb1 = indexMemo.cached(s, (dir, s"pq-${cfg.m}-${cfg.codes}")) {
+      assign(cb0)
+        .select(col("sub"), col("code"), posexplode(col("qs")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("col")).as("sm"), count(lit(1)).as("cnt"))
+        .groupBy(col("sub"), col("code"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("sm")))).as("ps"),
+          min(col("cnt")).as("cnt"))
+        .selectExpr("sub", "code", "transform(ps, p -> p.sm) AS s", "cnt")
+    }
     val encoded = assign(cb1).select(col("vec_id"), col("sub"), col("code"))
     val qtab = subs.filter(col("vec_id") < 10).join(broadcast(cb1), Seq("sub"))
       .selectExpr("vec_id AS query_id", "sub", "code",
