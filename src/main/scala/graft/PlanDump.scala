@@ -32,6 +32,29 @@ object PlanDump {
     "q_pagerank_round" -> (() => ops.IterativeQueries.pagerankRoundPlan(s, dir)._1),
     "q_pagerank_directed_round" -> (() => ops.IterativeQueries.pagerankDirectedRoundPlan(s, dir)._1),
     "q_kcore_round" -> (() => ops.IterativeQueries.kcoreRoundPlan(s, dir)._1),
+    // rich-arm Jaccard verification (lazy: candidates + verify join, the
+    // part the graft_overlap change restructured)
+    "dedup_jaccard_rich_verify" -> { () =>
+      val (docs, cand) = ops.DedupQueries.jaccardPrefixCandidates(
+        ops.TextQueries.richCorpus(s, dir))
+      ops.DedupQueries.jaccardVerified(docs, cand)
+        .filter(org.apache.spark.sql.functions.expr("inter * 2 >= union_sz"))
+    },
+    // r11-shape reconstruction of the same verify join (commit c3e5bee,
+    // DedupQueries.scala:482-488): array_intersect evaluated per output
+    // column. Expressions copied verbatim from `git show c3e5bee`.
+    "dedup_jaccard_rich_verify_r11shape" -> { () =>
+      val (docs, cand) = ops.DedupQueries.jaccardPrefixCandidates(
+        ops.TextQueries.richCorpus(s, dir))
+      import org.apache.spark.sql.functions.{col, expr}
+      cand
+        .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+        .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+        .selectExpr("doc_a", "doc_b",
+          "CAST(size(array_intersect(da.tset, db.tset)) AS BIGINT) AS inter",
+          "CAST(size(da.tset) + size(db.tset) - size(array_intersect(da.tset, db.tset)) AS BIGINT) AS union_sz")
+        .filter(expr("inter * 2 >= union_sz"))
+    },
     // r11-shape reconstruction of the pagerank round (commit c3e5bee,
     // IterativeQueries.scala:236-280): edges cached on the WINDOW's src
     // partitioning (no dst re-key) and per-round crossJoin(consts) — the

@@ -32,6 +32,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_overlap", exprs => ArrayOverlap(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ahash60", exprs => AHash60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "phash60", exprs => PHash60(exprs.head), "built-in")
@@ -236,6 +238,85 @@ case class Hash60(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "hash60"
   override protected def withNewChildInternal(newChild: Expression): Hash60 = copy(child = newChild)
+}
+
+/** Codegen'd set-overlap sizes over two equally-typed arrays
+  * (`ARRAY<STRING>` or `ARRAY<BIGINT>`): one hash pass returning
+  * `STRUCT<inter INT, union_sz INT>` with EXACTLY
+  * `size(array_intersect(a, b))` / `size(array_union(a, b))` semantics
+  * (distinct elements; a null element counts once when present per side).
+  * Replaces the pattern that evaluated `array_intersect` twice per pair
+  * (once for `inter`, once inside `union_sz`) and materialized the
+  * intersection/union ARRAYS only to take their sizes — the Jaccard
+  * verification joins' dominant allocation source (measured 24 s of GC on
+  * the rich-arm stats entry at sf0.1).
+  */
+case class ArrayOverlap(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("inter", IntegerType, nullable = false),
+    StructField("union_sz", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+
+  private lazy val elemIsString: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if lt == rt && (lt == StringType || lt == LongType) => TypeCheckSuccess
+      case (l, r) => TypeCheckFailure(
+        s"graft_overlap expects two ARRAY<STRING> or two ARRAY<BIGINT>, got ${l.catalogString} / ${r.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ArrayOverlapImpl.overlap(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      elemIsString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayOverlapImpl.overlap($a, $b, $elemIsString)")
+
+  override def prettyName: String = "graft_overlap"
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayOverlap =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayOverlapImpl {
+  /** static entry shared by interpreted + generated code */
+  def overlap(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData,
+              isString: Boolean): InternalRow = {
+    val setA = new java.util.HashSet[Any]()
+    var nullA = false
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (a.isNullAt(i)) nullA = true
+      else setA.add(if (isString) a.getUTF8String(i) else a.getLong(i))
+      i += 1
+    }
+    var union = setA.size + (if (nullA) 1 else 0)
+    var inter = 0
+    var nullB = false
+    val seenB = new java.util.HashSet[Any]()
+    val nb = b.numElements()
+    i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) {
+        if (!nullB) { nullB = true; if (nullA) inter += 1 else union += 1 }
+      } else {
+        val e: Any = if (isString) b.getUTF8String(i) else b.getLong(i)
+        if (seenB.add(e)) { if (setA.contains(e)) inter += 1 else union += 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](inter, union))
+  }
 }
 
 /** Codegen'd vector dot product over two equally-typed arrays

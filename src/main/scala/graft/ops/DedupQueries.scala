@@ -310,12 +310,16 @@ object DedupQueries {
     val docs = shs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = minhashCandidatesFrom(docs, cfg)
     val sets = docs
+    // one hash pass per pair (codegen'd ArrayOverlap) instead of separate
+    // array_intersect + array_union materializations; shs may carry
+    // duplicate shingles — the overlap's distinct-set semantics match the
+    // intersect/union builtins exactly. Barrier: evaluated once, not per
+    // consumer field (CollapseProject).
     val verified = candidates
       .join(sets.as("pa"), col("doc_a") === col("pa.doc_id"))
       .join(sets.as("pb"), col("doc_b") === col("pb.doc_id"))
-      .selectExpr("doc_a", "doc_b",
-        "size(array_intersect(pa.shs, pb.shs)) AS inter",
-        "size(array_union(pa.shs, pb.shs)) AS union_sz")
+      .selectExpr("doc_a", "doc_b", "graft_barrier(graft_overlap(pa.shs, pb.shs)) AS o")
+      .selectExpr("doc_a", "doc_b", "o.inter AS inter", "o.union_sz AS union_sz")
       .filter(col("inter") * 5 >= col("union_sz"))
     Lifecycle.released(verified, docs, tks)
   }
@@ -437,6 +441,7 @@ object DedupQueries {
 
   /** The PPJoin kernel over any (doc_id, lang, text) frame. */
   def dedupJaccardPrefixFrom(docsIn: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(docsIn.sparkSession)
     val (docs, candidates) = jaccardPrefixCandidates(docsIn)
     val verified = jaccardVerified(docs, candidates)
       .filter(col("inter") * 2 >= col("union_sz"))
@@ -451,7 +456,7 @@ object DedupQueries {
     * single-consumer callers use it inline, the stats kernel persists it
     * for its two consumers).
     */
-  private def jaccardPrefixCandidates(docsIn: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def jaccardPrefixCandidates(docsIn: DataFrame): (DataFrame, DataFrame) = {
     val docs = docsIn
       .selectExpr("doc_id", "lang", s"array_distinct($toks) AS tset")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -477,15 +482,22 @@ object DedupQueries {
   }
 
   /** The verification join over (docs, candidates): per pair, the exact
-    * intersection and union sizes (pre-threshold).
+    * intersection and union sizes (pre-threshold). One hash pass per pair
+    * via the codegen'd [[graft.functions.ArrayOverlap]] — the previous
+    * spelling evaluated `array_intersect` twice (inter + union) and
+    * materialized the intersection array just to size it. `tset` is
+    * distinct, so |A|+|B|-inter == the overlap union — identical values.
+    * The barrier keeps the struct evaluated once (CollapseProject would
+    * otherwise substitute it into each consumer field/filter).
     */
-  private def jaccardVerified(docs: DataFrame, candidates: DataFrame): DataFrame =
+  private[graft] def jaccardVerified(docs: DataFrame, candidates: DataFrame): DataFrame =
     candidates
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
       .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .selectExpr("doc_a", "doc_b", "graft_barrier(graft_overlap(da.tset, db.tset)) AS o")
       .selectExpr("doc_a", "doc_b",
-        "CAST(size(array_intersect(da.tset, db.tset)) AS BIGINT) AS inter",
-        "CAST(size(da.tset) + size(db.tset) - size(array_intersect(da.tset, db.tset)) AS BIGINT) AS union_sz")
+        "CAST(o.inter AS BIGINT) AS inter",
+        "CAST(o.union_sz AS BIGINT) AS union_sz")
 
   /** The PPJoin pipeline on the RICH-vocabulary arm
     * ([[TextQueries.richCorpus]]): with thousands of distinct words the
@@ -512,6 +524,7 @@ object DedupQueries {
     * GrowthCurve "rich" arm's measurement probe.
     */
   private[graft] def dedupJaccardPrefixStatsFrom(docsIn: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(docsIn.sparkSession)
     val (docs, cand) = jaccardPrefixCandidates(docsIn)
     val candidates = cand
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
