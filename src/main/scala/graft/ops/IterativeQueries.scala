@@ -212,18 +212,20 @@ object IterativeQueries {
     */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    // per-order pair expansion via ONE groupBy + explode instead of a
-    // self-join: the fact table is read and shuffled once (a self-join
+    // per-order pair expansion via ONE groupBy + a DOUBLE explode instead of
+    // a self-join: the fact table is read and shuffled once (a self-join
     // reads it twice and sorts both sides); fan-out is quadratic only in
-    // the order's line count (bounded ≤ 7 in TPC-H shapes). collect_list
-    // order is partition-dependent, but the expansion is immediately
-    // distinct-ed into a SET of pairs — order-independent by construction.
+    // the order's line count (bounded ≤ 7 in TPC-H shapes). Two flat
+    // Generate nodes (explode the set, then explode the per-element filter)
+    // replace the earlier nested transform/flatten lambda, which built an
+    // array-of-array-of-struct per order in the interpreted HOF evaluator
+    // before exploding it. collect_set order is partition-dependent, but
+    // the expansion is immediately distinct-ed into a SET of pairs —
+    // order-independent by construction.
     val edges = li.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, x -> transform(filter(ps, y -> y != x), " +
-          "y -> struct(x AS src, y AS dst))))")).as("e"))
-      .select(col("e.src"), col("e.dst"))
+      .select(col("ps"), explode(col("ps")).as("src"))
+      .select(col("src"), explode(expr("filter(ps, y -> y != src)")).as("dst"))
       .distinct()
     pagerankFrom(edges)
   }
@@ -316,10 +318,8 @@ object IterativeQueries {
     val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val edges = li.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, x -> transform(filter(ps, y -> y != x), " +
-          "y -> struct(x AS src, y AS dst))))")).as("e"))
-      .select(col("e.src"), col("e.dst"))
+      .select(col("ps"), explode(col("ps")).as("src"))
+      .select(col("src"), explode(expr("filter(ps, y -> y != src)")).as("dst"))
       .distinct()
     val edgesDeg = edges
       .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
@@ -386,10 +386,8 @@ object IterativeQueries {
     val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val edges = li.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, x -> transform(filter(ps, y -> x < y), " +
-          "y -> struct(x AS src, y AS dst))))")).as("e"))
-      .select(col("e.src"), col("e.dst"))
+      .select(col("ps"), explode(col("ps")).as("src"))
+      .select(col("src"), explode(expr("filter(ps, y -> y > src)")).as("dst"))
       .distinct()
     pagerankDirectedFrom(s, edges)._1
   }
@@ -499,10 +497,8 @@ object IterativeQueries {
     val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val edges = li.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, x -> transform(filter(ps, y -> x < y), " +
-          "y -> struct(x AS src, y AS dst))))")).as("e"))
-      .select(col("e.src"), col("e.dst"))
+      .select(col("ps"), explode(col("ps")).as("src"))
+      .select(col("src"), explode(expr("filter(ps, y -> y > src)")).as("dst"))
       .distinct()
     val edgesDeg = edges
       .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src"))))
@@ -562,10 +558,9 @@ object IterativeQueries {
   private def supportPairs(li: DataFrame): DataFrame =
     li.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, x -> transform(filter(ps, y -> x < y), " +
-          "y -> struct(x AS u, y AS v))))")).as("e"))
-      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .select(col("ps"), explode(col("ps")).as("u"))
+      .select(col("u"), explode(expr("filter(ps, y -> y > u)")).as("v"))
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .select(col("u"), col("v"))
