@@ -295,29 +295,36 @@ object Bench {
     val flaggedRuns = results.collect { case (k, _, _, true, _, _, raw) =>
       "\"" + k + "\":" + raw.map(t => f"$t%.3f").mkString("[", ",", "]") }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // cold_total (round-12 verdict #9): the suite total with every memoized
+    // entry's warm-replay median replaced by its forced-cold run-0 time, so
+    // cross-round comparisons of the DriverMemo families are one-glance
+    // honest (the warm median measures replay policy, not compute).
+    val coldTotal = results.map { case (k, med, _, _, c, _, _) =>
+      if (memoized(k)) c else med }.sum
     // honesty fields: totals recorded under external load are garbage (see
     // ROADMAP's bench cautions) — "loads" archives each query's 1-min load
     // average at measurement start (plus the run-level end value) so a
     // polluted number is self-identifying in the archived JSON;
     // "rerun_exhausted" lists queries whose median never came within
     // RerunRatio of their floor even after MaxReruns full re-measurements.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold":$colds,"loads":$loads,"tm_fields":$tmFields,"tm":$tms,"flagged_runs":$flaggedRuns,"rerun_exhausted":$flagged,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}"""
-    println(line)
-    // tail-capture-proofing: archives that keep only the LAST N chars of
-    // output (the driver's does) would otherwise truncate the headline away
-    // behind the per-query dict — so (a) the full JSON is also written to a
-    // local file, and (b) a compact summary line prints AFTER the full line
-    // so any tail capture contains the total.
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal%.3f,"loads":$loads,"tm_fields":$tmFields,"tm":$tms,"flagged_runs":$flaggedRuns,"rerun_exhausted":$flagged,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}"""
+    // the full everything-included JSON is written to a local file first
+    // (SPARK_GRAFT_BENCH_OUT fallback, kept from prior rounds)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
       line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] could not write BENCH_LOCAL.json: ${e.getMessage}") }
-    // flagged queries' flight-recorder windows + per-run walls ride the
-    // compact tail line too: the driver's archive keeps only the output
-    // tail, and an anomalous query's diagnostics must survive that capture
+    // Stdout line ORDER (round-12 verdict #1 — the driver's parser never got
+    // per-query data in 4 rounds): diagnostics first, compact total line
+    // next, and the contract line {"metric":"total",...,"queries":...} LAST,
+    // so the genuinely final stdout line is the full per-query JSON
+    // (build.sbt's StdoutOutput/showSuccess strip sbt's decoration around it).
     val flaggedTm = results.collect { case (k, _, _, true, _, tm, _) =>
       "\"" + k + "\":" + tm.mkString("[", ",", "]") }.mkString("{", ",", "}")
-    println(f"""{"metric":"total_tail","value":$total%.3f,"unit":"sec","n":${results.length},"rerun_exhausted":$flagged,"flagged_tm":$flaggedTm,"flagged_runs":$flaggedRuns,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"bench_diag","loads":$loads,"tm_fields":$tmFields,"tm":$tms,"flagged_tm":$flaggedTm,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total_tail","value":$total%.3f,"unit":"sec","n":${results.length},"cold_total":$coldTotal%.3f,"rerun_exhausted":$flagged,"flagged_runs":$flaggedRuns,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold":$colds,"cold_total":$coldTotal%.3f,"rerun_exhausted":$flagged,"loadavg_end":${load1()}%.2f,"sf":"$sfDir"}""")
+    Console.out.flush()
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(ckptDir.toFile)
   }

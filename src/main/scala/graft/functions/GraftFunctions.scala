@@ -43,6 +43,20 @@ object GraftFunctions {
       "box_resize", exprs => BoxResize(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_sum", exprs => ByteSum(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_mass",
+      exprs => GramMass(exprs.head, foldableInt(exprs(1), "graft_gram_mass n")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngrams",
+      exprs => Ngrams(exprs.head, foldableInt(exprs(1), "graft_ngrams n")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow_fps",
+      exprs => WinnowFps(exprs.head,
+        foldableInt(exprs(1), "graft_winnow_fps k"),
+        foldableInt(exprs(2), "graft_winnow_fps w")),
+      "built-in")
     // Spark's own runtime-filter bloom sketch, exposed in SQL: the aggregate
     // builds the filter as one BINARY value (mergeable partials — no row
     // shuffle, only sketch bytes move), and the probe side consumes it via a
@@ -69,6 +83,11 @@ object GraftFunctions {
   private def foldableString(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, StringType) => s.toString
     case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  private def foldableInt(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
   /** Column-API surface (requires [[registerAll]] on the session first —
@@ -694,5 +713,237 @@ object ByteSumImpl {
     var i = 0
     while (i < bytes.length) { acc += bytes(i) & 0xffL; i += 1 }
     acc
+  }
+}
+
+/** Codegen'd per-document n-gram character-mass statistics over a token
+  * array: `graft_gram_mass(tokens, n)` returns
+  * `STRUCT<top_chars BIGINT, dup_chars BIGINT>` where, over the document's
+  * n-grams (token windows joined with ' ', exactly
+  * `array_join(slice(t, i, n), ' ')` including its skip-null semantics),
+  *
+  *   - `top_chars` = cnt · length(gram) of the single most common gram
+  *     (ties broken gram-ascending in UTF8 binary order — the
+  *     `row_number() OVER (ORDER BY cnt DESC, g ASC)` rule);
+  *   - `dup_chars` = Σ cnt · length(gram) over grams with cnt ≥ 2.
+  *
+  * Both are 0 when the document has fewer than n tokens (the old
+  * formulation's absent-row/`coalesce(_, 0)` case). This replaces the
+  * Gopher-repetition per-arm pipeline — interpreted
+  * `transform(sequence, slice, array_join)` explode, a (doc, gram) shuffle,
+  * a doc-keyed window for the top gram, a second aggregation for the dup
+  * mass, and two joins back — with ONE per-row pass and NO shuffle: every
+  * gram of a document lives in its own row's array (guide §2.4 "remove
+  * shuffles outright" / step-4 expression work).
+  */
+case class GramMass(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"graft_gram_mass window must be >= 1, got $n")
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_gram_mass expects ARRAY<STRING>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    GramMassImpl.mass(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramMassImpl.mass($c, $n)")
+
+  override def prettyName: String = "graft_gram_mass"
+  override protected def withNewChildInternal(newChild: Expression): GramMass =
+    copy(child = newChild)
+}
+
+object GramMassImpl {
+  private val Space = UTF8String.fromString(" ")
+
+  /** static kernel shared by interpreted + generated code */
+  def mass(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): InternalRow = {
+    val m = arr.numElements()
+    if (m < n) return new GenericInternalRow(Array[Any](0L, 0L))
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i + n <= m) {
+      var j = 0
+      while (j < n) {
+        parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      // concatWs skips null inputs — identical to array_join's null handling
+      val g = UTF8String.concatWs(Space, parts: _*)
+      val c = counts.get(g)
+      if (c == null) counts.put(g, Array(1L)) else c(0) += 1
+      i += 1
+    }
+    var topCnt = 0L
+    var topGram: UTF8String = null
+    var dup = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = e.getKey
+      val c = e.getValue()(0)
+      if (c > topCnt || (c == topCnt && g.compareTo(topGram) < 0)) { topCnt = c; topGram = g }
+      if (c >= 2) dup += c * g.numChars()
+    }
+    new GenericInternalRow(Array[Any](topCnt * topGram.numChars(), dup))
+  }
+}
+
+/** Codegen'd n-gram builder over a token array: `graft_ngrams(tokens, n)`
+  * returns the `size - n + 1` space-joined token windows as ARRAY<STRING> —
+  * exactly `transform(sequence(1, size(t) - n + 1), i ->
+  * array_join(slice(t, i, n), ' '))` (skip-null join semantics included),
+  * but one tight loop instead of an interpreted higher-order chain that
+  * allocates a sequence array plus a slice copy per window. Empty array when
+  * the document has fewer than n tokens. Used by the gram-explode sites
+  * whose grams feed cross-document joins (decontaminate, ngram-dup) — the
+  * per-doc statistics sites use [[GramMass]]/[[WinnowFps]] instead.
+  */
+case class Ngrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"graft_ngrams window must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_ngrams expects ARRAY<STRING>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    NgramsImpl.grams(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramsImpl.grams($c, $n)")
+
+  override def prettyName: String = "graft_ngrams"
+  override protected def withNewChildInternal(newChild: Expression): Ngrams =
+    copy(child = newChild)
+}
+
+object NgramsImpl {
+  private val Space = UTF8String.fromString(" ")
+
+  /** static kernel shared by interpreted + generated code */
+  def grams(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int): GenericArrayData = {
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val parts = new Array[UTF8String](n)
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i + n <= m) {
+      var j = 0
+      while (j < n) {
+        parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003) over a
+  * token array: `graft_winnow_fps(tokens, k, w)` returns
+  * `ARRAY<STRUCT<fp BIGINT, n_windows BIGINT>>` — for each distinct window
+  * minimum over the k-gram hash60 stream, the number of windows that
+  * selected it, sorted fp-ascending (deterministic row set; the consumer
+  * explodes it). Bit-identical to the chain it replaces —
+  * `hash60(array_join(slice(tks, i, k), ' '))` per gram (skip-null join
+  * semantics included), `array_min(slice(hs, i, w))` per window, then
+  * `groupBy(doc_id, fp).count()` — but in ONE per-row pass (monotonic-deque
+  * sliding minimum) with no interpreted higher-order functions and NO
+  * groupBy shuffle: every window of a document lives in its own row.
+  * Empty array when the document has fewer than k + w - 1 tokens (the old
+  * `filter(size(tks) >= k+w-1)` drop).
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"graft_winnow_fps needs k, w >= 1, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("fp", LongType, nullable = false),
+    StructField("n_windows", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow_fps expects ARRAY<STRING>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowFpsImpl.fps(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowFpsImpl.fps($c, $k, $w)")
+
+  override def prettyName: String = "graft_winnow_fps"
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+object WinnowFpsImpl {
+  private val Space = UTF8String.fromString(" ")
+
+  /** static kernel shared by interpreted + generated code */
+  def fps(arr: org.apache.spark.sql.catalyst.util.ArrayData, k: Int, w: Int): GenericArrayData = {
+    val m = arr.numElements()
+    if (m < k + w - 1) return new GenericArrayData(Array.empty[Any])
+    val nGrams = m - k + 1
+    val hs = new Array[Long](nGrams)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i < nGrams) {
+      var j = 0
+      while (j < k) {
+        parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      hs(i) = Hash60Impl.hash(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    // sliding-window minimum via monotonic deque (O(nGrams) total), counting
+    // how many windows each distinct minimum VALUE wins
+    val counts = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    val deque = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < nGrams) {
+      while (!deque.isEmpty && hs(deque.peekLast()) >= hs(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - w) deque.pollFirst()
+      if (i >= w - 1) {
+        val fp = java.lang.Long.valueOf(hs(deque.peekFirst()))
+        val c = counts.get(fp)
+        if (c == null) counts.put(fp, Array(1L)) else c(0) += 1
+      }
+      i += 1
+    }
+    val fpsSorted = new Array[Long](counts.size())
+    val it = counts.keySet().iterator()
+    i = 0
+    while (it.hasNext) { fpsSorted(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(fpsSorted)
+    val out = new Array[Any](fpsSorted.length)
+    i = 0
+    while (i < fpsSorted.length) {
+      out(i) = new GenericInternalRow(
+        Array[Any](fpsSorted(i), counts.get(fpsSorted(i))(0)))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }

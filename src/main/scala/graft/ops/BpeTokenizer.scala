@@ -188,11 +188,15 @@ object BpeTokenizer {
     // and AQE's per-stage re-planning + materialization barriers are pure
     // driver latency there — measured as the dominant cost of the loop
     // (task time ~1.3 s vs ~8 s wall at sf0.1; round count is a vocabulary
-    // property, so this overhead does NOT amortize with corpus scale). The
-    // previous setting is restored in the finally.
+    // property, so this overhead does NOT amortize with corpus scale).
+    // The override lives in a CLONED session (same SparkContext, same
+    // cached blocks, separate SQLConf), not a toggle on the caller's shared
+    // session conf — a concurrent query on the same session would otherwise
+    // silently run with AQE off for the loop's duration (round-12 advice).
     vocab.count()
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val learner = spark.newSession()
+    learner.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.functions.GraftFunctions.registerAll(learner)
     // the state chain needs TWO growth bounds for large merge tables:
     // plan-side, the barriered splice projections stack one per round (the
     // argmax would re-analyze r projections at round r); RDD-side, every
@@ -201,7 +205,10 @@ object BpeTokenizer {
     // BOTH lineages at the cost of one vocab-sized materialization —
     // between truncation points the chain stays lazy (each argmax recomputes
     // at most TruncateEvery splices over the vocab frame).
-    var state: DataFrame = vocab
+    // the loop's state frame is rebuilt in the learner session from the
+    // materialized RDD (shared block store — no recompute): the whole merge
+    // loop plans and executes under the learner's AQE-off conf
+    var state: DataFrame = learner.createDataFrame(vocab.rdd, vocab.schema)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var exhausted = false
     try {
@@ -228,7 +235,6 @@ object BpeTokenizer {
       }
     }
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       vocab.unpersist()
     }
     import spark.implicits._

@@ -39,15 +39,13 @@ object DedupQueries {
 
   private val toks = Tokenize.Whitespace.sql("text") // pinned dial (see Tokenize)
   /** Word 3-shingles, distinct, from a materialized `tks` token-array
-    * attribute — never from a textual split, which would land inside the
-    * element_at lambda and re-run per shingle (interpreted HOF, no codegen
-    * CSE). (Guard: Spark's sequence(1, n) DESCENDS when n < 1, so short
-    * docs must short-circuit to an empty array.)
+    * attribute — never from a textual split, which would land inside a
+    * lambda and re-run per shingle. The codegen'd `graft_ngrams` builds the
+    * windows in one tight loop (identical space-join semantics to the
+    * interpreted `transform(sequence)/concat_ws` chain it replaces, incl.
+    * the short-doc empty-array guard — OptimizationR13Spec pins it).
     */
-  private val shinglesFromTks =
-    "CASE WHEN size(tks) < 3 THEN CAST(array() AS ARRAY<STRING>) ELSE " +
-      "array_distinct(transform(sequence(1, size(tks) - 2), " +
-      "i -> concat_ws(' ', element_at(tks, i), element_at(tks, i + 1), element_at(tks, i + 2)))) END"
+  private val shinglesFromTks = "array_distinct(graft_ngrams(tks, 3))"
 
   // --- exact ------------------------------------------------------------
 
@@ -900,20 +898,110 @@ object DedupQueries {
     */
   private val CcCheckpointInterval = 3
 
+  /** One label-propagation half-round: neighbor-label minimum, aggregated
+    * BEFORE the union with the old labels. Below the dial the label vector
+    * broadcasts, so the propagation join is map-side over the
+    * once-partitioned edges AND its groupBy reuses the cached hash(dst)
+    * partitioning — exchange-free; above the dial it is the two-level
+    * aggregation (guide §2.5) that shrinks the union shuffle from
+    * edge-bounded to node-bounded. `old` carries each vertex's PREVIOUS
+    * label through the aggregation (min ignores the prop rows' nulls; a
+    * vertex id is unique in `labels`) so the convergence check is a filter
+    * on the new generation instead of a per-round join back. (min over
+    * {old} ∪ {per-neighbor labels} = min over {old} ∪ {min of neighbor
+    * labels}, so pre-aggregating prop cannot change the result.) The caller
+    * persists the result — the doubling self-join consumes it twice.
+    */
+  private def ccPropagate(sym: DataFrame, labels: DataFrame,
+      hinted: DataFrame => DataFrame): DataFrame = {
+    val prop = sym.join(hinted(labels), sym("src") === labels("id"))
+      .select(col("dst").as("id"), col("label"))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+    val labelType = labels.schema("label").dataType
+    labels.select(col("id"), col("label"), col("label").as("old"))
+      .union(prop.select(col("id"), col("label"), lit(null).cast(labelType).as("old")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"), min(col("old")).as("old"))
+  }
+
+  /** Pointer doubling: label(label(v)) over a persisted [[ccPropagate]]
+    * generation. Every label is a vertex id (it starts as one and only ever
+    * becomes another vertex's label), but edges may reference ids outside
+    * `vertices` — left join + coalesce keeps those rows intact instead of
+    * dropping them. (Such outside ids have a null `old` in their first
+    * generation: label < null is UNKNOWN, so they don't signal change that
+    * round — the same semantics the old nextP-vs-labels join gave them.)
+    * Below the dial the pointer side broadcasts — no doubling exchange.
+    */
+  private def ccDouble(viaNeighbors: DataFrame,
+      hinted: DataFrame => DataFrame): DataFrame =
+    viaNeighbors.as("x")
+      .join(hinted(viaNeighbors.select(col("id").as("pid"), col("label").as("plabel")).as("p")),
+        col("x.label") === col("p.pid"), "left")
+      .select(col("x.id"),
+        least(col("x.label"), coalesce(col("p.plabel"), col("x.label"))).as("label"),
+        col("x.old").as("old"))
+
+  /** Lazy plan of one CC round over the embedding-LSH pair graph — plan
+    * evidence for the emb_dup_clusters optimization (the public entry
+    * returns a checkpointed LogicalRDD; the loop persists each generation).
+    * Returns (propagate plan, doubling plan over a persisted generation,
+    * persisted barriers for the caller to release).
+    */
+  private[graft] def ccRoundPlan(s: SparkSession, dir: String): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = dedupEmbeddingLsh(s, dir)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val vertices = Tables(s, dir, "embeddings").select(col("vec_id").as("id"))
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val touched = sym.select(col("dst").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    touched.count()
+    val gen0 = vertices.select(col("id"))
+      .join(broadcast(touched), Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    gen0.count()
+    val labels = s.createDataFrame(gen0.rdd, gen0.schema)
+    val via = ccPropagate(sym, labels, broadcast)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (ccPropagate(sym, labels, broadcast), ccDouble(via, broadcast),
+      Seq(sym, touched, gen0, via))
+  }
+
   private[graft] def connectedComponentsWithRounds(
       edges: DataFrame, vertices: DataFrame): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
+    // cached re-keyed on dst — the per-round neighbor-min aggregation key —
+    // so the label-propagation groupBy below reuses the cached partitioning
+    // (one build-time shuffle instead of an exchange per round: the
+    // pagerank/kcore discipline, guide §2.4)
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Only edge-TOUCHED vertices enter the loop: a vertex with no edge can
     // never change its label, so it is its own (singleton) cluster by
     // construction and joins the result at the end. On a near-dup corpus
     // the touched set is the duplicate fraction — typically a few percent —
     // so every loop round shuffles the induced subgraph, not the corpus.
-    val touched = sym.select(col("src").as("id")).distinct()
+    // (`dst` distinct = `src` distinct — sym is symmetric — and the dst
+    // spelling reuses the cached partitioning, so the distinct is
+    // exchange-free.)
+    val touched = sym.select(col("dst").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the label frames are touched-set bounded but surface as LogicalRDDs
+    // (no stats), so the planner would sort-merge the full edge frame
+    // against them EVERY round — the pagerank broadcast dial: below the cap
+    // each round's propagation join is one map-side pass over the
+    // once-partitioned edges and the doubling self-join broadcasts the
+    // pointer side; above it — web-scale components — the joins fall back
+    // to the shuffled form, where only the label vector moves.
+    val bcast = touched.count() <= IterativeQueries.BroadcastNodeCap
+    def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     // labels: the frame rounds consume (a flat lineage-truncated wrapper —
     // generation 0 starts truncated: the doubling join embeds the previous
     // generation's plan TWICE per round, so any non-trivial base plan (the
@@ -923,7 +1011,7 @@ object DedupQueries {
     // feed it — released when the generation retires, so the loop never
     // accumulates cached state (the leak spec pins it)
     val gen0 = vertices.select(col("id"))
-      .join(touched, Seq("id"), "left_semi")
+      .join(hinted(touched), Seq("id"), "left_semi")
       .select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = spark.createDataFrame(gen0.rdd, gen0.schema)
@@ -932,31 +1020,10 @@ object DedupQueries {
     var rounds = 0
     while (changed > 0) {
       rounds += 1
-      val prop = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val labelType = labels.schema("label").dataType
-      // persisted: the doubling self-join consumes it twice. `old` carries
-      // each vertex's PREVIOUS label through the aggregation (min ignores
-      // the prop rows' nulls; a vertex id is unique in `labels`) so the
-      // convergence check below is a filter on the new generation instead
-      // of a per-round join back against the old one.
-      val viaNeighbors = labels.select(col("id"), col("label"), col("label").as("old"))
-        .union(prop.select(col("id"), col("label"), lit(null).cast(labelType).as("old")))
-        .groupBy(col("id")).agg(min(col("label")).as("label"), min(col("old")).as("old"))
+      spark.sparkContext.setJobDescription(s"cc: round $rounds")
+      val viaNeighbors = ccPropagate(sym, labels, hinted)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // pointer doubling: label(label(v)). Every label is a vertex id (it
-      // starts as one and only ever becomes another vertex's label), but
-      // edges may reference ids outside `vertices` — left join + coalesce
-      // keeps those rows intact instead of dropping them. (Such outside ids
-      // have a null `old` in their first generation: label < null is
-      // UNKNOWN, so they don't signal change that round — the same
-      // semantics the old nextP-vs-labels join gave them.)
-      val nextAll = viaNeighbors.as("x")
-        .join(viaNeighbors.select(col("id").as("pid"), col("label").as("plabel")).as("p"),
-          col("x.label") === col("p.pid"), "left")
-        .select(col("x.id"),
-          least(col("x.label"), coalesce(col("p.plabel"), col("x.label"))).as("label"),
-          col("x.old").as("old"))
+      val nextAll = ccDouble(viaNeighbors, hinted)
         .persist(StorageLevel.MEMORY_AND_DISK)
       // FULL count, not limit(1).count(): limit stops at the first matching
       // partition, leaving most of the freshly persisted generation
@@ -979,10 +1046,11 @@ object DedupQueries {
           spark.createDataFrame(nextP.rdd, nextP.schema)
         else nextP
     }
+    spark.sparkContext.setJobDescription(null)
     // singletons re-join here labeled with their own id — exactly the label
     // the loop would have computed for an edge-less vertex
     val withSingles = labels.union(
-      vertices.select(col("id")).join(touched, Seq("id"), "left_anti")
+      vertices.select(col("id")).join(hinted(touched), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("label")))
     val result =
       if (spark.sparkContext.getCheckpointDir.isDefined) withSingles.checkpoint(eager = true)

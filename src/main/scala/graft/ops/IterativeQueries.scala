@@ -354,7 +354,7 @@ object IterativeQueries {
     * budgets even with a few generations in flight. Larger graphs keep
     * the shuffled join (only the rank vector moves).
     */
-  private val BroadcastNodeCap = 512000L
+  private[ops] val BroadcastNodeCap = 512000L
 
   /** PageRank on a genuinely DIRECTED graph: the co-occurrence pairs
     * oriented low-key → high-key, so nodes that only ever appear as the
@@ -430,36 +430,39 @@ object IterativeQueries {
     // joins fall back to the shuffled form, where only the rank vector
     // moves. Same rows either way; this is the hint AQE would derive if
     // the generations carried statistics.
-    spark.sparkContext.setJobDescription("pagerank_directed: build edges+degrees")
-    val bcast = nodeDeg.count() <= BroadcastNodeCap
-    def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
-    var ranks = spark.createDataFrame(init0.rdd, init0.schema)
-    var backing = init0
-    var round = 0
-    var fixpoint = false
-    while (round < maxRounds && !fixpoint) {
-      round += 1
-      spark.sparkContext.setJobDescription(s"pagerank_directed: round $round")
-      val next = pagerankDirectedRound(edgesDeg, ranks, hinted)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // materialize the generation; the same action answers "converged?".
-      // A FULL count of the moved rows, not limit(1).count(): the limit
-      // form stops after the first matching partition, leaving most of the
-      // persisted generation UNMATERIALIZED — every later round then
-      // recomputes the missing partitions through the whole generation
-      // chain (measured as the per-round task-time ballooning 7 -> 68 s at
-      // sf0.1). The full count materializes every partition exactly once
-      // and still answers the fixpoint question.
-      fixpoint = next.filter(col("moved")).count() == 0
-      backing.unpersist()
-      backing = next
-      ranks = spark.createDataFrame(next.rdd, next.schema)
-    }
-    spark.sparkContext.setJobDescription("pagerank_directed: release")
-    val out = ranks.select(col("node").as("partkey"), col("rank").as("pr_fixed"))
-    val released = (Lifecycle.released(out, edgesDeg, nodeDeg, backing), round)
-    spark.sparkContext.setJobDescription(null)
-    released
+    // try/finally: the description is thread-local — an exception between
+    // set and clear would otherwise leak the label onto unrelated jobs on
+    // this thread (round-12 advice)
+    try {
+      spark.sparkContext.setJobDescription("pagerank_directed: build edges+degrees")
+      val bcast = nodeDeg.count() <= BroadcastNodeCap
+      def hinted(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+      var ranks = spark.createDataFrame(init0.rdd, init0.schema)
+      var backing = init0
+      var round = 0
+      var fixpoint = false
+      while (round < maxRounds && !fixpoint) {
+        round += 1
+        spark.sparkContext.setJobDescription(s"pagerank_directed: round $round")
+        val next = pagerankDirectedRound(edgesDeg, ranks, hinted)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // materialize the generation; the same action answers "converged?".
+        // A FULL count of the moved rows, not limit(1).count(): the limit
+        // form stops after the first matching partition, leaving most of the
+        // persisted generation UNMATERIALIZED — every later round then
+        // recomputes the missing partitions through the whole generation
+        // chain (measured as the per-round task-time ballooning 7 -> 68 s at
+        // sf0.1). The full count materializes every partition exactly once
+        // and still answers the fixpoint question.
+        fixpoint = next.filter(col("moved")).count() == 0
+        backing.unpersist()
+        backing = next
+        ranks = spark.createDataFrame(next.rdd, next.schema)
+      }
+      spark.sparkContext.setJobDescription("pagerank_directed: release")
+      val out = ranks.select(col("node").as("partkey"), col("rank").as("pr_fixed"))
+      (Lifecycle.released(out, edgesDeg, nodeDeg, backing), round)
+    } finally spark.sparkContext.setJobDescription(null)
   }
 
   /** One synchronous directed round: dangling-mass 1-row broadcast,
@@ -567,25 +570,44 @@ object IterativeQueries {
 
   private[graft] def trianglesPlan(li: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
-    val pe = supportPairs(li)
+    // pe feeds BOTH the degree aggregate and the orientation join probe —
+    // unpersisted it was computed twice (the groupBy+explode+groupBy
+    // support-pair build is the query's most expensive subtree)
+    val pe = supportPairs(li).persist(StorageLevel.MEMORY_AND_DISK)
     val deg = pe.select(col("u").as("node"))
       .unionAll(pe.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // deg is node-bounded but surfaces without usable stats below a cached
+    // union, so the planner sort-merged pe against it twice — the pagerank
+    // broadcast dial (eager count doubles as the persist materialization)
+    val bcastDeg = deg.count() <= BroadcastNodeCap
+    def hintedDeg(df: DataFrame): DataFrame = if (bcastDeg) broadcast(df) else df
     val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     val ori = pe
-      .join(deg.select(col("node").as("nu"), col("d").as("du")), col("u") === col("nu"))
-      .join(deg.select(col("node").as("nv"), col("d").as("dv")), col("v") === col("nv"))
+      .join(hintedDeg(deg.select(col("node").as("nu"), col("d").as("du"))), col("u") === col("nu"))
+      .join(hintedDeg(deg.select(col("node").as("nv"), col("d").as("dv"))), col("v") === col("nv"))
       .select(when(lower, col("u")).otherwise(col("v")).as("s"),
         when(lower, col("v")).otherwise(col("u")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK) // three join legs consume it
+    // the closing legs re-sorted the cached `ori` once per leg (three
+    // Sort + Exchange pairs); below the cap the path/closure legs broadcast
+    // the oriented edge list instead (rows are two longs — the same
+    // bytes-per-row budget as [[BroadcastNodeCap]]'s doc), and the whole
+    // enumeration is one map-side stage over the cache. Above the cap the
+    // legs fall back to the sort-merge form unchanged.
+    val bcastOri = ori.count() <= BroadcastNodeCap
+    def hintedOri(df: DataFrame): DataFrame = if (bcastOri) broadcast(df) else df
     val tri = ori.as("e1")
-      .join(ori.as("e2"), col("e1.t") === col("e2.s"))
-      .join(ori.as("e3"), col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+      .join(hintedOri(ori.as("e2")), col("e1.t") === col("e2.s"))
+      .join(hintedOri(ori.as("e3")), col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
       .select(col("e1.s").as("x"), col("e1.t").as("y"), col("e2.t").as("z"))
-    val perNode = tri.select(col("x").as("node"))
-      .unionAll(tri.select(col("y").as("node")))
-      .unionAll(tri.select(col("z").as("node")))
+    // ONE pass over the enumerated triangles: the unionAll-of-three-
+    // projections spelling re-executed the three-leg join once per arm;
+    // explode(array(x, y, z)) feeds the same multiset to the aggregate from
+    // a single execution
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
     val out = deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("d"),
@@ -593,7 +615,7 @@ object IterativeQueries {
         when(col("d") > 1,
           (lit(2.0) * coalesce(col("n_tri"), lit(0L))) / (col("d") * (col("d") - 1)))
           .otherwise(lit(0.0)).as("clustering"))
-    (out, Seq(deg, ori))
+    (out, Seq(pe, deg, ori))
   }
 
   /** Core threshold for [[kcore]] — on the support-2 co-occurrence graph
@@ -633,7 +655,9 @@ object IterativeQueries {
   private[graft] def kcoreFrom(spark: SparkSession, li: DataFrame,
       k: Int = KcoreK, maxRounds: Int = KcoreRounds): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pe = supportPairs(li)
+    // persisted: the symmetrizing union consumes pe twice (each arm would
+    // otherwise re-run the support-pair build — the expensive subtree)
+    val pe = supportPairs(li).persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pe.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(pe.select(col("v").as("src"), col("u").as("dst")))
       .repartition(col("src"))
@@ -675,7 +699,7 @@ object IterativeQueries {
       .join(hinted(surv.select(col("node").as("dst"))), Seq("dst"), "left_semi")
       .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))
-    Lifecycle.released(out, edges, backing)
+    Lifecycle.released(out, pe, edges, backing)
   }
 
   /** Lazy plan of one [[kcore]] peeling round over the prepared inputs —
@@ -686,7 +710,7 @@ object IterativeQueries {
       k: Int = KcoreK): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.storage.StorageLevel
     val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val pe = supportPairs(li)
+    val pe = supportPairs(li).persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pe.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(pe.select(col("v").as("src"), col("u").as("dst")))
       .repartition(col("src"))
@@ -701,7 +725,7 @@ object IterativeQueries {
       .groupBy(col("src")).agg(count(lit(1)).as("d"))
       .filter(col("d") >= k)
       .select(col("src").as("node"))
-    (round, Seq(edges, gen0))
+    (round, Seq(pe, edges, gen0))
   }
 
   /** The [[kcore]] rounds unrolled as a MATERIALIZED CTE chain (same

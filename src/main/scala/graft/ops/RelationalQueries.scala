@@ -257,9 +257,19 @@ object RelationalQueries {
     * join — salting must be invisible in the answer.
     */
   def saltedJoin(s: SparkSession, dir: String, saltBuckets: Int = 8): DataFrame =
+    // project BOTH sides to the columns the aggregate reads before salting
+    // (guide §2.3 "project before the exchange"): the salt mixes xxhash64
+    // over every column of its input, so an unprojected fact side forced the
+    // scan to read and hash ALL 16 lineitem columns and shipped them through
+    // the (key, salt) exchange — for an aggregate that touches three. Salt
+    // values only route rows (the dim is replicated into every bucket), so
+    // changing the hash input cannot change the result — the oracle is the
+    // plain join.
     SkewJoin.saltedInnerJoin(
-        Tables(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k"),
-        Tables(s, dir, "orders").withColumnRenamed("o_orderkey", "k"),
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_extendedprice"), col("l_discount")),
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderpriority")),
         "k", saltBuckets)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
@@ -1094,12 +1104,23 @@ object RelationalQueries {
     // candidates carry only the two ids through the hot-block join and the
     // dedup (names rejoin after), and equal-variant pairs with length
     // difference 2 (deletion-vs-deletion of different strings) are pruned
-    // ON the join — both shrink what levenshtein and the distinct touch
+    // ON the join — both shrink what levenshtein and the distinct touch.
+    // The join key is xxhash64(variant), NOT the variant string: the
+    // deletion-neighborhood fan-out is length+1 rows per key, so hashing
+    // before the exchange shrinks the shuffled key bytes ~3x (8-byte long
+    // vs the name-sized string) and hash-partitions evenly (guide §2.3).
+    // Exactness is untouched: every true distance<=1 pair shares a REAL
+    // variant — hence its hash — so candidates via hash are a superset of
+    // candidates via string, and the levenshtein <= 1 verify below is what
+    // defines the result either way (a 64-bit collision only adds a
+    // candidate the verify rejects).
     val cv = Tables(s, dir, "customer")
       .selectExpr("c_custkey", "length(c_name) AS lc", s"explode(${variants("c_name")}) AS v")
+      .selectExpr("c_custkey", "lc", "xxhash64(v) AS vh")
     val dv = dirty.selectExpr("dirty_id", "length(name_dirty) AS ld",
       s"explode(${variants("name_dirty")}) AS v")
-    val cand = dv.join(cv, dv("v") === cv("v") && abs(col("ld") - col("lc")) <= 1)
+      .selectExpr("dirty_id", "ld", "xxhash64(v) AS vh")
+    val cand = dv.join(cv, dv("vh") === cv("vh") && abs(col("ld") - col("lc")) <= 1)
       .select(col("dirty_id"), col("c_custkey"))
       .distinct()
     cand

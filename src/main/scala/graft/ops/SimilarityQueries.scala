@@ -492,6 +492,17 @@ object SimilarityQueries {
   private def pqIndex(s: SparkSession, dir: String, cfg: PqConfig,
       qSource: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.registerAll(s)
+    // guard the memo invariant (round-12 advice): the codebook memo key
+    // below deliberately omits qSource because every legal qSource is the
+    // SAME qExpr projection of the same embeddings table — a caller passing
+    // a differently-derived (vec_id, q) frame would silently replay a stale
+    // codebook, so at least the shape contract is enforced here and the
+    // derivation contract is documented on the parameter.
+    qSource.foreach { src =>
+      require(src.columns.sameElements(Array("vec_id", "q")),
+        s"pqIndex qSource must be the IVF build's (vec_id, q) qExpr projection, " +
+          s"got columns [${src.columns.mkString(", ")}]")
+    }
     val subs = qSource.getOrElse(
         Tables(s, dir, "embeddings").selectExpr("vec_id", s"$qExpr AS q"))
       .select(col("vec_id"), explode(expr(

@@ -95,26 +95,18 @@ object TextQueries {
         "(ok_word_count AND ok_mean_len AND ok_alpha AND ok_stop AND ok_symbol) AS pass")
 
   /** Per-doc top-gram and duplicate-gram character masses for one n —
-    * shared by [[gopherRepetition]]'s five arms: counts per (doc, gram)
-    * with map-side combine, then the most-common gram's char mass
-    * (cnt · length, ties broken gram-asc for determinism) and the char
-    * mass of all duplicated grams (cnt ≥ 2).
+    * shared by [[gopherRepetition]]'s five arms: the codegen'd
+    * [[graft.functions.GramMass]] expression (`graft_gram_mass(t, n)` →
+    * `STRUCT<top_chars, dup_chars>`) computes both in ONE per-row pass.
+    * Every n-gram of a document lives in its own row's token array, so the
+    * old per-arm pipeline — interpreted `transform(sequence, slice,
+    * array_join)` explode, a (doc, gram)-keyed shuffle, a doc window for
+    * the top gram, a second aggregation for the dup mass, and two joins
+    * back — was five shuffle arms for a map-side-computable statistic
+    * (guide §2.4; equivalence pinned by OptimizationR13Spec, semantics
+    * documented on the expression).
     */
-  private def gramCharMass(tok: DataFrame, n: Int): DataFrame = {
-    val cnts = tok
-      .filter(s"size(t) >= $n")
-      .selectExpr("doc_id",
-        s"explode(transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))) AS g")
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
-    val top = cnts
-      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("g").asc)))
-      .filter(col("rk") === 1)
-      .selectExpr("doc_id", s"CAST(cnt * length(g) AS BIGINT) AS top${n}_chars")
-    val dup = cnts.groupBy(col("doc_id"))
-      .agg(expr(s"CAST(sum(IF(cnt >= 2, cnt * length(g), 0)) AS BIGINT) AS dup${n}_chars"))
-    top.join(dup, Seq("doc_id"))
-  }
+  private def gramCharMass(n: Int): String = s"graft_gram_mass(t, $n)"
 
   /** The Gopher REPETITION-filter rules (Rae et al. 2021, arXiv:2112.11446
     * table A1) as per-document char-fraction flags: the fraction of
@@ -130,24 +122,28 @@ object TextQueries {
     * aggregations — shuffle per arm on the doc key, no all-pairs anywhere.
     */
   def gopherRepetition(s: SparkSession, dir: String): DataFrame = {
-    // tokenize ONCE: the five gram arms and the base frame all read the
-    // persisted (doc_id, tokens) projection (the oracle's
-    // `tok AS MATERIALIZED` twin) instead of six corpus scans
-    val tok = Tables(s, dir, "documents")
-      .selectExpr("doc_id", s"$toks AS t")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val base = tok
+    graft.functions.GraftFunctions.registerAll(s)
+    // tokenize ONCE behind a barrier (CollapseProject would otherwise inline
+    // the tokenizer into all five gram-mass consumers), then the five arms
+    // are per-row expression calls — ZERO shuffles for the whole entry where
+    // the old shape paid a (doc, gram) exchange + doc window + dup
+    // aggregation + two joins PER ARM. The null-text case matches the old
+    // absent-row/left-join path: a null array yields null structs, and the
+    // coalesce keeps the published 0 defaults.
+    val out = Tables(s, dir, "documents")
+      .selectExpr("doc_id", s"graft_barrier($toks) AS t")
       .selectExpr("doc_id", "CAST(size(t) AS BIGINT) AS n_words",
-        "CAST(aggregate(t, 0L, (a, x) -> a + length(x)) + size(t) - 1 AS BIGINT) AS total_chars")
-    val joined = Seq(2, 3, 4, 5, 10).map(n => gramCharMass(tok, n))
-      .foldLeft(base)((acc, m) => acc.join(m, Seq("doc_id"), "left"))
-    val out = joined.selectExpr(
+        "CAST(aggregate(t, 0L, (a, x) -> a + length(x)) + size(t) - 1 AS BIGINT) AS total_chars",
+        s"${gramCharMass(2)} AS m2", s"${gramCharMass(3)} AS m3",
+        s"${gramCharMass(4)} AS m4", s"${gramCharMass(5)} AS m5",
+        s"${gramCharMass(10)} AS m10")
+      .selectExpr(
       "doc_id", "n_words", "total_chars",
-      "coalesce(top2_chars, 0L) AS top2_chars",
-      "coalesce(top3_chars, 0L) AS top3_chars",
-      "coalesce(top4_chars, 0L) AS top4_chars",
-      "coalesce(dup5_chars, 0L) AS dup5_chars",
-      "coalesce(dup10_chars, 0L) AS dup10_chars")
+      "coalesce(m2.top_chars, 0L) AS top2_chars",
+      "coalesce(m3.top_chars, 0L) AS top3_chars",
+      "coalesce(m4.top_chars, 0L) AS top4_chars",
+      "coalesce(m5.dup_chars, 0L) AS dup5_chars",
+      "coalesce(m10.dup_chars, 0L) AS dup10_chars")
       .selectExpr("doc_id", "n_words", "total_chars",
         "CAST(top2_chars AS DOUBLE) / total_chars AS top2_frac",
         "CAST(top3_chars AS DOUBLE) / total_chars AS top3_frac",
@@ -163,7 +159,10 @@ object TextQueries {
         "top4_frac", "dup5_frac", "dup10_frac", "ok_top2", "ok_top3", "ok_top4",
         "ok_dup5", "ok_dup10",
         "(ok_top2 AND ok_top3 AND ok_top4 AND ok_dup5 AND ok_dup10) AS pass")
-    Lifecycle.released(out, tok)
+    // no persist barrier anymore: the whole entry is one map-side pass, so
+    // there is nothing with two consumers to materialize (Lifecycle dropped
+    // together with the five shuffle arms)
+    out
   }
 
   /** N-gram language-ID heuristic: stopword-list hit counts per language,
@@ -218,17 +217,17 @@ object TextQueries {
   def winnowFrom(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
     require(k >= 1 && w >= 1)
     graft.functions.GraftFunctions.registerAll(docs.sparkSession)
+    // ONE codegen'd per-row pass ([[graft.functions.WinnowFps]]): gram
+    // hash60s, deque sliding minimum, and the per-(doc, fp) window count all
+    // happen inside the expression — every window of a document lives in its
+    // own row, so the old interpreted-HOF chain (two barriered transforms
+    // with slice/array_join/array_min lambdas) and its groupBy SHUFFLE were
+    // pure overhead (guide §2.4; bit-equivalence pinned by
+    // OptimizationR13Spec; short docs yield an empty array = the old
+    // size filter).
     docs
-      .selectExpr("doc_id", s"graft_barrier($toks) AS tks")
-      .filter(s"size(tks) >= ${k + w - 1}")
-      .selectExpr("doc_id",
-        s"graft_barrier(transform(sequence(1, size(tks) - ${k - 1}), " +
-          s"i -> hash60(array_join(slice(tks, i, $k), ' ')))) AS hs")
-      .selectExpr("doc_id",
-        s"explode(transform(sequence(1, size(hs) - ${w - 1}), " +
-          s"i -> array_min(slice(hs, i, $w)))) AS fp")
-      .groupBy(col("doc_id"), col("fp"))
-      .agg(count(lit(1)).as("n_windows"))
+      .selectExpr("doc_id", s"explode(graft_winnow_fps($toks, $k, $w)) AS s")
+      .selectExpr("doc_id", "s.fp AS fp", "s.n_windows AS n_windows")
   }
 
   /** Winnowing with the SELECTED POSITION kept: one row per distinct
@@ -457,11 +456,11 @@ object TextQueries {
   def decontaminate(s: SparkSession, dir: String,
                     benchSource: String = "src0", n: Int = 4): DataFrame = {
     require(n >= 2)
+    graft.functions.GraftFunctions.registerAll(s)
     val grams = Tables(s, dir, "documents")
       .selectExpr("doc_id", "source", s"split(trim(lower(text)), '[$WsSql]+') AS t")
       .filter(s"size(t) >= $n")
-      .selectExpr("doc_id", "source",
-        s"explode(transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))) AS g")
+      .selectExpr("doc_id", "source", s"explode(graft_ngrams(t, $n)) AS g")
     val bench = grams.filter(col("source") === benchSource).select(col("g")).distinct()
     grams.filter(col("source") =!= benchSource)
       .join(broadcast(bench), Seq("g"))
@@ -502,8 +501,7 @@ object TextQueries {
     Tables(s, dir, "documents")
       .selectExpr("doc_id", "source", s"split(trim(lower(text)), '[$WsSql]+') AS t")
       .filter(s"size(t) >= $n")
-      .selectExpr("doc_id", "source",
-        s"explode(transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))) AS g")
+      .selectExpr("doc_id", "source", s"explode(graft_ngrams(t, $n)) AS g")
       .createTempView(view)
     try {
       s.sql(
@@ -567,11 +565,11 @@ object TextQueries {
   private[graft] def ngramDupPlan(docs: DataFrame, n: Int = 4,
                                   preAggregate: Boolean = false): (DataFrame, DataFrame) = {
     require(n >= 2)
+    graft.functions.GraftFunctions.registerAll(docs.sparkSession)
     val positions = docs
       .selectExpr("doc_id", s"split(trim(lower(text)), '[$WsSql]+') AS t")
       .filter(s"size(t) >= $n")
-      .selectExpr("doc_id",
-        s"explode(transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))) AS g")
+      .selectExpr("doc_id", s"explode(graft_ngrams(t, $n)) AS g")
     val grams =
       (if (preAggregate)
         positions.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
